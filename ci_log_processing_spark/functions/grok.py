@@ -1,0 +1,144 @@
+"""Grok-style severity / subsystem extraction + the vectorized
+parse UDF.
+
+Severity taxonomy and "severity followed by [module]" shape come
+from the legacy Logstash oslofmt grok the reference repo carries
+(opensearch-config/config/openstack-filters.conf:46-52) — the
+richer semantics its Python rewrite dropped and our north star
+restores.
+
+Two implementations:
+  * `severity_col` / `subsystem_col` — Catalyst regexp_extract
+    (JVM, codegen; identical RE2-safe patterns used by the DuckDB
+    oracle);
+  * `make_grok_udf` — ONE Arrow-vectorized pandas UDF returning a
+    struct(event_ts, severity, subsystem, message) per row. This is
+    the north-star-mandated path: pandas str ops over the whole
+    Arrow batch, never per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Keep RE2-compatible (no lookbehind) so the same pattern text runs
+# in Spark (java.util.regex), DuckDB (RE2) and pandas (re).
+SEVERITIES = ("AUDIT", "CRITICAL", "DEBUG", "INFO", "TRACE", "WARNING", "ERROR")
+SEVERITY_RX = r"\b(AUDIT|CRITICAL|DEBUG|INFO|TRACE|WARNING|ERROR)\b"
+# oslofmt: LOGLEVEL \[?module\]? — module directly after the severity
+SUBSYSTEM_RX = (
+    r"\b(?:AUDIT|CRITICAL|DEBUG|INFO|TRACE|WARNING|ERROR)\b"
+    r" \[?([A-Za-z][A-Za-z0-9_.-]*)\]?"
+)
+
+
+def severity_col(message: Column) -> Column:
+    return F.nullif(F.regexp_extract(message, SEVERITY_RX, 1), F.lit(""))
+
+
+def subsystem_col(message: Column) -> Column:
+    return F.nullif(F.regexp_extract(message, SUBSYSTEM_RX, 1), F.lit(""))
+
+
+def severity_sql_duckdb(message_expr: str) -> str:
+    return f"nullif(regexp_extract({message_expr}, '{SEVERITY_RX}', 1), '')"
+
+
+def subsystem_sql_duckdb(message_expr: str) -> str:
+    return f"nullif(regexp_extract({message_expr}, '{SUBSYSTEM_RX}', 1), '')"
+
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("event_ts", TimestampType()),
+        StructField("severity", StringType()),
+        StructField("subsystem", StringType()),
+        StructField("message", StringType()),
+    ]
+)
+
+
+def make_grok_udf(ref_year: int = 2024):
+    """Arrow-vectorized full-line parser.
+
+    Equivalent to ts_cascade_col + message_col + severity_col +
+    subsystem_col in one Arrow round-trip. Per-batch work is pandas
+    .str.extract / to_datetime on the matching subset only — the
+    cascade's "first match wins" is preserved by masking rows already
+    parsed by an earlier pattern (reference: logsender.py:362-365).
+    """
+    # (extract_rx, to_datetime_fmt, frac_group, yearless) mirrors
+    # timestamps._SPARK_STEPS
+    steps = [
+        (r"^([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})\.([0-9]{1,6})Z(?:\s|$)",
+         "%Y-%m-%dT%H:%M:%S.%f", True, False),
+        (r"^([0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2})\.([0-9]{1,6})(?:\s|$)",
+         "%Y-%m-%d %H:%M:%S.%f", True, False),
+        (r"^([A-Za-z]{3} [0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2})\.([0-9]{5})",
+         "%b %d %H:%M:%S.%f", True, True),
+        (r"^([A-Za-z]{3} [0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2})(?:\s|$)",
+         "%b %d %H:%M:%S", False, True),
+        (r"^([-0-9T:]{19})", "%Y-%m-%dT%H:%M:%S", False, False),
+        (r"^((?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday) "
+         r"[0-9]{2} [A-Za-z]+ [0-9]{4}  [0-9]{2}:[0-9]{2}:[0-9]{2})(?:\s|$)",
+         "%A %d %B %Y  %H:%M:%S", False, False),
+    ]
+
+    @pandas_udf(PARSED_SCHEMA)
+    def grok(text: pd.Series) -> pd.DataFrame:
+        text = text.fillna("")
+        ts = pd.Series(pd.NaT, index=text.index, dtype="datetime64[us]")
+        unparsed = pd.Series(True, index=text.index)
+        for rx, fmt, has_frac, yearless in steps:
+            if not unparsed.any():
+                break
+            sub = text[unparsed]
+            ext = sub.str.extract(rx, expand=True)
+            head = ext[0]
+            if has_frac:
+                cand = head + "." + ext[1].str.pad(6, side="right", fillchar="0")
+                fmt_full = fmt
+            else:
+                cand = head
+                fmt_full = fmt
+            hit = head.notna()
+            if not hit.any():
+                continue
+            parsed = pd.to_datetime(cand[hit], format=fmt_full, errors="coerce")
+            if yearless:
+                # pandas fills missing years with 1900 like strptime
+                parsed = parsed.map(
+                    lambda d: d.replace(year=ref_year) if pd.notna(d) and d.year == 1900 else d
+                )
+            ok = parsed.notna()
+            idx = parsed.index[ok]
+            ts.loc[idx] = parsed[ok].astype("datetime64[us]")
+            unparsed.loc[idx] = False
+
+        no_nl = text.str.replace("\n", "", regex=False)
+        has_pipe = no_nl.str.contains("|", regex=False)
+        after = no_nl.str.split("|", n=1).str[1].fillna("").str.lstrip()
+        message = after.where(has_pipe, no_nl)
+
+        severity = message.str.extract(SEVERITY_RX, expand=False)
+        subsystem = message.str.extract(SUBSYSTEM_RX, expand=False)
+        return pd.DataFrame(
+            {
+                "event_ts": ts,
+                "severity": severity,
+                "subsystem": subsystem,
+                "message": message,
+            }
+        )
+
+    return grok

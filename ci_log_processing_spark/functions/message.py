@@ -1,0 +1,42 @@
+"""Message extraction — reference `get_message`, logsender.py:368-372.
+
+Exact semantics (golden: tests/test_logsender.py:1170-1175):
+  * text after the FIRST '|' (multi-pipe lines keep later pipes),
+    newline removed, left-stripped;
+  * no pipe -> whole line with newline removed, NOT stripped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def get_message_py(line: str) -> str:
+    """Pure-Python oracle."""
+    try:
+        return line.split("|", 1)[1].replace("\n", "").lstrip()
+    except IndexError:
+        return line.replace("\n", "")
+
+
+def message_col(text: Column) -> Column:
+    """Catalyst expression with identical semantics.
+
+    NOTE: substring_index(text,'|',-1) would be WRONG for multi-pipe
+    lines (it keeps text after the LAST pipe); split-limit-2 keeps
+    everything after the first (SURVEY.md §2.2 P4).
+    """
+    no_nl = F.regexp_replace(text, "\n", "")
+    after_pipe = F.ltrim(F.element_at(F.split(no_nl, r"\|", 2), 2))
+    return F.when(F.instr(no_nl, "|") > 0, after_pipe).otherwise(no_nl)
+
+
+def message_sql_duckdb(text_expr: str) -> str:
+    """DuckDB oracle for the same split."""
+    no_nl = f"replace({text_expr}, chr(10), '')"
+    return (
+        f"CASE WHEN strpos({no_nl}, '|') > 0 "
+        f"THEN ltrim(substr({no_nl}, strpos({no_nl}, '|') + 1)) "
+        f"ELSE {no_nl} END"
+    )

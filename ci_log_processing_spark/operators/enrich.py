@@ -1,0 +1,90 @@
+"""Broadcast-lookup enrichment.
+
+Reference analogs:
+  * file->(name, tags) suffix lookup with identity default on miss
+    (`get_file_info`, logsender.py:375-381; golden
+    tests/test_logsender.py:1199-1217) -> tool->category/tags map;
+  * per-build constant/renamed/cast fields deep-copied onto every
+    line (`makeFields` logsender.py:252-285 + `doc_iter` 416-428)
+    -> conv-level metadata broadcast-joined onto turns.
+
+Both lookups are tiny dimension tables: `F.broadcast` makes the
+join a map-side hash join — no shuffle of the fact table, which is
+the only join strategy that survives 100 TB of turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# role -> pipeline (build_queue analog, default NONE like
+# makeFields' build_queue default, logsender.py:270)
+ROLE_PIPELINE: dict[str, str] = {
+    "user": "ingest",
+    "assistant": "check",
+    "system": "control",
+    "tool": "gate",
+}
+
+# tool -> (category, extra tags); miss -> identity (tool, [tool]),
+# mirroring get_file_info's (basename, [basename]) default.
+TOOL_CATEGORY: dict[str, tuple[str, list[str]]] = {
+    "bash": ("shell", ["exec"]),
+    "search": ("retrieval", ["query"]),
+    "python": ("code", ["exec"]),
+    "performance.json": ("perf", ["report"]),
+    "testrepository.subunit": ("test", ["results"]),
+}
+
+
+def role_pipeline_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(ROLE_PIPELINE.items()), "role string, pipeline string"
+    )
+
+
+def tool_category_df(spark: SparkSession) -> DataFrame:
+    rows = [(t, c, tags) for t, (c, tags) in sorted(TOOL_CATEGORY.items())]
+    return spark.createDataFrame(
+        rows, "tool string, category string, cat_tags array<string>"
+    )
+
+
+def with_enrichment(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Add pipeline, category, tags via broadcast joins.
+
+    Miss semantics:
+      * unknown role -> pipeline 'NONE';
+      * unknown tool -> category = tool itself, tags = [tool]
+        (reference identity default, logsender.py:381);
+      * null tool   -> category NULL, tags [].
+    Tags are emitted sorted for determinism (the reference's
+    list(set(...)) ordering is nondeterministic — SURVEY.md §4).
+    """
+    rp = F.broadcast(role_pipeline_df(spark))
+    tc = F.broadcast(tool_category_df(spark))
+    out = (
+        df.join(rp, "role", "left")
+        .join(tc, "tool", "left")
+        .withColumn("pipeline", F.coalesce(F.col("pipeline"), F.lit("NONE")))
+        .withColumn(
+            "category",
+            F.when(F.col("tool").isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("category"), F.col("tool"))
+            ),
+        )
+        .withColumn(
+            "tags",
+            F.when(F.col("tool").isNull(), F.array().cast("array<string>")).otherwise(
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce(F.col("cat_tags"), F.array().cast("array<string>")),
+                        F.array(F.col("tool")),
+                    )
+                )
+            ),
+        )
+        .drop("cat_tags")
+    )
+    return out

@@ -1,0 +1,65 @@
+"""End-to-end parse -> enrich -> route -> aggregate plan.
+
+One DataFrame DAG replacing the reference's hand-fused generator
+pipeline (logsender.py `send` lifecycle, SURVEY.md §3.1):
+
+  read -> parse (ts cascade + grok) -> forward-fill window ->
+  enrich (broadcast maps) -> route (disjoint CASE) ->
+  [persist] -> per-sink writes + grouped aggregates
+
+`impl` selects the parse engine:
+  * 'native' — pure Catalyst expressions (whole-stage codegen,
+    fastest; the 100 TB default);
+  * 'pandas' — one Arrow-vectorized pandas UDF (the north-star
+    grok path; same results, exercised by tests for parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.grok import make_grok_udf, severity_col, subsystem_col
+from ..functions.message import message_col
+from ..functions.timestamps import ts_cascade_col
+from ..operators.enrich import with_enrichment
+from ..operators.ffill import with_filled_ts, with_prior_ts_count
+from ..operators.route import with_sink
+
+DEFAULT_BATCH_TS = "2024-01-01 00:00:00"
+DEFAULT_REF_YEAR = 2024
+
+
+def parse_transcripts(
+    df: DataFrame,
+    ref_year: int = DEFAULT_REF_YEAR,
+    impl: str = "native",
+) -> DataFrame:
+    """Add event_ts, message, severity, subsystem."""
+    if impl == "pandas":
+        grok = make_grok_udf(ref_year)
+        parsed = df.withColumn("_p", grok(F.col("text")))
+        return parsed.select("*", "_p.*").drop("_p")
+    return (
+        df.withColumn("event_ts", ts_cascade_col(F.col("text"), ref_year))
+        .withColumn("message", message_col(F.col("text")))
+        .withColumn("severity", severity_col(F.col("message")))
+        .withColumn("subsystem", subsystem_col(F.col("message")))
+    )
+
+
+def full_pipeline(
+    df: DataFrame,
+    spark: SparkSession,
+    batch_ts: str = DEFAULT_BATCH_TS,
+    ref_year: int = DEFAULT_REF_YEAR,
+    skip_debug: bool = True,
+    impl: str = "native",
+) -> DataFrame:
+    """transcripts -> parsed/enriched/routed rows (pre-fan-out)."""
+    out = parse_transcripts(df, ref_year=ref_year, impl=impl)
+    out = with_filled_ts(out, batch_ts)
+    out = with_prior_ts_count(out)
+    out = with_enrichment(out, spark)
+    out = with_sink(out, skip_debug=skip_debug)
+    return out

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the configs below are the ones that
+matter identically on a 1000-executor cluster: AQE (runtime
+re-planning + skew-join splitting), sane shuffle partitioning,
+Arrow batching for pandas UDFs, UTC session time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ci-log-processing-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    master defaults to local[$SPARK_GRAFT_CPUS] (falling back to
+    local[*]); on a real cluster you simply don't pass master and
+    let spark-submit supply it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # deterministic timestamps end-to-end
+        .config("spark.sql.session.timeZone", "UTC")
+        # runtime re-planning: partition coalescing + skew-join splits.
+        # The reference got skew tolerance accidentally (one OS process
+        # per build, logsender.py:630-636); we get it from AQE + the
+        # explicit salting in operators/skew.py.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere Python touches data (pandas UDF batches;
+        # reference analog: bulk chunk_size=1500, logsender.py:481-490)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the reference tolerates malformed rows by skipping them
+        # (try/except per line); ANSI mode would instead fail the job
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
