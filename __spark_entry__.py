@@ -1,38 +1,193 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; `oracle_sql()` returns the
+independent DuckDB re-implementation the driver compares against.
+
+The transcripts input table (BASELINE.json input_hint shape) is
+derived deterministically from the events parquet — identical SQL
+semantics on both engines (ci_log_processing_spark/sources/
+transcripts.py), so no external data is needed.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ci_log_processing_spark import oracle  # noqa: E402
+from ci_log_processing_spark.operators.aggregate import (  # noqa: E402
+    conv_severity_counts,
+    hourly_agg,
+    sink_counts,
+)
+from ci_log_processing_spark.plans.pipeline import (  # noqa: E402
+    DEFAULT_BATCH_TS,
+    DEFAULT_REF_YEAR,
+    full_pipeline,
+    parse_transcripts,
+)
+from ci_log_processing_spark.functions.timestamps import ts_cascade_col  # noqa: E402
+from ci_log_processing_spark.sources.transcripts import (  # noqa: E402
+    load_transcripts,
+    text_sql,
+)
+
+SINK_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "event_ts", "filled_ts",
+    "severity", "subsystem", "message", "pipeline", "category",
+    "drop_reason",
+]
+
+
+def _routed(spark: SparkSession, sf_dir: str, impl: str = "native") -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    return full_pipeline(t, spark, impl=impl)
+
+
+# --- pipeline queries --------------------------------------------------
+
+
+def q_parse(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return parse_transcripts(t).select(
+        "conv_id", "turn_idx", "event_ts", "severity", "subsystem", "message"
+    )
+
+
+def q_parse_pandas(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return parse_transcripts(t, impl="pandas").select(
+        "conv_id", "turn_idx", "event_ts", "severity", "subsystem", "message"
+    )
+
+
+def q_ffill(spark, sf_dir):
+    from ci_log_processing_spark.operators.ffill import with_filled_ts
+
+    t = parse_transcripts(load_transcripts(spark, sf_dir))
+    return with_filled_ts(t, DEFAULT_BATCH_TS).select(
+        "conv_id", "turn_idx", "event_ts", "filled_ts"
+    )
+
+
+def q_enrich(spark, sf_dir):
+    return _routed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "pipeline", "category",
+        F.concat_ws(",", F.col("tags")).alias("tags_str"),
+    )
+
+
+def q_route(spark, sf_dir):
+    return _routed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "sink", "drop_reason"
+    )
+
+
+def q_sink_counts(spark, sf_dir):
+    return sink_counts(_routed(spark, sf_dir))
+
+
+def _q_sink_rows(sink):
+    def q(spark, sf_dir):
+        return (
+            _routed(spark, sf_dir)
+            .filter(F.col("sink") == sink)
+            .select(*SINK_COLS)
+        )
+
+    return q
+
+
+def q_agg_hourly(spark, sf_dir):
+    return hourly_agg(_routed(spark, sf_dir))
+
+
+def q_conv_severity(spark, sf_dir):
+    return conv_severity_counts(_routed(spark, sf_dir))
+
+
+def q_checkpoint_antijoin(spark, sf_dir):
+    routed = _routed(spark, sf_dir)
+    processed = (
+        routed.select("conv_id")
+        .distinct()
+        .filter(F.substring("conv_id", 6, 10).cast("int") % 3 == 0)
+    )
+    return routed.join(F.broadcast(processed), "conv_id", "left_anti").select(
+        "conv_id", "turn_idx", "sink"
+    )
+
+
+def q_dedup_messages(spark, sf_dir):
+    return _routed(spark, sf_dir).groupBy("conv_id").agg(
+        F.countDistinct("message").alias("distinct_messages")
+    )
+
+
+def q_ts_formats(spark, sf_dir):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events.createOrReplaceTempView("events")
+    e = spark.sql(
+        f"SELECT CAST(event_id % 12 AS INT) AS line_class, "
+        f"{text_sql('spark')} AS text FROM events"
+    )
+    p = e.withColumn("event_ts", ts_cascade_col(F.col("text"), DEFAULT_REF_YEAR))
+    return p.groupBy("line_class").agg(
+        F.count("event_ts").alias("parsed_cnt"),
+        F.count(F.lit(1)).alias("total_cnt"),
+        F.min("event_ts").alias("min_ts"),
+        F.max("event_ts").alias("max_ts"),
+    )
+
+
+# --- driver contract ----------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse -> enrich -> route -> hourly aggregate."""
+    return q_agg_hourly(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs: dict[str, Callable] = {
+        "pipe_parse": q_parse,
+        "pipe_parse_pandas_udf": q_parse_pandas,
+        "pipe_ffill": q_ffill,
+        "pipe_enrich": q_enrich,
+        "pipe_route": q_route,
+        "pipe_sink_counts": q_sink_counts,
+        "pipe_agg_hourly": q_agg_hourly,
+        "pipe_conv_severity": q_conv_severity,
+        "pipe_checkpoint_antijoin": q_checkpoint_antijoin,
+        "pipe_dedup_messages": q_dedup_messages,
+        "pipe_ts_formats": q_ts_formats,
+    }
+    for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
+        qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls = {
+        "pipe_parse": oracle.q_parse(),
+        "pipe_parse_pandas_udf": oracle.q_parse(),
+        "pipe_ffill": oracle.q_ffill(),
+        "pipe_enrich": oracle.q_enrich(),
+        "pipe_route": oracle.q_route(),
+        "pipe_sink_counts": oracle.q_sink_counts(),
+        "pipe_agg_hourly": oracle.q_agg_hourly(),
+        "pipe_conv_severity": oracle.q_conv_severity(),
+        "pipe_checkpoint_antijoin": oracle.q_checkpoint_antijoin(),
+        "pipe_dedup_messages": oracle.q_dedup_messages(),
+        "pipe_ts_formats": oracle.q_ts_formats(),
+    }
+    for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
+        sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
+    return sqls

@@ -1,0 +1,65 @@
+"""Checkpoint / resume — the reference's sqlite BuildCache
+(logscraper.py:227-292: uid+timestamp rows, `contains` dedup before
+download, 1-day TTL clean) as a parquet manifest + left-anti join.
+
+A run records every conv_id it fully processed; the next run
+anti-joins the input against the manifest so already-processed
+conversations are skipped — kill-and-rerun yields identical sink
+contents with no duplicates (at-least-once delivery + idempotent
+skip, reference logsender.py:550-560 semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_checkpoint(spark: SparkSession, ckpt_dir: str) -> DataFrame | None:
+    if not os.path.exists(ckpt_dir):
+        return None
+    try:
+        return spark.read.parquet(ckpt_dir)
+    except Exception:
+        return None
+
+
+def filter_unprocessed(
+    spark: SparkSession, transcripts: DataFrame, ckpt_dir: str
+) -> tuple[DataFrame, int]:
+    """Drop conversations already recorded in the checkpoint.
+
+    Returns (remaining transcripts, number of skipped convs).
+    The checkpoint side is tiny relative to the fact table, so it is
+    broadcast — the anti-join never shuffles the 10^12-turn side.
+    """
+    ckpt = read_checkpoint(spark, ckpt_dir)
+    if ckpt is None:
+        return transcripts, 0
+    done = ckpt.select("conv_id").distinct()
+    n_done = done.count()
+    remaining = transcripts.join(F.broadcast(done), "conv_id", "left_anti")
+    return remaining, n_done
+
+
+def write_checkpoint(routed: DataFrame, ckpt_dir: str) -> None:
+    """Append the processed conv manifest (conv_id, rows)."""
+    manifest = routed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("rows"))
+    manifest.write.mode("append").parquet(ckpt_dir)
+
+
+def expire_checkpoint(
+    spark: SparkSession, ckpt_dir: str, keep_conv_ids: DataFrame
+) -> None:
+    """TTL maintenance analog (BuildCache.clean, logscraper.py:279-284):
+    rewrite the manifest keeping only convs still in scope."""
+    ckpt = read_checkpoint(spark, ckpt_dir)
+    if ckpt is None:
+        return
+    kept = ckpt.join(keep_conv_ids, "conv_id", "left_semi").collect()
+    if kept:
+        spark.createDataFrame(kept, ckpt.schema).write.mode("overwrite").parquet(
+            ckpt_dir
+        )

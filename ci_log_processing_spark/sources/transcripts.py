@@ -90,8 +90,8 @@ def _fmt(dialect: str, col: str, which: int) -> str:
         }[which]
 
 
-def transcripts_sql(dialect: str = "spark", events_rel: str = "events") -> str:
-    """SQL deriving the transcripts table, per dialect."""
+def text_sql(dialect: str) -> str:
+    """Just the text-payload CASE expression (over events columns)."""
     assert dialect in ("spark", "duckdb")
     eid = "event_id"
     sev = _case(eid, _SEVERITIES)
@@ -106,7 +106,7 @@ def transcripts_sql(dialect: str = "spark", events_rel: str = "events") -> str:
         "CAST(user_id AS STRING)" if dialect == "spark" else "CAST(user_id AS VARCHAR)"
     )
 
-    text = f"""CASE {eid} % 12
+    return f"""CASE {eid} % 12
       WHEN 0 THEN concat({f2}, ' | Job console starting for ', event_type, ' ', {cast_str})
       WHEN 1 THEN concat({_fmt(dialect, 'ts', 1)}, ' | Last metadata expiration check ', {cast_str})
       WHEN 2 THEN concat({_fmt(dialect, 'ts', 3)}, ' host-', {cast_uid}, ' kernel: event ', {cast_str})
@@ -120,6 +120,17 @@ def transcripts_sql(dialect: str = "spark", events_rel: str = "events") -> str:
       WHEN 10 THEN concat({f2}, ' | TOOL ', {tool}, ' invoke args=', event_type)
       ELSE concat({f2}, ' | ')
     END"""
+
+
+def transcripts_sql(dialect: str = "spark", events_rel: str = "events") -> str:
+    """SQL deriving the transcripts table, per dialect."""
+    assert dialect in ("spark", "duckdb")
+    eid = "event_id"
+    tool = _case(eid, _TOOLS)
+    cast_uid = (
+        "CAST(user_id AS STRING)" if dialect == "spark" else "CAST(user_id AS VARCHAR)"
+    )
+    text = text_sql(dialect)
 
     role = f"""CASE
       WHEN {eid} % 12 IN (0, 1, 6, 7, 9) THEN 'assistant'
