@@ -147,6 +147,91 @@ def q_ts_formats(spark, sf_dir):
     )
 
 
+# --- training-data pipeline queries (dedup / similarity / text) ---------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import exact_dup_groups
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return exact_dup_groups(load_corpus(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import ngram_jaccard_pairs
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return ngram_jaccard_pairs(load_corpus(spark, sf_dir), threshold=0.6)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import minhash_lsh_pairs
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return minhash_lsh_pairs(load_corpus(spark, sf_dir), spark, threshold=0.6)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import simhash_fingerprints
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return simhash_fingerprints(load_corpus(spark, sf_dir))
+
+
+def q_embed_near_dup(spark, sf_dir):
+    from ci_log_processing_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.30)
+
+
+def q_ann_brute_force(spark, sf_dir):
+    from ci_log_processing_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_bucketed(spark, sf_dir):
+    from ci_log_processing_spark.operators.similarity import bucketed_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_token_counts(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -171,6 +256,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
+    qs.update(
+        {
+            "dedup_exact": q_dedup_exact,
+            "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+            "dedup_minhash_lsh": q_dedup_minhash_lsh,
+            "dedup_simhash": q_dedup_simhash,
+            "dedup_embedding_cosine": q_embed_near_dup,
+            "sim_ann_brute_force": q_ann_brute_force,
+            "sim_ann_bucketed": q_ann_bucketed,
+            "text_token_counts": q_token_counts,
+            "text_quality": q_quality,
+            "text_lang_id": q_lang_id,
+            "text_fingerprint": q_fingerprint,
+        }
+    )
     return qs
 
 
@@ -190,4 +290,21 @@ def oracle_sql() -> dict[str, str]:
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
+    from ci_log_processing_spark import oracle_data as od
+
+    sqls.update(
+        {
+            "dedup_exact": od.q_dedup_exact(),
+            "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
+            "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
+            "dedup_simhash": od.q_dedup_simhash(),
+            "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
+            "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
+            "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
+            "text_token_counts": od.q_token_counts(),
+            "text_quality": od.q_quality(),
+            "text_lang_id": od.q_lang_id(),
+            "text_fingerprint": od.q_fingerprint(),
+        }
+    )
     return sqls

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  * brute-force cosine top-k — broadcast the (small) query set
+    against the full corpus; exact baseline;
+  * bucketed ANN — restrict comparisons to a coarse partition
+    (label = IVF-style coarse centroid id here; at scale: a learned
+    clustering or LSH hyperplane bucket). The plan shape is the one
+    that matters: per-bucket joins, never an all-pairs shuffle.
+
+Embedding cosine near-dup (dedup-by-embedding) reuses the bucketed
+pair join with a similarity threshold.
+
+Dot products run as Catalyst array expressions (zip_with +
+aggregate) — JVM-side, no Python. Elements are cast to double
+before arithmetic so Spark and the DuckDB oracle agree bit-for-bit
+after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column, decimals: int = 5) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is expected tiny -> broadcast; corpus is scanned once;
+    rank via window per query. Output: (query_id, neighbor_id,
+    cosine, rank).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_col(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucketed_ann_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, bucket_col: str = "label"
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's own coarse bucket.
+
+    At 100 TB the corpus is hash/range-partitioned by bucket id, so
+    each query touches one partition group instead of the full scan.
+    Recall < 1.0 by construction — compare against brute_force_topk
+    to measure it (see tests).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col(bucket_col).alias("q_bucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q), emb[bucket_col] == q["q_bucket"], "inner"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_col(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, bucket_col: str = "label"
+) -> DataFrame:
+    """Near-duplicate vector pairs within coarse buckets.
+
+    Self-join keyed on the bucket column — the all-pairs comparison
+    never leaves a bucket, which is what makes embedding dedup
+    feasible at corpus scale.
+    """
+    a = emb.select(
+        F.col(bucket_col).alias("bkt"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col(bucket_col).alias("bkt"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions (regexp_count / array ops) — the hot
+path stays in whole-stage codegen; nothing here needs Python.
+Formulas are deterministic and mirrored 1:1 in the DuckDB oracle
+(oracle_data.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker lists (n-gram heuristic tier;
+# a production lang-id swaps in fastText — same plan shape, the
+# scoring becomes a pandas UDF over the same column)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "es": ["el", "la", "los", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": ["de", "shi", "bu", "le", "wo", "ni"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens_ws"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RX)).alias("n_tokens_bpe"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.round(num / F.greatest(den.cast("double"), F.lit(1.0)), 6)
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword heuristics -> quality score.
+
+    score = 0.4*stopword_ratio_clipped + 0.3*len_score + 0.3*(1 -
+    punct_ratio), each term in [0,1]; deterministic, no model.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    # count stopword OCCURRENCES (array_intersect would dedup)
+    n_stop_occ = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = _ratio(n_stop_occ.cast("double"), n_tok)
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+    punct_ratio = _ratio(punct.cast("double"), F.length(F.col(text_col)))
+    len_score = F.round(
+        F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)), 6
+    )
+    quality = F.round(
+        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        len_score.alias("len_score"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-hit language guess; ties break by language code order
+    (argmax via array_sort of (−hits, lang) structs)."""
+    t = tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(
+            F.filter(t, lambda x: x.isin(*LANG_MARKERS[lang]))
+        )
+        scores.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang"), hits.alias("hits")))
+    best = F.array_sort(F.array(*scores))[0]
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("lang_guess"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """OpenRefine-style fingerprint: md5 over the sorted distinct
+    token set — canonicalizes word order + duplication."""
+    t = tokens(F.col(text_col))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(t)))
+    return docs.select(
+        "doc_id",
+        F.md5(canon.cast("binary")).alias("fingerprint"),
+    )

@@ -1,0 +1,263 @@
+"""DuckDB oracle SQL for the training-data operators (dedup,
+similarity, text analysis) — independent re-implementations checked
+against the Spark DataFrame operators by the driver.
+
+The dedup corpus plants duplicates deterministically (the raw
+synthetic documents contain none): every doc_id % 10 == 0 gets an
+exact copy, every doc_id % 7 == 0 a near-copy with a 3-token suffix.
+The Spark side derives the identical corpus (sources/corpus.py).
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import (
+    MERSENNE_P,
+    MINHASH_PARAMS,
+    N_BANDS,
+    ROWS_PER_BAND,
+)
+from .operators.textstats import BPE_RX, LANG_MARKERS, STOPWORDS
+
+# --- shared corpus -----------------------------------------------------
+
+CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         concat(text, ' near duplicate suffix') AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_TOKS = "string_split(lower(text), ' ')"
+
+# distinct 5-token shingles (k=5); empty when < 5 tokens
+_SHINGLES = (
+    "list_distinct(CASE WHEN len({t}) >= 5 THEN "
+    "list_transform(range(1, len({t}) - 3), i -> "
+    "array_to_string(list_slice({t}, i, i + 4), ' ')) "
+    "ELSE []::VARCHAR[] END)"
+).format(t=_TOKS)
+
+_H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def q_dedup_exact() -> str:
+    return f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT md5(text) AS h, count(*) AS copies, min(doc_id) AS keeper
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _shingle_ctes() -> str:
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+
+_JACCARD_TAIL = """
+SELECT i.doc_a, i.doc_b,
+       round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) >= {thr}
+"""
+
+
+def q_dedup_ngram_jaccard(threshold: float = 0.6) -> str:
+    return (
+        _shingle_ctes()
+        + """,
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+        + _JACCARD_TAIL.format(thr=threshold)
+    )
+
+
+def q_dedup_minhash_lsh(threshold: float = 0.6) -> str:
+    perm_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return (
+        _shingle_ctes()
+        + f""",
+perms AS (SELECT * FROM (VALUES {perm_rows}) p(j, a, b)),
+mins AS (
+  SELECT sh.doc_id, p.j,
+         min((p.a * {_H32.format(x='sh.s')} + p.b) % {MERSENNE_P}) AS mh
+  FROM sh, perms p GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY j) AS sig FROM mins GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(
+           list_slice(sig, b.band * {ROWS_PER_BAND} + 1,
+                      b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ',')) AS key
+  FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY 1, 2
+)
+"""
+        + _JACCARD_TAIL.format(thr=threshold)
+    )
+
+
+def q_dedup_simhash(bits: int = 32) -> str:
+    h = _H32.format(x="tok")
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM corpus
+),
+th AS (SELECT doc_id, {h} AS h FROM tok)
+SELECT doc_id, {bit_terms} AS simhash FROM th GROUP BY doc_id
+"""
+
+
+def q_embed_near_dup(threshold: float = 0.95) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) *
+              sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) *
+             sqrt(list_dot_product(b.emb, b.emb))), 5) >= {threshold}
+"""
+
+
+_TOPK_TAIL = """
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def q_ann_brute_force(k: int = 10, n_queries: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_emb, e.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(e.emb, e.emb))), 5) AS cosine
+  FROM e, q WHERE e.vec_id != q.query_id
+)
+""" + _TOPK_TAIL.format(k=k)
+
+
+def q_ann_bucketed(k: int = 10, n_queries: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS q_bucket, emb AS q_emb
+      FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_emb, e.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(e.emb, e.emb))), 5) AS cosine
+  FROM e JOIN q ON e.label = q.q_bucket
+  WHERE e.vec_id != q.query_id
+)
+""" + _TOPK_TAIL.format(k=k)
+
+
+# --- text analysis -----------------------------------------------------
+
+
+def q_token_counts() -> str:
+    rx = BPE_RX.replace("\\", "\\\\")
+    return f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{BPE_RX}')) AS n_tokens_bpe,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def _in_list(var: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"list_contains([{lst}], {var})"
+
+
+def q_quality() -> str:
+    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_tokens,
+    round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
+      AS stopword_ratio,
+    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+          greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+    round(least(len({_TOKS}) / 64.0, 1.0), 6) AS len_score
+  FROM documents
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, len_score,
+       round(0.4 * least(stopword_ratio * 4, 1.0)
+             + 0.3 * len_score
+             + 0.3 * (1.0 - punct_ratio), 6) AS quality
+FROM base
+"""
+
+
+def q_lang_id() -> str:
+    structs = ", ".join(
+        "{{'neg': -len(list_filter({t}, x -> {inlist})), "
+        "'lang': '{lang}', "
+        "'hits': len(list_filter({t}, x -> {inlist}))}}".format(
+            t=_TOKS, inlist=_in_list("x", LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, list_sort([{structs}]) AS s FROM documents
+)
+SELECT doc_id, s[1].lang AS lang_guess, s[1].hits AS marker_hits
+FROM scored
+"""
+
+
+def q_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+         AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,77 @@
+"""Dedup operator behavior on the planted-duplicate corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ci_log_processing_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from ci_log_processing_spark.sources.corpus import load_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_corpus(spark, SF).cache()
+
+
+def test_exact_finds_planted_copies(spark, corpus):
+    groups = exact_dup_groups(corpus).collect()
+    # every doc_id % 10 == 0 got one exact copy -> copies == 2
+    assert len(groups) > 0
+    assert all(g["copies"] == 2 for g in groups)
+    planted = corpus.filter(F.col("doc_id") >= 1000000).filter(
+        F.col("doc_id") < 2000000
+    ).count()
+    assert len(groups) == planted
+
+
+def test_jaccard_finds_near_dups(spark, corpus):
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    # each near-dup (base + 2000000) should pair with its base at
+    # high jaccard; exact copies pair at jaccard 1.0
+    exact_pairs = [p for p in pairs if p["jaccard"] == 1.0]
+    near_pairs = [
+        p for p in pairs if p["doc_b"] >= 2000000 and p["jaccard"] < 1.0
+    ]
+    assert exact_pairs and near_pairs
+    for p in near_pairs:
+        assert p["doc_b"] - 2000000 == p["doc_a"] or p["jaccard"] >= 0.6
+
+
+def test_lsh_is_subset_of_jaccard(spark, corpus):
+    jac = {
+        (p["doc_a"], p["doc_b"])
+        for p in ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    lsh = {
+        (p["doc_a"], p["doc_b"])
+        for p in minhash_lsh_pairs(corpus, spark, threshold=0.6).collect()
+    }
+    # LSH candidates are verified -> no false positives; banding can
+    # only lose pairs, never invent them
+    assert lsh <= jac
+    # and it should find the vast majority (16 hashes, 4x4 bands,
+    # pairs here have jaccard >= 0.6)
+    assert len(lsh) >= 0.8 * len(jac)
+
+
+def test_simhash_near_dup_hamming(spark, corpus):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(corpus).collect()}
+    # exact copies share the fingerprint
+    for doc_id, fp in fps.items():
+        if 1000000 <= doc_id < 2000000:
+            assert fps[doc_id - 1000000] == fp
+    # near-dups are within small hamming distance of their base
+    close = total = 0
+    for doc_id, fp in fps.items():
+        if doc_id >= 2000000:
+            base = fps[doc_id - 2000000]
+            total += 1
+            if bin(base ^ fp).count("1") <= 8:
+                close += 1
+    assert total > 0 and close / total >= 0.9
