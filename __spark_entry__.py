@@ -147,6 +147,52 @@ def q_ts_formats(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    t = parse_transcripts(load_transcripts(spark, sf_dir))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.withColumn("session_id", F.count("event_ts").over(w))
+    return s.groupBy("conv_id", "session_id").agg(
+        F.count(F.lit(1)).alias("lines"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+    )
+
+
+def _events_view(spark, sf_dir):
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).createOrReplaceTempView("events")
+
+
+def q_perf_flatten(spark, sf_dir):
+    from ci_log_processing_spark.functions.perf_json import flatten_perf_json
+    from ci_log_processing_spark.sources.derived import perf_reports_sql
+
+    _events_view(spark, sf_dir)
+    pr = spark.sql(perf_reports_sql("spark", "events"))
+    return flatten_perf_json(pr)
+
+
+def q_meta_normalize(spark, sf_dir):
+    from ci_log_processing_spark.operators.convmeta import normalize_meta
+    from ci_log_processing_spark.sources.derived import conv_meta_sql
+
+    _events_view(spark, sf_dir)
+    return normalize_meta(spark.sql(conv_meta_sql("spark", "events")))
+
+
+def q_subunit(spark, sf_dir):
+    from ci_log_processing_spark.operators.subunit import test_durations
+    from ci_log_processing_spark.sources.derived import subunit_results_sql
+
+    _events_view(spark, sf_dir)
+    return test_durations(spark.sql(subunit_results_sql("spark", "events")))
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ---------
 
 
@@ -232,6 +278,49 @@ def q_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_mm_image_features(spark, sf_dir):
+    from ci_log_processing_spark.operators.multimodal import (
+        attach_media,
+        decode_image_features,
+    )
+
+    return decode_image_features(attach_media(_docs(spark, sf_dir)))
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    from ci_log_processing_spark.operators.multimodal import (
+        attach_media,
+        frame_sample,
+    )
+
+    return frame_sample(attach_media(_docs(spark, sf_dir)))
+
+
+MM_IMAGE_ORACLE = """
+SELECT doc_id,
+       CAST(64 + length(text) % 577 AS INT) AS width,
+       CAST(64 + (length(text) * 31) % 353 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST((64 + length(text) % 577) AS BIGINT)
+         * (64 + (length(text) * 31) % 353) * 3 AS n_pixels,
+       CAST(length(text) AS BIGINT) AS payload_len,
+       md5(text) AS phash
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+MM_FRAME_ORACLE = """
+WITH v AS (SELECT doc_id, text, length(text) AS n,
+                  greatest(length(text) // 4, 1) AS step
+           FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT doc_id, text, n, step, unnest([0, 1, 2, 3]) AS frame_idx FROM v)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(frame_idx * step, greatest(n - 1, 0)) AS BIGINT) AS offset,
+       md5(substr(text, least(frame_idx * step, greatest(n - 1, 0)) + 1, 8))
+         AS frame_hash
+FROM f
+"""
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -253,6 +342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_checkpoint_antijoin": q_checkpoint_antijoin,
         "pipe_dedup_messages": q_dedup_messages,
         "pipe_ts_formats": q_ts_formats,
+        "pipe_sessionize": q_sessionize,
+        "pipe_perf_flatten": q_perf_flatten,
+        "pipe_meta_normalize": q_meta_normalize,
+        "pipe_subunit_durations": q_subunit,
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
@@ -269,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_quality": q_quality,
             "text_lang_id": q_lang_id,
             "text_fingerprint": q_fingerprint,
+            "mm_image_features": q_mm_image_features,
+            "mm_frame_sample": q_mm_frame_sample,
         }
     )
     return qs
@@ -287,6 +382,10 @@ def oracle_sql() -> dict[str, str]:
         "pipe_checkpoint_antijoin": oracle.q_checkpoint_antijoin(),
         "pipe_dedup_messages": oracle.q_dedup_messages(),
         "pipe_ts_formats": oracle.q_ts_formats(),
+        "pipe_sessionize": oracle.q_sessionize(),
+        "pipe_perf_flatten": oracle.q_perf_flatten(),
+        "pipe_meta_normalize": oracle.q_meta_normalize(),
+        "pipe_subunit_durations": oracle.q_subunit(),
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
@@ -305,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
             "text_quality": od.q_quality(),
             "text_lang_id": od.q_lang_id(),
             "text_fingerprint": od.q_fingerprint(),
+            "mm_image_features": MM_IMAGE_ORACLE,
+            "mm_frame_sample": MM_FRAME_ORACLE,
         }
     )
     return sqls

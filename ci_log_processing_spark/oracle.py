@@ -192,6 +192,113 @@ def q_dedup_messages() -> str:
     )
 
 
+def q_sessionize() -> str:
+    """Multiline-traceback sessionization: continuation lines (no
+    parseable ts) attach to the previous timestamped event — the
+    legacy Logstash multiline filter semantics
+    (openstack-filters.conf:25-43)."""
+    return pipeline_cte() + (
+        "SELECT conv_id, session_id, count(*) AS lines, "
+        "min(turn_idx) AS first_turn, max(turn_idx) AS last_turn FROM ("
+        "  SELECT conv_id, turn_idx, "
+        "    count(event_ts) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+        "  FROM filled) GROUP BY 1, 2"
+    )
+
+
+def q_perf_flatten() -> str:
+    from .sources.derived import perf_reports_sql
+
+    svc = (
+        "SELECT conv_id, hostname, "
+        "concat('service_', json_extract_string(j, '$.services[{i}].service'), "
+        "'_memorycurrent') AS key, "
+        "coalesce(try_cast(json_extract_string(j, '$.services[{i}].MemoryCurrent') "
+        "AS BIGINT), 0) AS value FROM base"
+    )
+    return f"""
+WITH pr AS ({perf_reports_sql('duckdb', 'events')}),
+base AS (
+  SELECT conv_id, perf_json AS j,
+         json_extract_string(perf_json, '$.report.hostname') AS hostname
+  FROM pr
+)
+{svc.format(i=0)}
+UNION ALL
+{svc.format(i=1)}
+UNION ALL
+SELECT conv_id, hostname,
+       concat('db_', json_extract_string(j, '$.db[0].db'), '_',
+              lower(json_extract_string(j, '$.db[0].op'))) AS key,
+       try_cast(json_extract_string(j, '$.db[0].count') AS BIGINT) AS value
+FROM base
+WHERE try_cast(json_extract_string(j, '$.db[0].count') AS BIGINT) IS NOT NULL
+UNION ALL
+SELECT conv_id, hostname,
+       concat('api_', json_extract_string(j, '$.api[0].service'), '_get') AS key,
+       try_cast(json_extract_string(j, '$.api[0].GET') AS BIGINT) AS value
+FROM base
+WHERE try_cast(json_extract_string(j, '$.api[0].GET') AS BIGINT) IS NOT NULL
+UNION ALL
+SELECT conv_id, hostname,
+       concat('api_', json_extract_string(j, '$.api[0].service'), '_post') AS key,
+       try_cast(json_extract_string(j, '$.api[0].POST') AS BIGINT) AS value
+FROM base
+WHERE try_cast(json_extract_string(j, '$.api[0].POST') AS BIGINT) IS NOT NULL
+"""
+
+
+def q_meta_normalize() -> str:
+    from .sources.derived import conv_meta_sql
+
+    new_or = (
+        lambda new_path, old_path: (
+            f"coalesce(json_extract_string(j, '{new_path}'), "
+            f"json_extract_string(j, '{old_path}'))"
+        )
+    )
+    change = new_or("$.ref.change", "$.change")
+    return f"""
+WITH cm AS ({conv_meta_sql('duckdb', 'events')}),
+base AS (SELECT conv_id, meta_json AS j FROM cm)
+SELECT conv_id,
+  'zuul-executor' AS build_node,
+  CASE WHEN json_type(j, '$.project') = 'OBJECT'
+       THEN json_extract_string(j, '$.project.name')
+       ELSE json_extract_string(j, '$.project') END AS project,
+  CASE WHEN json_extract_string(j, '$.voting') = 'true' THEN 1 ELSE 0 END AS voting,
+  coalesce(CASE WHEN json_type(j, '$.buildset') = 'OBJECT'
+       THEN json_extract_string(j, '$.buildset.uuid')
+       ELSE json_extract_string(j, '$.buildset') END, 'NONE') AS build_set,
+  coalesce(json_extract_string(j, '$.pipeline'), 'NONE') AS build_queue,
+  {new_or("$.ref.branch", "$.branch")} AS build_branch,
+  coalesce(CAST(try_cast({change} AS BIGINT) AS VARCHAR), '') AS build_change,
+  {new_or("$.ref.patchset", "$.patchset")} AS build_patchset,
+  'local' AS node_provider,
+  coalesce(json_extract_string(j, '$.change_url'),
+           json_extract_string(j, '$.ref_url')) AS change_url
+FROM base
+"""
+
+
+def q_subunit() -> str:
+    from .sources.derived import subunit_results_sql
+
+    return f"""
+WITH su AS ({subunit_results_sql('duckdb', 'events')}),
+d AS (
+  SELECT *, date_diff('microsecond', start_ts, end_ts) AS us FROM su
+)
+SELECT conv_id, test_name,
+       CAST(concat(CAST(us // 1000000 AS VARCHAR), '.',
+                   CAST(us % 1000000 AS VARCHAR)) AS DOUBLE) AS test_duration,
+       test_status,
+       strftime(start_ts, '%Y-%m-%dT%H:%M:%SZ') AS timestamp_str
+FROM d
+"""
+
+
 def q_ts_formats() -> str:
     """Per line-class parse coverage (the timestamp-format table test
     as a query). Standalone CTE chain keeping event_id so the class
