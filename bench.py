@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+
+Each query is forced with a checksum aggregate over every computed
+column (a bare count() would let Catalyst prune the parse work away
+and flatter us).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ci_log_processing_spark.session import get_spark  # noqa: E402
+
+
+def checksum(df, cols):
+    return df.select(
+        F.sum(F.xxhash64(*[F.col(c) for c in cols])).alias("chk")
+    ).collect()[0]["chk"]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    from ci_log_processing_spark.plans.pipeline import full_pipeline
+    from ci_log_processing_spark.operators.aggregate import hourly_agg
+    from ci_log_processing_spark.operators.dedup import minhash_lsh_pairs
+    from ci_log_processing_spark.operators.similarity import brute_force_topk
+    from ci_log_processing_spark.operators.textstats import quality_scores
+    from ci_log_processing_spark.sources.corpus import load_corpus
+    from ci_log_processing_spark.sources.transcripts import load_transcripts
+
+    transcripts = load_transcripts(spark, sf_dir)
+    n_turns = transcripts.count()  # warms the events scan
+    corpus = load_corpus(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    routed_cols = ["conv_id", "turn_idx", "sink", "message", "filled_ts"]
+
+    bench(
+        "pipeline_native",
+        lambda: checksum(full_pipeline(transcripts, spark), routed_cols),
+    )
+    extras["pipeline_native_turns_per_sec"] = round(
+        n_turns / timings["pipeline_native"], 1
+    )
+    bench(
+        "pipeline_pandas_udf",
+        lambda: checksum(
+            full_pipeline(transcripts, spark, impl="pandas"), routed_cols
+        ),
+    )
+    extras["pipeline_pandas_turns_per_sec"] = round(
+        n_turns / timings["pipeline_pandas_udf"], 1
+    )
+    bench(
+        "agg_hourly",
+        lambda: checksum(
+            hourly_agg(full_pipeline(transcripts, spark)),
+            ["sink", "severity", "window_start", "cnt"],
+        ),
+    )
+    bench(
+        "dedup_minhash_lsh",
+        lambda: minhash_lsh_pairs(corpus, spark, threshold=0.6).count(),
+    )
+    bench(
+        "ann_brute_force_topk",
+        lambda: brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 16), k=10
+        ).count(),
+    )
+    bench(
+        "text_quality",
+        lambda: checksum(
+            quality_scores(spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))),
+            ["doc_id", "quality"],
+        ),
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (parse+route pipeline, aggs, dedup, ANN, text)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "n_turns": n_turns,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

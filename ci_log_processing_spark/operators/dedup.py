@@ -136,6 +136,26 @@ def ngram_jaccard_pairs(
     return _with_jaccard(inter, sizes, threshold)
 
 
+def _signatures_from_shingles(sh: DataFrame, spark: SparkSession) -> DataFrame:
+    perms = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(MINHASH_PARAMS)],
+        "j int, a long, b long",
+    )
+    mins = (
+        sh.withColumn("h", h32(F.col("s")))
+        .join(F.broadcast(perms))
+        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P)
+        .groupBy("doc_id", "j")
+        .agg(F.min("ph").alias("mh"))
+    )
+    return mins.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "mh"))),
+            lambda s: s["mh"],
+        ).alias("sig")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, spark: SparkSession, k: int = 5
 ) -> DataFrame:
@@ -145,26 +165,7 @@ def minhash_signatures(
     dim -> per-(doc, perm) min -> collect ordered array. The only
     shuffle keys on doc_id.
     """
-    perms = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(MINHASH_PARAMS)],
-        "j int, a long, b long",
-    )
-    sh = doc_shingles(docs, k=k).withColumn("h", h32(F.col("s")))
-    mins = (
-        sh.join(F.broadcast(perms))
-        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P)
-        .groupBy("doc_id", "j")
-        .agg(F.min("ph").alias("mh"))
-    )
-    return (
-        mins.groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                lambda s: s["mh"],
-            ).alias("sig")
-        )
-    )
+    return _signatures_from_shingles(doc_shingles(docs, k=k), spark)
 
 
 def minhash_lsh_pairs(
@@ -180,7 +181,10 @@ def minhash_lsh_pairs(
     LSH-then-verify contract), so output == jaccard >= threshold
     among banded candidates.
     """
-    sigs = minhash_signatures(docs, spark, k=k)
+    # shingles feed three consumers (signatures, sizes, verify) —
+    # cache them once instead of re-scanning + re-exploding the corpus
+    sh_cached = doc_shingles(docs, k=k).persist()
+    sigs = _signatures_from_shingles(sh_cached, spark)
     bands = sigs.select(
         "doc_id",
         F.posexplode(

@@ -35,11 +35,18 @@ def main(argv=None):
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--batch-ts", default="2024-01-01 00:00:00")
     ap.add_argument("--ref-year", type=int, default=2024)
-    ap.add_argument("--impl", choices=["native", "pandas"], default="native")
+    # pandas is the default: the Arrow-vectorized grok UDF is both
+    # the north-star-mandated path AND the one that scales with
+    # cores (python workers are processes — no shared-heap
+    # contention; measured in BENCH.md)
+    ap.add_argument("--impl", choices=["native", "pandas"], default="pandas")
     ap.add_argument("--no-skip-debug", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--transcripts-parquet", default=None,
                     help="read a materialized transcripts table instead of deriving from events")
+    ap.add_argument("--summary-json", default=None,
+                    help="also write the run summary JSON to this file "
+                         "(stdout can interleave with JVM GC logs)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -61,6 +68,10 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoint")
     transcripts, already = filter_unprocessed(spark, transcripts, ckpt_dir)
+    # metadata-cheap count over the source (no parse): a fully
+    # checkpointed input must be a no-op — in particular it must NOT
+    # re-read this batch_id's previous rows and re-append aggregates
+    n_input = transcripts.count()
 
     routed = full_pipeline(
         transcripts,
@@ -71,48 +82,57 @@ def main(argv=None):
         impl=args.impl,
     ).withColumn("src_partition", F.spark_partition_id())
 
-    # one persisted parse, four filtered writes — the reference's
-    # per-file routing (logsender.py:474-489) as disjoint predicates.
-    # Writes are APPEND-mode batches tagged with batch_id: the
-    # checkpoint makes re-runs skip processed convs, so a completed
-    # batch is never rewritten (at-least-once like the reference's
-    # remove-dir-on-success, logsender.py:550-560; a real Iceberg
-    # sink upgrades this to exactly-once via snapshot commit).
+    # The reference routes per file into 3 indices inside one pass
+    # (send_to_es, logsender.py:474-489). Spark translation that
+    # survives scale: ONE write job with partitionBy(sink, event_date)
+    # — a single shuffle keyed on the table partition scheme, files
+    # track (sink x date) not tasks x dates, and no wide-row cache is
+    # ever built (persisting the parsed DF measured 2x the cost of
+    # writing it). Aggregates/metrics/checkpoint then run over the
+    # just-written columnar data with sink/date pruning for free.
+    # Writes are APPEND-mode batches tagged with batch_id; the conv
+    # checkpoint makes re-runs skip processed convs (at-least-once
+    # like the reference's remove-dir-on-success, logsender.py:550-560;
+    # a real Iceberg sink upgrades this to exactly-once snapshots).
     batch_id = args.batch_ts.replace(" ", "T").replace(":", "-")
-    routed = routed.withColumn("batch_id", F.lit(batch_id)).persist()
-    try:
-        n_rows = routed.count()
-        counts = {}
-        if n_rows > 0:
-            for sink in SINKS:
-                (
-                    routed.filter(F.col("sink") == sink)
-                    .withColumn("event_date", F.to_date("filled_ts"))
-                    .write.mode("append")
-                    .partitionBy("event_date")
-                    .parquet(os.path.join(args.output_dir, "sinks", sink))
-                )
-            hourly_agg(routed).withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(
-                os.path.join(args.output_dir, "agg_hourly")
-            )
-            # per-partition lineage/throughput metrics
-            # (reference analog: Prometheus per-job gauges,
-            # logscraper.py:295-304)
-            metrics = routed.groupBy("src_partition", "sink").agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.countDistinct("conv_id").alias("convs"),
-            )
-            metrics.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(os.path.join(args.output_dir, "metrics"))
-            write_checkpoint(routed, ckpt_dir)
-            counts = {
-                r["sink"]: r["cnt"] for r in sink_counts(routed).collect()
-            }
-    finally:
-        routed.unpersist()
+    sinks_dir = os.path.join(args.output_dir, "sinks")
+    routed = (
+        routed.withColumn("batch_id", F.lit(batch_id))
+        .withColumn("event_date", F.to_date("filled_ts"))
+    )
+    counts = {}
+    n_rows = 0
+    if n_input > 0:
+        (
+            routed.repartition(F.col("sink"), F.col("event_date"))
+            .write.mode("append")
+            .partitionBy("sink", "event_date")
+            .parquet(sinks_dir)
+        )
+        written = spark.read.parquet(sinks_dir).filter(
+            F.col("batch_id") == batch_id
+        )
+        n_rows = written.count()
+    if n_rows > 0:
+        hourly_agg(written).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(
+            os.path.join(args.output_dir, "agg_hourly")
+        )
+        # per-partition lineage/throughput metrics
+        # (reference analog: Prometheus per-job gauges,
+        # logscraper.py:295-304)
+        metrics = written.groupBy("src_partition", "sink").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("conv_id").alias("convs"),
+        )
+        metrics.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(args.output_dir, "metrics"))
+        write_checkpoint(written, ckpt_dir)
+        counts = {
+            r["sink"]: r["cnt"] for r in sink_counts(written).collect()
+        }
 
     wall = time.time() - t0
     summary = {
@@ -124,6 +144,9 @@ def main(argv=None):
         "impl": args.impl,
     }
     print(json.dumps(summary))
+    if args.summary_json:
+        with open(args.summary_json, "w") as f:
+            json.dump(summary, f)
     spark.stop()
     return 0
 

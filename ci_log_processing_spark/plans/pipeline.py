@@ -55,8 +55,17 @@ def full_pipeline(
     ref_year: int = DEFAULT_REF_YEAR,
     skip_debug: bool = True,
     impl: str = "native",
+    repartition: bool = True,
 ) -> DataFrame:
     """transcripts -> parsed/enriched/routed rows (pre-fan-out)."""
+    if repartition:
+        # parse must run BEHIND an exchange, not pipelined into the
+        # file scan (file-split packing caps scan parallelism); the
+        # ffill window reuses this exact hash(conv_id) distribution
+        # so no second shuffle appears (operators/skew.py)
+        from ..operators.skew import repartition_by_conv
+
+        df = repartition_by_conv(df, spark)
     out = parse_transcripts(df, ref_year=ref_year, impl=impl)
     out = with_filled_ts(out, batch_ts)
     out = with_prior_ts_count(out)

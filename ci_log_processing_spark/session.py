@@ -52,6 +52,20 @@ def get_spark(
         # (try/except per line); ANSI mode would instead fail the job
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # snappy's JNI critical sections stall G1's GCLocker under
+        # many threads (measured 1.8x job slowdown at local[32]);
+        # zstd avoids it and compresses better. Cache compression is
+        # likewise off — columnar cache build was dominated by it.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # v2 commit: per-task parallel rename instead of a serial
+        # job-commit pass over every output file (matters once the
+        # sink fan-out writes date-partitioned files at high task
+        # counts; Iceberg's snapshot commit replaces this entirely)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
