@@ -136,36 +136,36 @@ def ngram_jaccard_pairs(
     return _with_jaccard(inter, sizes, threshold)
 
 
-def _signatures_from_shingles(sh: DataFrame, spark: SparkSession) -> DataFrame:
-    perms = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(MINHASH_PARAMS)],
-        "j int, a long, b long",
-    )
-    mins = (
-        sh.withColumn("h", h32(F.col("s")))
-        .join(F.broadcast(perms))
-        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P)
-        .groupBy("doc_id", "j")
-        .agg(F.min("ph").alias("mh"))
-    )
-    return mins.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "mh"))),
-            lambda s: s["mh"],
-        ).alias("sig")
-    )
-
-
 def minhash_signatures(
-    docs: DataFrame, spark: SparkSession, k: int = 5
+    docs: DataFrame, spark: SparkSession | None = None, k: int = 5
 ) -> DataFrame:
     """doc_id -> minhash signature array (ordered by permutation id).
 
-    Plan: explode shingles -> broadcast-join the 16-row permutation
-    dim -> per-(doc, perm) min -> collect ordered array. The only
-    shuffle keys on doc_id.
+    Fully map-side: shingle-hash the doc's shingle array once, then
+    each permutation is an `array_min(transform(...))` over that
+    array — 16 codegen'd expressions per row, ZERO shuffles and no
+    16x row blowup (the previous explode+groupBy shape shuffled
+    |shingles| x 16 rows twice; at 100 TB that shuffle dominates the
+    whole job). Docs with no shingles (< k tokens) are excluded,
+    matching the oracle's semantics where they never appear in `sh`.
     """
-    return _signatures_from_shingles(doc_shingles(docs, k=k), spark)
+    toks = tokens_col(F.col("text"))
+    hashed = (
+        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.transform("shingles", h32).alias("hs"))
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
+            )
+            for a, b in MINHASH_PARAMS
+        ]
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -181,10 +181,29 @@ def minhash_lsh_pairs(
     LSH-then-verify contract), so output == jaccard >= threshold
     among banded candidates.
     """
-    # shingles feed three consumers (signatures, sizes, verify) —
-    # cache them once instead of re-scanning + re-exploding the corpus
-    sh_cached = doc_shingles(docs, k=k).persist()
-    sigs = _signatures_from_shingles(sh_cached, spark)
+    # One corpus scan: shingle arrays persist and feed BOTH the
+    # signature/band path and the verify path (the naive self-join
+    # shape recomputes the shingling lineage 4x — that recompute, not
+    # any shuffle, dominated profiling at sf0.1 and would repeat the
+    # full 100 TB scan four times at scale).
+    toks = tokens_col(F.col("text"))
+    arr = (
+        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    hashed = arr.select("doc_id", F.transform("shingles", h32).alias("hs"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
+            )
+            for a, b in MINHASH_PARAMS
+        ]
+    )
+    sigs = hashed.select("doc_id", sig.alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -201,31 +220,62 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "key"),
     )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+    # Candidate generation WITHOUT a self-join: group docs per
+    # (band, key) bucket and emit intra-bucket pairs from the sorted
+    # doc list — one shuffle on the band key, signature lineage
+    # evaluated exactly once (a self-join would evaluate it twice).
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ds") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ds"), i + 1, F.size("ds") - i),
+                lambda d: F.struct(
+                    F.element_at(F.col("ds"), i).alias("doc_a"),
+                    d.alias("doc_b"),
+                ),
+            ),
         )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact-verify ONLY the banded candidates — jaccard cost is
-    # O(|candidates|), not O(|pairs sharing a shingle|)
-    sh = doc_shingles(docs, k=k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.alias("a"), cand["doc_a"] == F.col("a.doc_id"))
-        .join(
-            sh.alias("b"),
-            (cand["doc_b"] == F.col("b.doc_id"))
-            & (F.col("a.s") == F.col("b.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact-verify ONLY the banded candidates — join each side's
+    # distinct-shingle ARRAY onto the pair and take array_intersect;
+    # cost is O(|candidates|) with no shingle-level shuffle at all
+    # (the oracle's count(*) over matched distinct shingles is the
+    # same number as |array_intersect| because shingles are distinct)
+    a = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
     )
-    return _with_jaccard(inter, sizes, threshold)
+    b = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("nb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_col(toks: Column, bits: int = 32) -> Column:

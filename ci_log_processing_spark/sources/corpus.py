@@ -28,4 +28,14 @@ def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return base.unionAll(exact).unionAll(near)
+    # The local test parquet is a single row group, so the scan
+    # yields ~3 partitions (one per union branch) and downstream
+    # shingling would use 3 of 32 cores. A production Iceberg scan
+    # has thousands of splits; emulate that here so local benches
+    # exercise the operators at full parallelism. Tiny data — the
+    # shuffle is negligible and does not exist at scale.
+    return (
+        base.unionAll(exact)
+        .unionAll(near)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
