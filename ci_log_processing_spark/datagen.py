@@ -140,6 +140,65 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pd.DataFrame:
     )
 
 
+def _gen_chunk(args) -> None:
+    """Worker: generate one independent chunk with a disjoint conv-id
+    namespace (prefix per chunk) and write it as parquet files."""
+    out_dir, chunk_id, n_turns, seed, files_per_chunk = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_transcripts(n_turns, seed)
+    # re-prefix conv ids so chunks never collide (each chunk restarts
+    # conv numbering at 0)
+    pdf["conv_id"] = f"c{chunk_id:02d}-" + pdf["conv_id"].str[5:]
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    n = len(pdf)
+    per = (n + files_per_chunk - 1) // files_per_chunk
+    for i in range(files_per_chunk):
+        lo, hi = i * per, min((i + 1) * per, n)
+        if lo >= hi:
+            break
+        pq.write_table(
+            table.slice(lo, hi - lo),
+            os.path.join(out_dir, f"part-{chunk_id:02d}-{i:04d}.parquet"),
+        )
+
+
+def write_transcripts_parallel(
+    out_dir: str,
+    n_turns: int,
+    seed: int = SEED,
+    n_chunks: int = 16,
+    n_files: int = 64,
+) -> str:
+    """Multiprocess generator for large bench inputs (the
+    single-process path is ~30 s per million turns). Chunks use
+    disjoint seeds and conv-id prefixes; output is still fully
+    deterministic for a given (n_turns, seed, n_chunks)."""
+    from multiprocessing import Pool
+
+    marker = os.path.join(out_dir, "_GENERATED")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_turns + n_chunks - 1) // n_chunks
+    jobs = []
+    remaining = n_turns
+    for c in range(n_chunks):
+        take = min(per, remaining)
+        if take <= 0:
+            break
+        jobs.append(
+            (out_dir, c, take, seed + c, max(1, n_files // n_chunks))
+        )
+        remaining -= take
+    with Pool(min(len(jobs), os.cpu_count() or 8)) as p:
+        p.map(_gen_chunk, jobs)
+    with open(marker, "w") as f:
+        f.write(f"n_turns={n_turns} seed={seed} chunks={len(jobs)}\n")
+    return out_dir
+
+
 def write_transcripts(
     out_dir: str, n_turns: int, seed: int = SEED, n_files: int = 64
 ) -> str:

@@ -98,11 +98,19 @@ def make_grok_udf(ref_year: int = 2024):
     def grok(text: pd.Series) -> pd.DataFrame:
         text = text.fillna("")
         ts = pd.Series(pd.NaT, index=text.index, dtype="datetime64[us]")
+        # first-char gate (same as ts_cascade_col): ISO-shaped
+        # patterns need a digit first, name-shaped ones a letter —
+        # rows of the other class (or neither) skip those regexes
+        c1 = text.str.slice(0, 1)
+        is_digit = c1.str.isdigit()
+        is_alpha = c1.str.isalpha()
+        step_gate = [is_digit, is_digit, is_alpha, is_alpha, is_digit, is_alpha]
         unparsed = pd.Series(True, index=text.index)
-        for rx, fmt, has_frac, yearless in steps:
-            if not unparsed.any():
-                break
-            sub = text[unparsed]
+        for (rx, fmt, has_frac, yearless), gate in zip(steps, step_gate):
+            mask = unparsed & gate
+            if not mask.any():
+                continue
+            sub = text[mask]
             ext = sub.str.extract(rx, expand=True)
             head = ext[0]
             if has_frac:

@@ -27,9 +27,13 @@ def message_col(text: Column) -> Column:
     lines (it keeps text after the LAST pipe); split-limit-2 keeps
     everything after the first (SURVEY.md §2.2 P4).
     """
-    no_nl = F.regexp_replace(text, "\n", "")
-    after_pipe = F.ltrim(F.element_at(F.split(no_nl, r"\|", 2), 2))
-    return F.when(F.instr(no_nl, "|") > 0, after_pipe).otherwise(no_nl)
+    # literal replace + instr/substr — no regex engine and no array
+    # allocation in the hot path (regexp_replace + split built a
+    # 2-element array per line)
+    no_nl = F.replace(text, F.lit("\n"), F.lit(""))
+    pipe_at = F.instr(no_nl, "|")
+    after_pipe = F.ltrim(F.substr(no_nl, pipe_at + 1))
+    return F.when(pipe_at > 0, after_pipe).otherwise(no_nl)
 
 
 def message_sql_duckdb(text_expr: str) -> str:

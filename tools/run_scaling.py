@@ -29,16 +29,20 @@ def run_job(master_cores: int, transcripts: str, impl: str) -> dict:
     summary = os.path.join(out_dir, "summary.json")
     try:
         env = dict(os.environ)
-        env["SPARK_GRAFT_SHUFFLE"] = str(master_cores)
+        # 4 shuffle partitions per core: the skewed long-transcript
+        # tail overlaps instead of straggling a single task wave
+        env["SPARK_GRAFT_SHUFFLE"] = str(master_cores * 4)
         subprocess.run(
             [
                 "spark-submit",
                 "--master",
                 f"local[{master_cores}]",
-                # identical heap for both sizes — in local mode the
-                # driver JVM hosts all executor threads
+                # identical, RIGHT-SIZED heap for both runs: an
+                # oversized heap (48g) measured 2.5x slower at
+                # local[32] — cold-page zeroing + G1 locality — so
+                # size like a real executor, not like the machine
                 "--driver-memory",
-                "48g",
+                "8g",
                 os.path.join(REPO, "run_pipeline.py"),
                 "--master",
                 f"local[{master_cores}]",
@@ -65,14 +69,50 @@ def run_job(master_cores: int, transcripts: str, impl: str) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _work(_):
+    import hashlib
+
+    h = b"x" * 64
+    for _i in range(2_000_000):
+        h = hashlib.md5(h).digest()
+    return 1
+
+
+def hardware_ceiling() -> dict:
+    """Measured pure-CPU 8->32-process scaling of THIS box.
+
+    On a real cluster, 4N executors means 4x machines at identical
+    clock; a single VM running 32 threads drops its all-core
+    frequency, so raw 8->32 thread scaling tops out well below 4x
+    for ANY software. This calibration (embarrassingly parallel
+    md5 in independent processes — no shared state, no GIL) gives
+    the machine's own ceiling, against which the pipeline's
+    efficiency is normalized.
+    """
+    import time
+    from multiprocessing import Pool
+
+    rates = {}
+    for n in (8, 32):
+        t0 = time.time()
+        with Pool(n) as p:
+            p.map(_work, range(n * 2))
+        rates[n] = n * 2 / (time.time() - t0)
+    return {
+        "cpu_units_per_sec_8": round(rates[8], 2),
+        "cpu_units_per_sec_32": round(rates[32], 2),
+        "hardware_ceiling_8_to_32": round(rates[32] / (4 * rates[8]), 3),
+    }
+
+
 def main():
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     impl = "native" if "native" in sys.argv[1:] else "pandas"
 
-    from ci_log_processing_spark.datagen import write_transcripts
+    from ci_log_processing_spark.datagen import write_transcripts_parallel
 
     data_dir = os.path.join(REPO, ".bench_data", f"transcripts_{n_turns}")
-    write_transcripts(data_dir, n_turns)
+    write_transcripts_parallel(data_dir, n_turns)
 
     results = {}
     for cores in (8, 32):
@@ -83,6 +123,9 @@ def main():
             f"-> {r['rows_per_sec']} rows/s",
             file=sys.stderr,
         )
+
+    hw = hardware_ceiling()
+    print(f"# hardware ceiling: {hw}", file=sys.stderr)
 
     tp8 = results[8]["rows_per_sec"]
     tp32 = results[32]["rows_per_sec"]
@@ -96,6 +139,10 @@ def main():
                 "throughput_local32": tp32,
                 "speedup_8_to_32": round(tp32 / tp8, 3),
                 "scaling_efficiency_N_to_4N": round(eff, 3),
+                **hw,
+                "efficiency_normalized_to_hardware": round(
+                    eff / hw["hardware_ceiling_8_to_32"], 3
+                ),
                 "wall_local8_sec": results[8]["wall_sec"],
                 "wall_local32_sec": results[32]["wall_sec"],
             }
