@@ -321,6 +321,18 @@ FROM f
 """
 
 
+def q_file_tags(spark, sf_dir):
+    from ci_log_processing_spark.operators.enrich import with_file_tags
+
+    t = parse_transcripts(load_transcripts(spark, sf_dir))
+    return with_file_tags(t).select(
+        "conv_id",
+        "turn_idx",
+        "file_name",
+        F.concat_ws(",", F.col("file_tags")).alias("tags_str"),
+    )
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -346,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_perf_flatten": q_perf_flatten,
         "pipe_meta_normalize": q_meta_normalize,
         "pipe_subunit_durations": q_subunit,
+        "pipe_file_tags": q_file_tags,
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
@@ -386,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_perf_flatten": oracle.q_perf_flatten(),
         "pipe_meta_normalize": oracle.q_meta_normalize(),
         "pipe_subunit_durations": oracle.q_subunit(),
+        "pipe_file_tags": oracle.q_file_tags(),
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
@@ -409,3 +423,4 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     return sqls
+

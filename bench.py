@@ -122,6 +122,14 @@ def main():
         "cold_total_sec": round(sum(cold.values()), 3),
         **extras,
     }
+    # two-cluster-size scaling evidence (tools/run_scaling.py), if a
+    # run has been recorded — the north rule's N -> 4N criterion
+    scaling_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+    )
+    if os.path.exists(scaling_cache):
+        with open(scaling_cache) as f:
+            out["scaling"] = json.load(f)
     print(json.dumps(out))
     spark.stop()
 

@@ -88,3 +88,62 @@ def with_enrichment(df: DataFrame, spark: SparkSession) -> DataFrame:
         .drop("cat_tags")
     )
     return out
+
+
+# ---- J1: ordered suffix-match lookup (get_file_info parity) ----------
+
+# (suffix, tags) entries in priority order — the reference scans its
+# download-list config linearly and the FIRST entry whose name is a
+# suffix of the file path wins (`get_file_info`, logsender.py:375-381;
+# golden tests/test_logsender.py:1199-1217). Our domain analog keys on
+# the dotted subsystem module path instead of a file path.
+SUBSYSTEM_TAG_CONFIG: list[tuple[str, list[str]]] = [
+    ("agent.l3", ["network", "routing"]),
+    ("compute.manager", ["compute"]),
+    ("keystone.auth", ["identity"]),
+    ("volume.driver", ["storage"]),
+    ("l3", ["network"]),  # shadowed by agent.l3 for agent modules
+]
+
+
+def suffix_tag_cols(
+    subsystem: F.Column, config: list[tuple[str, list[str]]] | None = None
+) -> tuple[F.Column, F.Column]:
+    """(file_name, file_tags) columns with the reference's exact
+    lookup semantics, first-match-wins over the config order.
+
+    A tiny ordered config is a linear scan in the reference; the
+    Spark-first translation is a single CASE expression — pure
+    codegen, zero shuffle, zero join. (A large config would instead
+    explode dot-suffix candidates and broadcast-join them with a
+    min-by(config order) reduction; the CASE is strictly better at
+    dimension sizes like this, exactly as a broadcast join beats a
+    shuffle join for small dims.)
+
+    Semantics per reference:
+      * name  = last dot segment of the subsystem (basename analog);
+      * match = first config entry whose key is a dot-aligned suffix;
+      * tags  = config tags + [name] on match, [name] on miss;
+      * null subsystem -> (NULL, []).
+    """
+    if config is None:
+        config = SUBSYSTEM_TAG_CONFIG
+    name = F.element_at(F.split(subsystem, r"\."), -1)
+    chain = None
+    for key, ktags in config:  # WHEN order == config priority order
+        hit = (subsystem == key) | subsystem.endswith("." + key)
+        matched = F.concat(
+            F.array(*[F.lit(x) for x in ktags]), F.array(name)
+        )
+        chain = (
+            F.when(hit, matched) if chain is None else chain.when(hit, matched)
+        )
+    file_tags = F.when(
+        subsystem.isNull(), F.array().cast("array<string>")
+    ).otherwise(chain.otherwise(F.array(name)))
+    return name, file_tags
+
+
+def with_file_tags(df: DataFrame) -> DataFrame:
+    name, tags = suffix_tag_cols(F.col("subsystem"))
+    return df.withColumn("file_name", name).withColumn("file_tags", tags)

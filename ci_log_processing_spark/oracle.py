@@ -315,3 +315,36 @@ SELECT line_class, count(event_ts) AS parsed_cnt, count(*) AS total_cnt,
        min(event_ts) AS min_ts, max(event_ts) AS max_ts
 FROM p GROUP BY 1
 """
+
+
+def q_file_tags() -> str:
+    """J1 ordered suffix-match lookup oracle (get_file_info parity,
+    logsender.py:375-381) — same CASE chain, DuckDB dialect."""
+    from .operators.enrich import SUBSYSTEM_TAG_CONFIG
+
+    arms = []
+    for key, ktags in SUBSYSTEM_TAG_CONFIG:
+        taglist = ", ".join(f"'{t}'" for t in ktags)
+        arms.append(
+            f"WHEN subsystem = '{key}' OR subsystem LIKE '%.{key}' "
+            f"THEN [{taglist}] || [fname]"
+        )
+    case = "\n      ".join(arms)
+    return (
+        pipeline_cte()
+        + f""",
+named AS (
+  SELECT conv_id, turn_idx, subsystem,
+         list_extract(string_split(subsystem, '.'), -1) AS fname
+  FROM parsed2
+)
+SELECT conv_id, turn_idx, fname AS file_name,
+  CASE WHEN subsystem IS NULL THEN ''
+  ELSE array_to_string(
+    CASE
+      {case}
+      ELSE [fname]
+    END, ',') END AS tags_str
+FROM named
+"""
+    )

@@ -41,6 +41,11 @@ def main(argv=None):
     # contention; measured in BENCH.md)
     ap.add_argument("--impl", choices=["native", "pandas"], default="pandas")
     ap.add_argument("--no-skip-debug", action="store_true")
+    ap.add_argument("--no-write", action="store_true",
+                    help="run parse->enrich->route and count per-sink "
+                         "rows without writing sinks (isolates engine "
+                         "throughput from single-disk sink bandwidth "
+                         "in scaling measurements)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--transcripts-parquet", default=None,
                     help="read a materialized transcripts table instead of deriving from events")
@@ -112,6 +117,32 @@ def main(argv=None):
     obs = Observation("routed_rows")
     phases = {}
     t_w = time.time()
+    if args.no_write:
+        counts = {
+            r["sink"]: r["cnt"]
+            for r in routed.groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        n_rows = sum(counts.values())
+        phases["fanout_write_sec"] = round(time.time() - t_w, 2)
+        wall = time.time() - t0
+        summary = {
+            "rows": n_rows,
+            "skipped_already_processed": already,
+            "sinks": counts,
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+            "impl": args.impl,
+            "no_write": True,
+            **phases,
+        }
+        print(json.dumps(summary))
+        if args.summary_json:
+            with open(args.summary_json, "w") as f:
+                json.dump(summary, f)
+        spark.stop()
+        return 0
     (
         routed.observe(obs, F.count(F.lit(1)).alias("n"))
         .repartition(F.col("sink"), F.col("event_date"))

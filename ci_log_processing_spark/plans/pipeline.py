@@ -62,7 +62,16 @@ def full_pipeline(
         # parse must run BEHIND an exchange, not pipelined into the
         # file scan (file-split packing caps scan parallelism); the
         # ffill window reuses this exact hash(conv_id) distribution
-        # so no second shuffle appears (operators/skew.py)
+        # so no second shuffle appears (operators/skew.py).
+        #
+        # pandas caveat, measured and accepted: ArrowEvalPython does
+        # not propagate its child's output partitioning, so on the
+        # pandas path the window re-shuffles (3 exchanges total vs
+        # native's 2). The alternative — parse before the exchange —
+        # pins the Python workers to SCAN parallelism, which
+        # file-split packing collapses (measured 94 s vs 54 s at
+        # local[32] on 20M rows); the extra exchange of narrow raw
+        # rows is the cheaper evil.
         from ..operators.skew import repartition_by_conv
 
         df = repartition_by_conv(df, spark)

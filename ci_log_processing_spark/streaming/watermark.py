@@ -1,0 +1,83 @@
+"""Watermarked streaming aggregates — the reference's late/
+incomplete-data policy (build dirs wait for sentinel files, evicted
+after 12 h idle: logsender.py:152-160, 193-196) expressed as
+Structured Streaming event-time semantics.
+
+Where `follow.run_follow` replays the whole batch pipeline per
+micro-batch (foreachBatch, because the ffill window needs
+conversation order), this module is the PURE streaming DAG for the
+aggregate tier: parse (stateless, no ffill) -> watermark on event
+time -> windowed count -> append-mode sink. A window is emitted
+exactly once, when the watermark (max event time seen minus the
+allowed lateness) passes its end — the streaming analog of "this
+build dir is ready / too old" — and later-than-watermark turns are
+dropped from the aggregate, the analog of the reference's stale-dir
+eviction.
+
+No shuffle beyond the single groupBy(window, severity); state store
+size is bounded by (windows in flight x severities), independent of
+input volume — this is what makes it viable at 10^12 turns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import parse_transcripts
+from .follow import TRANSCRIPT_SCHEMA
+
+
+def streaming_severity_window_counts(
+    spark: SparkSession,
+    transcripts_dir: str,
+    output_dir: str,
+    delay: str = "2 hours",
+    window: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Run the watermarked windowed count over a transcript directory
+    (availableNow trigger: drain existing files, then stop) and
+    return the emitted result read back from the sink.
+
+    Append mode == emit-once-per-finalized-window: rows arrive only
+    for windows whose end <= watermark, so re-reading the sink never
+    shows a partially aggregated window.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(transcripts_dir)
+    )
+    parsed = parse_transcripts(stream)  # stateless exprs only — no ffill
+    agg = (
+        parsed.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), "severity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "severity",
+            "cnt",
+        )
+    )
+    sink = os.path.join(output_dir, "severity_windows")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(output_dir, "_wm_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(sink)
+    except Exception:  # no window finalized -> no files written
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, window_end timestamp, "
+            "severity string, cnt long",
+        )

@@ -30,3 +30,34 @@ def test_enrichment(spark):
     assert out[2]["tags"] == ["unknown-tool"]
     # unknown role -> NONE (makeFields build_queue default)
     assert out[3]["pipeline"] == "NONE"
+
+
+def test_suffix_tag_lookup_first_match_wins(spark):
+    """J1 parity: ordered config, first suffix match wins, identity
+    default on miss (get_file_info, logsender.py:375-381; golden
+    tests/test_logsender.py:1199-1217)."""
+    from pyspark.sql import functions as F
+
+    from ci_log_processing_spark.operators.enrich import with_file_tags
+
+    df = spark.createDataFrame(
+        [
+            ("neutron.agent.l3",),   # matches agent.l3 BEFORE bare l3
+            ("edge.l3",),            # falls through to bare l3
+            ("nova.compute.manager",),
+            ("unknown.module",),     # miss -> [basename]
+            (None,),                 # null -> []
+        ],
+        "subsystem string",
+    )
+    got = {
+        r["subsystem"]: (r["file_name"], r["file_tags"])
+        for r in with_file_tags(df).collect()
+    }
+    assert got["neutron.agent.l3"] == ("l3", ["network", "routing", "l3"])
+    assert got["edge.l3"] == ("l3", ["network", "l3"])
+    assert got["nova.compute.manager"] == (
+        "manager", ["compute", "manager"]
+    )
+    assert got["unknown.module"] == ("module", ["module"])
+    assert got[None] == (None, [])

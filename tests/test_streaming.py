@@ -41,3 +41,66 @@ def test_follow_matches_batch(spark, tmp_path):
     for sink, expected in batch_counts.items():
         got = spark.read.parquet(os.path.join(out_dir, "sinks", sink)).count()
         assert got == expected, ("after-restart", sink, got, expected)
+
+
+def test_watermarked_window_counts(spark, tmp_path):
+    """Pure-streaming watermark + windowed agg: every emitted window
+    is finalized (end <= final watermark), exactly matches the batch
+    aggregate for that window, and late-ish windows near the stream
+    head are withheld, never wrong."""
+    from ci_log_processing_spark.plans.pipeline import parse_transcripts
+    from ci_log_processing_spark.streaming.watermark import (
+        streaming_severity_window_counts,
+    )
+
+    import datetime
+    import time
+
+    t = load_transcripts(spark, SF)
+    in_dir = str(tmp_path / "t_in")
+    out_dir = str(tmp_path / "t_out")
+    # deliver files in EVENT-TIME order with distinct mtimes (the
+    # file source triggers micro-batches by mtime): an in-order
+    # stream means the 2 h watermark never drops a row, so every
+    # finalized window must match the batch aggregate exactly.
+    # (With unordered arrival the watermark correctly DROPS late
+    # rows — valid semantics, but not a golden-comparable test.)
+    bounds = t.approxQuantile("turn_idx", [1.0], 0)  # force t materialized
+    lo, hi = t.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    for i in range(4):
+        a = lo + i * span
+        b = hi + datetime.timedelta(seconds=1) if i == 3 else lo + (i + 1) * span
+        (
+            t.filter((F.col("ts") >= a) & (F.col("ts") < b))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+        time.sleep(1.1)  # distinct mtime -> deterministic file order
+
+    got = streaming_severity_window_counts(spark, in_dir, out_dir)
+    rows = {
+        (r["window_start"], r["severity"]): r["cnt"] for r in got.collect()
+    }
+    assert rows, "no window finalized — watermark never advanced"
+
+    expected_all = {
+        (r["ws"], r["severity"]): r["cnt"]
+        for r in parse_transcripts(t)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "severity"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "severity", "cnt")
+        .collect()
+    }
+    # emitted ⊆ batch and value-identical where emitted
+    for k, v in rows.items():
+        assert expected_all.get(k) == v, (k, v, expected_all.get(k))
+
+    # append-mode guarantee: a window only ever emits once its end
+    # passed the watermark, which never exceeds max(ts) - delay
+    wm = hi - datetime.timedelta(hours=2)
+    for r in got.collect():
+        assert r["window_end"] <= wm, (r["window_end"], wm)
