@@ -1,0 +1,88 @@
+"""Checkpoint / resume semantics — the reference's BuildCache dedup
+(logscraper.py:227-292: builds already in the sqlite cache are never
+re-downloaded; goldens tests/test_logscraper.py:635-713) as a
+parquet manifest + broadcast anti-join.
+
+The kill-and-rerun contract (SURVEY.md §5): after an interrupted run
+that checkpointed only SOME conversations, a re-run processes
+exactly the remainder — union of both runs' outputs equals a single
+clean run, with no duplicate (conv_id, turn_idx) pairs.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ci_log_processing_spark.operators.checkpoint import (
+    expire_checkpoint,
+    filter_unprocessed,
+    write_checkpoint,
+)
+from ci_log_processing_spark.plans.pipeline import full_pipeline
+from ci_log_processing_spark.sources.transcripts import load_transcripts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kill_and_rerun_no_dupes_no_gaps(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    t = load_transcripts(spark, SF)
+
+    # run 1 "crashes" after processing the convs with even hash:
+    # only those land in the checkpoint
+    routed_full = full_pipeline(t, spark)
+    part1 = routed_full.filter(F.abs(F.xxhash64("conv_id")) % 2 == 0)
+    write_checkpoint(part1, ckpt)
+    n1 = part1.count()
+
+    # run 2: anti-join must hand back exactly the other convs
+    remaining, already = filter_unprocessed(spark, t, ckpt)
+    assert already == part1.select("conv_id").distinct().count()
+    part2 = full_pipeline(remaining, spark)
+    n2 = part2.count()
+
+    total = full_pipeline(t, spark).count()
+    assert n1 + n2 == total
+
+    # no conv overlaps between the two runs
+    overlap = (
+        part1.select("conv_id")
+        .distinct()
+        .join(part2.select("conv_id").distinct(), "conv_id")
+        .count()
+    )
+    assert overlap == 0
+
+    # union of both runs == clean single run, per (conv_id, turn_idx)
+    u = part1.select("conv_id", "turn_idx").unionAll(
+        part2.select("conv_id", "turn_idx")
+    )
+    assert u.count() == u.distinct().count() == total
+
+
+def test_checkpoint_anti_join_is_broadcast(spark, tmp_path):
+    """The 10^12-turn side must never shuffle for the resume check:
+    the manifest side is broadcast (logscraper's cache lookup is an
+    in-memory set per build, logscraper.py:291-292)."""
+    ckpt = str(tmp_path / "ckpt")
+    t = load_transcripts(spark, SF)
+    write_checkpoint(full_pipeline(t, spark).limit(100), ckpt)
+    remaining, _ = filter_unprocessed(spark, t, ckpt)
+    plan = remaining._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_expire_checkpoint_ttl(spark, tmp_path):
+    """TTL maintenance analog (BuildCache.clean, logscraper.py:279-284):
+    manifest entries outside the keep-set are dropped; kept convs
+    still resume-skip."""
+    ckpt = str(tmp_path / "ckpt")
+    t = load_transcripts(spark, SF)
+    routed = full_pipeline(t, spark)
+    write_checkpoint(routed, ckpt)
+    keep = routed.select("conv_id").distinct().limit(5)
+    expire_checkpoint(spark, ckpt, keep)
+    kept = spark.read.parquet(ckpt).select("conv_id").distinct().count()
+    assert kept == 5
+    _, already = filter_unprocessed(spark, t, ckpt)
+    assert already == 5

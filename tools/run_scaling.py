@@ -41,7 +41,7 @@ def run_job(
         # 4 shuffle partitions per core: the skewed long-transcript
         # tail overlaps instead of straggling a single task wave
         env["SPARK_GRAFT_SHUFFLE"] = str(master_cores * 4)
-        subprocess.run(
+        proc = subprocess.run(
             [
                 "spark-submit",
                 "--master",
@@ -75,6 +75,14 @@ def run_job(
             cwd=REPO,
             env=env,
         )
+        if not os.path.exists(summary):
+            tail = (proc.stderr or "")[-2000:]
+            print(
+                f"# run_job(local[{master_cores}]) produced no summary; "
+                f"rc={proc.returncode}\n{tail}",
+                file=sys.stderr,
+            )
+            return None
         with open(summary) as f:
             return json.load(f)
     finally:
@@ -146,10 +154,14 @@ def main():
         # (page-cache + host noise); each attempt gets a fresh
         # output dir so the checkpoint never short-circuits it
         best = None
-        for _attempt in range(2):
+        for _attempt in range(3):
             r = run_job(cores, data_dir, impl)
+            if r is None:
+                continue
             if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
                 best = r
+            if _attempt >= 1 and best is not None:
+                break
         results[cores] = best
         r = best
         print(
@@ -161,10 +173,14 @@ def main():
         # engine's own scaling, isolated from the single shared VM
         # disk that a real 4N cluster would not have
         best = None
-        for _attempt in range(2):
+        for _attempt in range(3):
             r = run_job(cores, data_dir, impl, no_write=True)
+            if r is None:
+                continue
             if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
                 best = r
+            if _attempt >= 1 and best is not None:
+                break
         compute[cores] = best
         print(
             f"# local[{cores}] compute-only: {best['wall_sec']}s "
