@@ -225,11 +225,20 @@ def main():
                 "wall_local32_sec": results[32]["wall_sec"],
             }
     )
-    # cache for bench.py to surface in its JSON line
+    # cache for bench.py to surface in its JSON line — merged by
+    # impl so native and pandas runs coexist
     cache = os.path.join(REPO, "SCALING.json")
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    merged = {}
+    if os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                prev = json.load(f)
+            merged = prev if "impl" not in prev else {prev["impl"]: prev}
+        except Exception:
+            merged = {}
+    merged[impl] = payload
     with open(cache, "w") as f:
-        json.dump(payload, f)
+        json.dump(merged, f)
     print(json.dumps(payload))
 
 
