@@ -7,10 +7,13 @@ data path (SURVEY.md §2.2 P10/P11). Semantics preserved exactly:
 
   * dict values merge recursively;
   * list values EXTEND (not replace);
-  * incompatible types: the existing value wins, a warning is
-    logged (the reference logs and skips, logscraper.py:494-497);
-  * every configured name is doubled with a '.gz' twin so
-    compressed uploads route identically.
+  * ANY other conflict — including same-type scalars — keeps the
+    existing value and logs (the reference's else branch handles
+    every non-list/non-dict case, logscraper.py:485-492);
+  * the download list is doubled with '.gz' twins appended AFTER
+    the full original list — including names already ending in .gz
+    (the reference does not special-case them,
+    logscraper.py:515-527).
 """
 
 from __future__ import annotations
@@ -34,11 +37,13 @@ def merge_dicts(base: dict, other: dict) -> dict:
             merge_dicts(current, value)
         elif isinstance(current, list) and isinstance(value, list):
             current.extend(value)
-        elif type(current) is type(value):
-            base[key] = value
         else:
+            # the reference keeps the existing value and logs for ALL
+            # remaining conflicts, including same-type scalars
+            # ({'n': 1} merged with {'n': 2} stays 1) —
+            # logscraper.py:485-492
             log.warning(
-                "config merge: incompatible types for %r (%s vs %s); "
+                "config merge: incompatible merge for %r (%s vs %s); "
                 "keeping existing value",
                 key,
                 type(current).__name__,
@@ -62,11 +67,12 @@ def load_config(*paths: str) -> dict:
 
 def expand_gz(names: list[str]) -> list[str]:
     """Double the download list with .gz twins (get_files_to_check,
-    logscraper.py:515-527): ['job.log'] -> ['job.log', 'job.log.gz'].
-    Names already ending in .gz are kept as-is, not doubled."""
-    out: list[str] = []
-    for n in names:
-        out.append(n)
-        if not n.endswith(".gz"):
-            out.append(n + ".gz")
-    return out
+    logscraper.py:515-527): ['a.log', 'b.log'] ->
+    ['a.log', 'b.log', 'a.log.gz', 'b.log.gz'].
+
+    Exact reference parity: twins are appended AFTER the whole
+    original list (not interleaved), and names already ending in
+    .gz are doubled too ('x.gz' -> 'x.gz.gz') — the reference does
+    not special-case them.
+    """
+    return list(names) + [n + ".gz" for n in names]

@@ -41,10 +41,15 @@ _I64_MIN = -9223372036854775808
 def _try_long(c: Column) -> Column:
     """try_cast(string -> bigint): NULL for non-numeric strings and
     for values outside int64 (the reference's isinstance(int) +
-    overflow checks, logsender.py:295-301)."""
-    d = c.cast("decimal(38,0)")
+    overflow checks, logsender.py:295-301).
+
+    try_cast (not cast) is load-bearing: under Spark 4's default
+    ANSI mode a plain cast of the planted '"[not set]"' guard value
+    throws CAST_INVALID_INPUT instead of yielding NULL.
+    """
+    d = c.try_cast("decimal(38,0)")
     return F.when(
-        (d >= F.lit(_I64_MIN)) & (d <= F.lit(_I64_MAX)), d.cast("long")
+        (d >= F.lit(_I64_MIN)) & (d <= F.lit(_I64_MAX)), d.try_cast("long")
     )
 
 

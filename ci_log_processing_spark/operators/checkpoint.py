@@ -54,12 +54,27 @@ def expire_checkpoint(
     spark: SparkSession, ckpt_dir: str, keep_conv_ids: DataFrame
 ) -> None:
     """TTL maintenance analog (BuildCache.clean, logscraper.py:279-284):
-    rewrite the manifest keeping only convs still in scope."""
+    rewrite the manifest keeping only convs still in scope.
+
+    Fully distributed: the kept rows are written executor-side to a
+    temp dir which is then atomically swapped in via the Hadoop
+    FileSystem API — the manifest never passes through the driver
+    (at 100x scale it is millions of convs; a collect() here was a
+    driver-OOM maintenance path).
+    """
     ckpt = read_checkpoint(spark, ckpt_dir)
     if ckpt is None:
         return
-    kept = ckpt.join(keep_conv_ids, "conv_id", "left_semi").collect()
-    if kept:
-        spark.createDataFrame(kept, ckpt.schema).write.mode("overwrite").parquet(
-            ckpt_dir
-        )
+    tmp_dir = ckpt_dir.rstrip("/") + ".expire_tmp"
+    (
+        ckpt.join(keep_conv_ids, "conv_id", "left_semi")
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(ckpt_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    fs = path.getFileSystem(conf)
+    fs.delete(path, True)
+    fs.rename(tmp, path)

@@ -55,8 +55,10 @@ def normalize_meta(df: DataFrame, json_col: str = "meta_json") -> DataFrame:
             "build_queue"
         ),
         F.coalesce(new["ref"]["branch"], old["branch"]).alias("build_branch"),
-        # int(change) if change else '' — pinned to string type
-        F.coalesce(change.cast("long").cast("string"), F.lit("")).alias(
+        # int(change) if change else '' — pinned to string type.
+        # try_cast: the reference tolerates arbitrary API garbage in
+        # `change`; a plain cast would throw under default ANSI mode.
+        F.coalesce(change.try_cast("long").cast("string"), F.lit("")).alias(
             "build_change"
         ),
         F.coalesce(new["ref"]["patchset"], old["patchset"]).alias(

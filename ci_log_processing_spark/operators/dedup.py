@@ -113,27 +113,87 @@ def _with_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataF
     )
 
 
+DEFAULT_SHINGLE_DF_CUT = 128
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.6, k: int = 5
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 5,
+    df_cut: int | None = DEFAULT_SHINGLE_DF_CUT,
 ) -> DataFrame:
     """Near-dup pairs by Jaccard over distinct k-shingles.
 
-    Inverted-index join: only docs sharing >= 1 shingle are paired,
-    so cost tracks true-duplicate density, not |docs|^2.
+    Two-phase shape that survives natural text at 100 TB:
+
+      1. CANDIDATE GENERATION over the inverted index restricted to
+         shingles with document frequency <= df_cut. Without the cut,
+         one stop-shingle appearing in f docs creates f^2 candidate
+         pairs — quadratic blow-up on exactly the corpora dedup is
+         for. With it, per-shingle fan-out is bounded by df_cut^2.
+      2. EXACT VERIFY of candidates only: join each side's distinct
+         shingle ARRAY and compute true Jaccard via array_intersect
+         (all shingles, including frequent ones, count here — the
+         cut only gates which pairs get looked at).
+
+    Recall impact: a pair is missed only when EVERY shingle it
+    shares has df > df_cut; near-duplicates at jaccard >= 0.6 share
+    most of their shingles, which are overwhelmingly rare, so recall
+    loss is negligible (and zero on the oracle-checked corpus — the
+    DuckDB twin implements the identical rule). df_cut=None disables
+    the cut for small corpora.
     """
-    sh = doc_shingles(docs, k=k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    toks = tokens_col(F.col("text"))
+    arr = (
+        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    sh = arr.select("doc_id", F.explode("shingles").alias("s"))
+    idx = sh
+    if df_cut is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cut)
+            .select("s")
+        )
+        idx = sh.join(rare, "s", "left_semi")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
-    return _with_jaccard(inter, sizes, threshold)
+    av = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
+    )
+    bv = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("nb"),
+    )
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_signatures(
@@ -229,21 +289,25 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ds") - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ds"), i + 1, F.size("ds") - i),
-                lambda d: F.struct(
-                    F.element_at(F.col("ds"), i).alias("doc_a"),
-                    d.alias("doc_b"),
-                ),
-            ),
-        )
-    )
+    # Pair expansion in two explode steps so no single row ever holds
+    # more than O(bucket) values: first posexplode the bucket into one
+    # row per ANCHOR doc (carrying the bucket array), then explode each
+    # anchor's strict suffix into (doc_a, doc_b) rows. A hot bucket of
+    # n docs — mass-duplicate corpora are exactly the LSH workload —
+    # peaks at n values per row instead of the n(n-1)/2 structs the
+    # previous single-row flatten built (one-task OOM at scale).
+    anchors = buckets.select(
+        "ds", F.posexplode("ds").alias("i", "doc_a")
+    ).filter(F.col("i") < F.size("ds") - 1)
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        anchors.select(
+            "doc_a",
+            F.explode(
+                F.slice(
+                    F.col("ds"), F.col("i") + 2, F.size("ds") - F.col("i") - 1
+                )
+            ).alias("doc_b"),
+        )
         .distinct()
     )
     # exact-verify ONLY the banded candidates — join each side's

@@ -120,10 +120,21 @@ def suffix_tag_cols(
     dimension sizes like this, exactly as a broadcast join beats a
     shuffle join for small dims.)
 
-    Semantics per reference:
-      * name  = last dot segment of the subsystem (basename analog);
-      * match = first config entry whose key is a dot-aligned suffix;
-      * tags  = config tags + [name] on match, [name] on miss;
+    Semantics (two DELIBERATE deviations from get_file_info, which
+    the tag goldens don't exercise):
+      * name  = last dot segment of the subsystem (basename analog).
+        The reference instead returns the matched config entry's
+        FULL name on a hit (golden expects
+        'logs/undercloud/var/log/extra/logstash.txt'); our domain
+        key is a dotted module path, where the basename is the
+        stable identity — documented, not parity.
+      * match = first config entry whose key is a DOT-ALIGNED
+        suffix; the reference uses plain str.endswith. Dot alignment
+        prevents 'l3' matching 'foo.xl3' — tag parity holds for
+        every dotted-module input.
+      * tags  = config tags + [name] on match, [name] on miss
+        (exact reference tag semantics, golden
+        tests/test_logsender.py:1199-1217);
       * null subsystem -> (NULL, []).
     """
     if config is None:

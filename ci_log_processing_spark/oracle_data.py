@@ -71,13 +71,28 @@ WHERE round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) >= {thr}
 """
 
 
-def q_dedup_ngram_jaccard(threshold: float = 0.6) -> str:
+def q_dedup_ngram_jaccard(
+    threshold: float = 0.6, df_cut: int = 128
+) -> str:
+    # identical two-phase rule as operators.dedup.ngram_jaccard_pairs:
+    # candidates only via shingles with document frequency <= df_cut,
+    # exact jaccard verify over ALL shingles of candidate pairs
     return (
         _shingle_ctes()
-        + """,
+        + f""",
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= {df_cut}
+),
+idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
   GROUP BY 1, 2
 )
 """

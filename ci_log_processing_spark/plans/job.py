@@ -35,11 +35,11 @@ def main(argv=None):
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--batch-ts", default="2024-01-01 00:00:00")
     ap.add_argument("--ref-year", type=int, default=2024)
-    # pandas is the default: the Arrow-vectorized grok UDF is both
-    # the north-star-mandated path AND the one that scales with
-    # cores (python workers are processes — no shared-heap
-    # contention; measured in BENCH.md)
-    ap.add_argument("--impl", choices=["native", "pandas"], default="pandas")
+    # native is the default: measured faster than the pandas grok at
+    # BOTH local[8] (948k vs 537k compute rows/s) and local[32]
+    # (2.41M vs 1.42M) with better N->4N efficiency (BASELINE.md).
+    # --impl pandas stays as the mandated-path parity option.
+    ap.add_argument("--impl", choices=["native", "pandas"], default="native")
     ap.add_argument("--no-skip-debug", action="store_true")
     ap.add_argument("--no-write", action="store_true",
                     help="run parse->enrich->route and count per-sink "

@@ -27,10 +27,13 @@ def test_merge_lists_extend():
     ]
 
 
-def test_merge_same_type_overwrites_incompatible_keeps(caplog):
+def test_merge_conflicts_keep_existing(caplog):
+    # reference parity (logscraper.py:485-492): every non-dict/
+    # non-list conflict keeps the existing value and logs — INCLUDING
+    # same-type scalars ({'n': 1} merged with {'n': 2} stays 1)
     a = {"n": 1, "s": "x"}
     merged = merge_dicts(a, {"n": 2, "s": [1]})
-    assert merged["n"] == 2      # same type: replaced
+    assert merged["n"] == 1      # same-type scalar: existing kept
     assert merged["s"] == "x"    # incompatible: existing kept
 
 
@@ -44,4 +47,8 @@ def test_load_config_merges_files(tmp_path):
 
 
 def test_expand_gz():
-    assert expand_gz(["job.log", "x.gz"]) == ["job.log", "job.log.gz", "x.gz"]
+    # reference parity (logscraper.py:515-527): twins appended after
+    # the full original list; already-.gz names double too
+    assert expand_gz(["job.log", "x.gz"]) == [
+        "job.log", "x.gz", "job.log.gz", "x.gz.gz",
+    ]

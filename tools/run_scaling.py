@@ -138,6 +138,13 @@ def hardware_ceiling() -> dict:
     return out
 
 
+def _rps(r: dict) -> float:
+    """rows_per_sec for best-of comparison; None (wall==0 in
+    no-write mode) sorts below every real measurement."""
+    v = r.get("rows_per_sec")
+    return float("-inf") if v is None else v
+
+
 def main():
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     impl = "native" if "native" in sys.argv[1:] else "pandas"
@@ -158,10 +165,18 @@ def main():
             r = run_job(cores, data_dir, impl)
             if r is None:
                 continue
-            if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
+            if best is None or _rps(r) > _rps(best):
                 best = r
             if _attempt >= 1 and best is not None:
                 break
+        if best is None:
+            print(
+                f"# FATAL: all attempts at local[{cores}] failed to "
+                f"produce a summary; partial results: "
+                f"{json.dumps(results)}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         results[cores] = best
         r = best
         print(
@@ -177,10 +192,17 @@ def main():
             r = run_job(cores, data_dir, impl, no_write=True)
             if r is None:
                 continue
-            if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
+            if best is None or _rps(r) > _rps(best):
                 best = r
             if _attempt >= 1 and best is not None:
                 break
+        if best is None:
+            print(
+                f"# FATAL: all compute-only attempts at local[{cores}] "
+                f"failed; partial results: {json.dumps(results)}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         compute[cores] = best
         print(
             f"# local[{cores}] compute-only: {best['wall_sec']}s "
