@@ -168,6 +168,13 @@ def _events_view(spark, sf_dir):
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).createOrReplaceTempView("events")
 
 
+def q_multiline(spark, sf_dir):
+    from ci_log_processing_spark.operators.multiline import merge_multiline
+
+    t = parse_transcripts(load_transcripts(spark, sf_dir))
+    return merge_multiline(t)
+
+
 def q_perf_flatten(spark, sf_dir):
     from ci_log_processing_spark.functions.perf_json import flatten_perf_json
     from ci_log_processing_spark.sources.derived import perf_reports_sql
@@ -191,6 +198,73 @@ def q_subunit(spark, sf_dir):
 
     _events_view(spark, sf_dir)
     return test_durations(spark.sql(subunit_results_sql("spark", "events")))
+
+
+def q_subunit_binary(spark, sf_dir):
+    """S12 full path: synthesize subunit BYTE STREAMS from events
+    (Catalyst hex encoder), parse actual bytes with the Arrow pandas
+    UDF, explode, and apply the duration quirk. The oracle computes
+    the same rows directly from events — so what this gate verifies
+    is the binary encode->parse roundtrip. Planted rows exercise the
+    P8 broken-file skip and the non-subunit-content skip; neither
+    appears in the oracle, so they MUST be dropped."""
+    from ci_log_processing_spark.operators.subunit import (
+        encode_stream,
+        packet_hex_col,
+        parse_subunit_stream,
+        test_durations,
+    )
+    from ci_log_processing_spark.sources.derived import subunit_results_sql
+
+    _events_view(spark, sf_dir)
+    su = spark.sql(subunit_results_sql("spark", "events"))
+    pkt = packet_hex_col(
+        F.col("test_name"),
+        F.col("test_status"),
+        F.unix_micros(F.col("start_ts").cast("timestamp")),
+        F.unix_micros(F.col("end_ts").cast("timestamp")),
+    )
+    streams = (
+        su.select(
+            "conv_id", F.struct("test_name", pkt.alias("pkt")).alias("sp")
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.unhex(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("sp")),
+                        lambda x: x["pkt"],
+                    ),
+                    "",
+                )
+            ).alias("payload")
+        )
+        .withColumn("file_name", F.lit("testrepository.subunit"))
+    )
+    planted = spark.createDataFrame(
+        [
+            # P8: valid bytes but the hardcoded broken name -> skipped
+            (
+                "conv-p8-broken",
+                "testrepository.subunit.gz",
+                bytearray(
+                    encode_stream([("test_x", "success", 0, 1_000_000)])
+                ),
+            ),
+            # non-subunit content -> whole file skipped
+            (
+                "conv-garbage",
+                "other.subunit",
+                bytearray(b"Non subunit content here"),
+            ),
+        ],
+        "conv_id string, file_name string, payload binary",
+    )
+    rows = parse_subunit_stream(
+        streams.unionByName(planted.select("conv_id", "payload", "file_name"))
+    )
+    return test_durations(rows)
 
 
 # --- training-data pipeline queries (dedup / similarity / text) ---------
@@ -355,9 +429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_dedup_messages": q_dedup_messages,
         "pipe_ts_formats": q_ts_formats,
         "pipe_sessionize": q_sessionize,
+        "pipe_multiline": q_multiline,
         "pipe_perf_flatten": q_perf_flatten,
         "pipe_meta_normalize": q_meta_normalize,
         "pipe_subunit_durations": q_subunit,
+        "pipe_subunit_binary": q_subunit_binary,
         "pipe_file_tags": q_file_tags,
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
@@ -396,9 +472,13 @@ def oracle_sql() -> dict[str, str]:
         "pipe_dedup_messages": oracle.q_dedup_messages(),
         "pipe_ts_formats": oracle.q_ts_formats(),
         "pipe_sessionize": oracle.q_sessionize(),
+        "pipe_multiline": oracle.q_multiline(),
         "pipe_perf_flatten": oracle.q_perf_flatten(),
         "pipe_meta_normalize": oracle.q_meta_normalize(),
         "pipe_subunit_durations": oracle.q_subunit(),
+        # the oracle never touches bytes — it recomputes the expected
+        # rows straight from events, so this checks the roundtrip
+        "pipe_subunit_binary": oracle.q_subunit(),
         "pipe_file_tags": oracle.q_file_tags(),
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):

@@ -207,6 +207,22 @@ def q_sessionize() -> str:
     )
 
 
+def q_multiline() -> str:
+    """Multiline traceback merge oracle (legacy Logstash multiline
+    filter, openstack-filters.conf:11-43): continuation lines join
+    the previous timestamped event; message = newline-joined group."""
+    return pipeline_cte() + (
+        "SELECT conv_id, session_id, min(turn_idx) AS anchor_turn, "
+        "max(turn_idx) AS last_turn, count(*) AS n_lines, "
+        "max(event_ts) AS event_ts, "
+        "string_agg(message, chr(10) ORDER BY turn_idx) AS message FROM ("
+        "  SELECT conv_id, turn_idx, event_ts, message, "
+        "    count(event_ts) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+        "  FROM filled) GROUP BY 1, 2"
+    )
+
+
 def q_perf_flatten() -> str:
     from .sources.derived import perf_reports_sql
 
