@@ -47,25 +47,30 @@ SINK_COLS = [
 
 
 def _routed(spark: SparkSession, sf_dir: str, impl: str = "native") -> DataFrame:
-    t = load_transcripts(spark, sf_dir)
-    return full_pipeline(t, spark, impl=impl)
+    from ci_log_processing_spark.sources.derived import conv_meta_sql
+
+    t = load_transcripts(spark, sf_dir)  # registers the events view
+    meta = spark.sql(conv_meta_sql("spark", "events"))
+    return full_pipeline(t, spark, impl=impl, meta=meta)
 
 
 # --- pipeline queries --------------------------------------------------
 
 
+PARSE_OUT = [
+    "conv_id", "turn_idx", "event_ts", "severity", "subsystem",
+    "message", "program", "pid",
+]
+
+
 def q_parse(spark, sf_dir):
     t = load_transcripts(spark, sf_dir)
-    return parse_transcripts(t).select(
-        "conv_id", "turn_idx", "event_ts", "severity", "subsystem", "message"
-    )
+    return parse_transcripts(t).select(*PARSE_OUT)
 
 
 def q_parse_pandas(spark, sf_dir):
     t = load_transcripts(spark, sf_dir)
-    return parse_transcripts(t, impl="pandas").select(
-        "conv_id", "turn_idx", "event_ts", "severity", "subsystem", "message"
-    )
+    return parse_transcripts(t, impl="pandas").select(*PARSE_OUT)
 
 
 def q_ffill(spark, sf_dir):
@@ -125,6 +130,30 @@ def q_checkpoint_antijoin(spark, sf_dir):
     )
 
 
+def q_jobs_semijoin(spark, sf_dir):
+    """S3/J4 requested-jobs semi-join (filter_available_jobs,
+    logscraper.py:443-454): keep only turns whose tool survives the
+    requested ∩ available intersection; broadcast left-semi join so
+    the fact side never shuffles."""
+    from ci_log_processing_spark.operators.semijoin import (
+        available_requested,
+        semi_join_requested,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    # requested list includes a name the "API" doesn't serve — it
+    # must drop out, like the reference's unavailable job names
+    surviving = available_requested(
+        ["search", "bash", "gearman-worker"], ["bash", "python", "search"]
+    )
+    requested = spark.createDataFrame(
+        [(s,) for s in surviving], "tool string"
+    )
+    return semi_join_requested(t, requested, key="tool").select(
+        "conv_id", "turn_idx", "role", "tool"
+    )
+
+
 def q_dedup_messages(spark, sf_dir):
     return _routed(spark, sf_dir).groupBy("conv_id").agg(
         F.countDistinct("message").alias("distinct_messages")
@@ -144,6 +173,23 @@ def q_ts_formats(spark, sf_dir):
         F.count(F.lit(1)).alias("total_cnt"),
         F.min("event_ts").alias("min_ts"),
         F.max("event_ts").alias("max_ts"),
+    )
+
+
+def q_iso_format(spark, sf_dir):
+    """F3 ISO serialization at the sink boundary: micros iff nonzero
+    (logsender.py:419)."""
+    from ci_log_processing_spark.functions.timestamps import iso_serialize_col
+    from ci_log_processing_spark.operators.ffill import with_filled_ts
+
+    t = with_filled_ts(
+        parse_transcripts(load_transcripts(spark, sf_dir)), DEFAULT_BATCH_TS
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        iso_serialize_col(F.col("event_ts")).alias("iso_event_ts"),
+        iso_serialize_col(F.col("filled_ts")).alias("iso_filled_ts"),
     )
 
 
@@ -426,8 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_agg_hourly": q_agg_hourly,
         "pipe_conv_severity": q_conv_severity,
         "pipe_checkpoint_antijoin": q_checkpoint_antijoin,
+        "pipe_jobs_semijoin": q_jobs_semijoin,
         "pipe_dedup_messages": q_dedup_messages,
         "pipe_ts_formats": q_ts_formats,
+        "pipe_iso_format": q_iso_format,
         "pipe_sessionize": q_sessionize,
         "pipe_multiline": q_multiline,
         "pipe_perf_flatten": q_perf_flatten,
@@ -469,8 +517,10 @@ def oracle_sql() -> dict[str, str]:
         "pipe_agg_hourly": oracle.q_agg_hourly(),
         "pipe_conv_severity": oracle.q_conv_severity(),
         "pipe_checkpoint_antijoin": oracle.q_checkpoint_antijoin(),
+        "pipe_jobs_semijoin": oracle.q_jobs_semijoin(),
         "pipe_dedup_messages": oracle.q_dedup_messages(),
         "pipe_ts_formats": oracle.q_ts_formats(),
+        "pipe_iso_format": oracle.q_iso_format(),
         "pipe_sessionize": oracle.q_sessionize(),
         "pipe_multiline": oracle.q_multiline(),
         "pipe_perf_flatten": oracle.q_perf_flatten(),

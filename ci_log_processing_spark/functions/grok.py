@@ -25,6 +25,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -40,6 +41,14 @@ SUBSYSTEM_RX = (
     r"\b(?:AUDIT|CRITICAL|DEBUG|INFO|TRACE|WARNING|ERROR)\b"
     r" \[?([A-Za-z][A-Za-z0-9_.-]*)\]?"
 )
+# syslog program/pid after a SYSLOGTIMESTAMP + host:
+# '%{DATA:syslog_program}(?:\[%{POSINT:syslog_pid}\])?:'
+# (openstack-filters.conf:49) — e.g. 'Apr 05 12:00:00 host sudo[123]: msg'
+# -> program 'sudo', pid 123; 'Apr 05 12:00:00.5 h kernel: x' -> 'kernel'.
+SYSLOG_PROG_RX = (
+    r"^[A-Za-z]{3} [0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}(?:\.[0-9]+)? "
+    r"(\S+) ([A-Za-z0-9_./-]+)(?:\[([0-9]+)\])?:"
+)
 
 
 def severity_col(message: Column) -> Column:
@@ -50,6 +59,18 @@ def subsystem_col(message: Column) -> Column:
     return F.nullif(F.regexp_extract(message, SUBSYSTEM_RX, 1), F.lit(""))
 
 
+def program_col(text: Column) -> Column:
+    """syslog_program from the raw line (group 2 of SYSLOG_PROG_RX)."""
+    return F.nullif(F.regexp_extract(text, SYSLOG_PROG_RX, 2), F.lit(""))
+
+
+def pid_col(text: Column) -> Column:
+    """syslog_pid (group 3); NULL when the [pid] suffix is absent."""
+    return F.nullif(F.regexp_extract(text, SYSLOG_PROG_RX, 3), F.lit("")).try_cast(
+        "long"
+    )
+
+
 def severity_sql_duckdb(message_expr: str) -> str:
     return f"nullif(regexp_extract({message_expr}, '{SEVERITY_RX}', 1), '')"
 
@@ -58,12 +79,25 @@ def subsystem_sql_duckdb(message_expr: str) -> str:
     return f"nullif(regexp_extract({message_expr}, '{SUBSYSTEM_RX}', 1), '')"
 
 
+def program_sql_duckdb(text_expr: str) -> str:
+    return f"nullif(regexp_extract({text_expr}, '{SYSLOG_PROG_RX}', 2), '')"
+
+
+def pid_sql_duckdb(text_expr: str) -> str:
+    return (
+        f"try_cast(nullif(regexp_extract({text_expr}, "
+        f"'{SYSLOG_PROG_RX}', 3), '') AS BIGINT)"
+    )
+
+
 PARSED_SCHEMA = StructType(
     [
         StructField("event_ts", TimestampType()),
         StructField("severity", StringType()),
         StructField("subsystem", StringType()),
         StructField("message", StringType()),
+        StructField("program", StringType()),
+        StructField("pid", LongType()),
     ]
 )
 
@@ -140,12 +174,17 @@ def make_grok_udf(ref_year: int = 2024):
 
         severity = message.str.extract(SEVERITY_RX, expand=False)
         subsystem = message.str.extract(SUBSYSTEM_RX, expand=False)
+        prog = text.str.extract(SYSLOG_PROG_RX, expand=True)
+        program = prog[1].where(prog[1].notna() & (prog[1] != ""))
+        pid = pd.to_numeric(prog[2], errors="coerce").astype("Int64")
         return pd.DataFrame(
             {
                 "event_ts": ts,
                 "severity": severity,
                 "subsystem": subsystem,
                 "message": message,
+                "program": program,
+                "pid": pid,
             }
         )
 

@@ -224,3 +224,30 @@ def ts_cascade_sql_duckdb(text_expr: str, ref_year: int = 2024) -> str:
         ),
     ]
     return "coalesce(" + ", ".join(steps) + ")"
+
+
+def iso_serialize_col(ts):
+    """F3: datetime.isoformat() parity at the sink boundary
+    (reference logsender.py:419 serializes '@timestamp' with
+    .isoformat()): microseconds are included — zero-padded to 6
+    digits — IFF nonzero: '2022-02-28T09:39:09.596000' but
+    '2022-02-28T19:51:55'. Pure Catalyst expression."""
+    from pyspark.sql import functions as F
+
+    base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    micros = F.unix_micros(ts) % 1000000
+    return F.when(ts.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(micros == 0, base).otherwise(
+            F.concat(base, F.lit("."), F.lpad(micros.cast("string"), 6, "0"))
+        )
+    )
+
+
+def iso_serialize_sql_duckdb(ts_expr: str) -> str:
+    """DuckDB twin of iso_serialize_col."""
+    return (
+        f"CASE WHEN {ts_expr} IS NULL THEN NULL "
+        f"WHEN epoch_us({ts_expr}) % 1000000 = 0 "
+        f"THEN strftime({ts_expr}, '%Y-%m-%dT%H:%M:%S') "
+        f"ELSE strftime({ts_expr}, '%Y-%m-%dT%H:%M:%S.%f') END"
+    )

@@ -13,7 +13,12 @@ shared parse -> ffill -> enrich -> route prefix.
 
 from __future__ import annotations
 
-from .functions.grok import severity_sql_duckdb, subsystem_sql_duckdb
+from .functions.grok import (
+    pid_sql_duckdb,
+    program_sql_duckdb,
+    severity_sql_duckdb,
+    subsystem_sql_duckdb,
+)
 from .functions.message import message_sql_duckdb
 from .functions.timestamps import ts_cascade_sql_duckdb
 from .operators.enrich import ROLE_PIPELINE, TOOL_CATEGORY
@@ -53,9 +58,11 @@ def pipeline_cte(skip_debug: bool = True) -> str:
     debug_reason = (
         "WHEN text LIKE '%DEBUG%' THEN 'debug'" if skip_debug else ""
     )
+    from .sources.derived import conv_meta_sql
 
     return f"""
 WITH transcripts AS ({transcripts_sql('duckdb', 'events')}),
+meta AS (SELECT DISTINCT conv_id FROM ({conv_meta_sql('duckdb', 'events')})),
 parsed AS (
   SELECT conv_id, turn_idx, role, text, tool, ts,
          {ts} AS event_ts,
@@ -63,7 +70,10 @@ parsed AS (
   FROM transcripts
 ),
 parsed2 AS (
-  SELECT *, {sev} AS severity, {sub} AS subsystem FROM parsed
+  SELECT *, {sev} AS severity, {sub} AS subsystem,
+         {program_sql_duckdb('text')} AS program,
+         {pid_sql_duckdb('text')} AS pid
+  FROM parsed
 ),
 filled AS (
   SELECT *,
@@ -84,14 +94,17 @@ enriched AS (
          ELSE coalesce(tc.category, f.tool) END AS category,
     CASE WHEN f.tool IS NULL THEN []::VARCHAR[]
          ELSE list_sort(list_distinct(
-              coalesce(tc.cat_tags, []::VARCHAR[]) || [f.tool])) END AS tags
+              coalesce(tc.cat_tags, []::VARCHAR[]) || [f.tool])) END AS tags,
+    (m.conv_id IS NOT NULL) AS has_meta
   FROM filled f
   LEFT JOIN {_role_pipeline_values()} ON f.role = rp.role
   LEFT JOIN {_tool_category_values()} ON f.tool = tc.tool
+  LEFT JOIN meta m ON f.conv_id = m.conv_id
 ),
 routed AS (
-  SELECT *,
+  SELECT * EXCLUDE (has_meta),
     CASE
+      WHEN NOT has_meta THEN 'drop_queue'
       WHEN starts_with(text, '{PREAMBLE_PREFIX}') AND prior_ts_count = 0
         THEN 'drop_queue'
       {debug_arm}
@@ -101,6 +114,7 @@ routed AS (
       ELSE 'agent_turns'
     END AS sink,
     CASE
+      WHEN NOT has_meta THEN 'no_metadata'
       WHEN starts_with(text, '{PREAMBLE_PREFIX}') AND prior_ts_count = 0
         THEN 'preamble'
       {debug_reason}
@@ -114,7 +128,10 @@ routed AS (
 
 # --- per-query oracles -------------------------------------------------
 
-PARSE_COLS = "conv_id, turn_idx, event_ts, severity, subsystem, message"
+PARSE_COLS = (
+    "conv_id, turn_idx, event_ts, severity, subsystem, message, "
+    "program, pid"
+)
 
 
 def q_parse() -> str:
@@ -185,6 +202,16 @@ def q_checkpoint_antijoin() -> str:
     )
 
 
+def q_jobs_semijoin() -> str:
+    # requested ['search','bash','gearman-worker'] ∩ available
+    # ['bash','python','search'] = {'search','bash'}
+    return pipeline_cte() + (
+        "SELECT conv_id, turn_idx, role, tool FROM transcripts t "
+        "WHERE EXISTS (SELECT 1 FROM (VALUES ('search'), ('bash')) "
+        "r(tool) WHERE r.tool = t.tool)"
+    )
+
+
 def q_dedup_messages() -> str:
     return pipeline_cte() + (
         "SELECT conv_id, count(DISTINCT message) AS distinct_messages "
@@ -204,6 +231,16 @@ def q_sessionize() -> str:
         "    count(event_ts) OVER (PARTITION BY conv_id ORDER BY turn_idx "
         "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
         "  FROM filled) GROUP BY 1, 2"
+    )
+
+
+def q_iso_format() -> str:
+    from .functions.timestamps import iso_serialize_sql_duckdb as iso
+
+    return pipeline_cte() + (
+        f"SELECT conv_id, turn_idx, "
+        f"{iso('event_ts')} AS iso_event_ts, "
+        f"{iso('filled_ts')} AS iso_filled_ts FROM filled"
     )
 
 

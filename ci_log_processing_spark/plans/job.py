@@ -66,10 +66,26 @@ def main(argv=None):
     spark = get_spark(master=args.master)
     t0 = time.time()
 
+    # conv-level metadata presence drives the no_metadata drop rule
+    # (reference: builds without buildinfo/inventory never route,
+    # logsender.py:136-141). The events-derived input ships a conv
+    # metadata table; a materialized transcripts parquet may ship a
+    # conv_meta.parquet sibling — absent that, all convs are treated
+    # as having metadata.
+    meta = None
     if args.transcripts_parquet:
         transcripts = spark.read.parquet(args.transcripts_parquet)
+        meta_path = os.path.join(
+            os.path.dirname(args.transcripts_parquet.rstrip("/")),
+            "conv_meta.parquet",
+        )
+        if os.path.exists(meta_path):
+            meta = spark.read.parquet(meta_path)
     else:
+        from ..sources.derived import conv_meta_sql
+
         transcripts = load_transcripts(spark, args.input_dir)
+        meta = spark.sql(conv_meta_sql("spark", "events"))
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoint")
     transcripts, already = filter_unprocessed(spark, transcripts, ckpt_dir)
@@ -81,6 +97,7 @@ def main(argv=None):
         ref_year=args.ref_year,
         skip_debug=not args.no_skip_debug,
         impl=args.impl,
+        meta=meta,
     ).withColumn("src_partition", F.spark_partition_id())
 
     # The reference routes per file into 3 indices inside one pass

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.grok import make_grok_udf, severity_col, subsystem_col
+from ..functions.grok import (
+    make_grok_udf,
+    pid_col,
+    program_col,
+    severity_col,
+    subsystem_col,
+)
 from ..functions.message import message_col
 from ..functions.timestamps import ts_cascade_col
 from ..operators.enrich import with_enrichment
@@ -35,7 +41,9 @@ def parse_transcripts(
     ref_year: int = DEFAULT_REF_YEAR,
     impl: str = "native",
 ) -> DataFrame:
-    """Add event_ts, message, severity, subsystem."""
+    """Add event_ts, message, severity, subsystem, program, pid
+    (the oslofmt grok field set incl. syslog_program/syslog_pid,
+    openstack-filters.conf:49)."""
     if impl == "pandas":
         grok = make_grok_udf(ref_year)
         parsed = df.withColumn("_p", grok(F.col("text")))
@@ -45,6 +53,8 @@ def parse_transcripts(
         .withColumn("message", message_col(F.col("text")))
         .withColumn("severity", severity_col(F.col("message")))
         .withColumn("subsystem", subsystem_col(F.col("message")))
+        .withColumn("program", program_col(F.col("text")))
+        .withColumn("pid", pid_col(F.col("text")))
     )
 
 
@@ -56,8 +66,18 @@ def full_pipeline(
     skip_debug: bool = True,
     impl: str = "native",
     repartition: bool = True,
+    meta: DataFrame | None = None,
 ) -> DataFrame:
-    """transcripts -> parsed/enriched/routed rows (pre-fan-out)."""
+    """transcripts -> parsed/enriched/routed rows (pre-fan-out).
+
+    `meta` is the conv-level metadata table (convmeta input/output —
+    only conv_id is consulted). When given, conversations ABSENT
+    from it are routed to drop_queue with reason 'no_metadata' — the
+    reference's missing buildinfo/inventory rule
+    (logsender.py:136-141). The presence flag arrives via a
+    broadcast left join (conv-level dim, tiny next to the turns
+    table), so the fact side never shuffles for it.
+    """
     if repartition:
         # parse must run BEHIND an exchange, not pipelined into the
         # file scan (file-split packing caps scan parallelism); the
@@ -79,5 +99,16 @@ def full_pipeline(
     out = with_filled_ts(out, batch_ts)
     out = with_prior_ts_count(out)
     out = with_enrichment(out, spark)
-    out = with_sink(out, skip_debug=skip_debug)
+    if meta is not None:
+        present = (
+            meta.select("conv_id").distinct().withColumn("_has_meta", F.lit(True))
+        )
+        out = out.join(F.broadcast(present), "conv_id", "left")
+        out = with_sink(
+            out,
+            skip_debug=skip_debug,
+            has_metadata=F.coalesce(F.col("_has_meta"), F.lit(False)),
+        ).drop("_has_meta")
+    else:
+        out = with_sink(out, skip_debug=skip_debug)
     return out

@@ -57,7 +57,12 @@ def conv_meta_sql(dialect: str, events_rel: str = "events") -> str:
     even user_id gets the new-Zuul nested form, odd the old flat
     form (reference makeZuulCapability dual-schema tolerance,
     logsender.py:220-249; golden tests/test_logsender.py:1035-1050).
-    Both must normalize to identical rows."""
+    Both must normalize to identical rows.
+
+    Planted absence: user_id % 7 == 3 conversations have NO metadata
+    row at all — the analog of a build dir missing its buildinfo/
+    inventory sentinels (logsender.py:136-141), which the routing
+    stage must send to drop_queue with reason 'no_metadata'."""
     uid = _s(dialect, "user_id")
     change = _s(dialect, "user_id * 7 + 1")
     # user_id % 5 == 0: change absent entirely -> build_change ''
@@ -83,7 +88,7 @@ def conv_meta_sql(dialect: str, events_rel: str = "events") -> str:
 SELECT concat('conv-', lpad({uid}, 4, '0')) AS conv_id,
        CASE WHEN user_id % 2 = 0 THEN {new_shape} ELSE {old_shape} END AS meta_json,
        CASE WHEN user_id % 2 = 0 THEN 'new' ELSE 'old' END AS source_shape
-FROM (SELECT DISTINCT user_id FROM {events_rel}) u
+FROM (SELECT DISTINCT user_id FROM {events_rel} WHERE user_id % 7 <> 3) u
 """
 
 

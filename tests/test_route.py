@@ -47,6 +47,35 @@ def test_precedence_and_reasons(spark):
     assert out[5] == ("errors", None)
 
 
+def test_no_metadata_routing(spark):
+    # conversations absent from the conv-metadata table go WHOLLY to
+    # drop_queue/no_metadata, with highest precedence — even over
+    # DEBUG and errors rows (reference logsender.py:136-141: a dir
+    # without buildinfo/inventory never routes anywhere)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("has-meta", 0, "assistant",
+         "2022-02-28 09:39:09.5 | ERROR [nova] boom", None, t0),
+        ("no-meta", 0, "assistant",
+         "2022-02-28 09:39:09.5 | ERROR [nova] boom", None, t0),
+        ("no-meta", 1, "assistant",
+         "2022-02-28 09:39:09.5 | DEBUG noisy", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    meta = spark.createDataFrame([("has-meta",)], "conv_id string")
+    routed = full_pipeline(df, spark, meta=meta)
+    out = {
+        (r["conv_id"], r["turn_idx"]): (r["sink"], r["drop_reason"])
+        for r in routed.collect()
+    }
+    assert out[("has-meta", 0)] == ("errors", None)
+    assert out[("no-meta", 0)] == ("drop_queue", "no_metadata")
+    assert out[("no-meta", 1)] == ("drop_queue", "no_metadata")
+
+
 def test_skip_debug_off(spark):
     t0 = datetime.datetime(2024, 1, 1)
     df = spark.createDataFrame(
