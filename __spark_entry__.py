@@ -352,6 +352,13 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_fingerprints(load_corpus(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import simhash_pairs
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return simhash_pairs(load_corpus(spark, sf_dir), max_hamming=3)
+
+
 def q_embed_near_dup(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -492,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_simhash": q_dedup_simhash,
+            "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "dedup_embedding_cosine": q_embed_near_dup,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
@@ -541,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_simhash": od.q_dedup_simhash(),
+            "dedup_simhash_pairs": od.q_dedup_simhash_pairs(3),
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),

@@ -377,3 +377,61 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", simhash_col(tokens_col(F.col(text_col))).alias("simhash")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, found WITHOUT an
+    all-pairs comparison.
+
+    Banding with the pigeonhole guarantee: split the fingerprint
+    into n_bands equal bit-slices; any pair within Hamming distance
+    <= n_bands - 1 must agree EXACTLY on at least one slice, so
+    candidates are generated by an equi-join on (band, slice value)
+    — one shuffle on a small integer key, cost tracks duplicate
+    density, never |docs|^2. Candidates are then verified with
+    bit_count(xor) <= max_hamming (exact, no false positives;
+    recall is total for max_hamming <= n_bands - 1).
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee broken"
+    band_w = bits // n_bands
+    mask = (1 << band_w) - 1
+    fps = simhash_fingerprints(docs, text_col).persist()
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * band_w).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

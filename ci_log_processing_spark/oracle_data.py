@@ -157,6 +157,40 @@ SELECT doc_id, {bit_terms} AS simhash FROM th GROUP BY doc_id
 """
 
 
+def q_dedup_simhash_pairs(max_hamming: int = 3, bits: int = 32) -> str:
+    """Banded Hamming-pair oracle: same pigeonhole rule as
+    operators.dedup.simhash_pairs (4 bands of bits/4 bits each)."""
+    h = _H32.format(x="tok")
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    band_w = bits // 4
+    mask = (1 << band_w) - 1
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM corpus
+),
+th AS (SELECT doc_id, {h} AS h FROM tok),
+sims AS (SELECT doc_id, {bit_terms} AS simhash FROM th GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {band_w})) & {mask} AS key
+  FROM sims, (SELECT unnest(range(4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def q_embed_near_dup(threshold: float = 0.95) -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)

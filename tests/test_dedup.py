@@ -75,3 +75,50 @@ def test_simhash_near_dup_hamming(spark, corpus):
             if bin(base ^ fp).count("1") <= 8:
                 close += 1
     assert total > 0 and close / total >= 0.9
+
+
+def test_simhash_pairs_banding(spark, corpus):
+    from ci_log_processing_spark.operators.dedup import simhash_pairs
+
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(corpus).collect()
+    }
+    got = {
+        (p["doc_a"], p["doc_b"]): p["hamming"]
+        for p in simhash_pairs(corpus, max_hamming=3).collect()
+    }
+    # exact-copy pairs: hamming 0, always found
+    for doc_id in fps:
+        if 1000000 <= doc_id < 2000000:
+            assert got[(doc_id - 1000000, doc_id)] == 0
+    # pigeonhole guarantee: banding finds EVERY pair <= max_hamming —
+    # compare against the brute-force ground truth
+    ids = sorted(fps)
+    truth = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == truth
+
+
+def test_ngram_df_cut_bounds_candidates(spark):
+    from ci_log_processing_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 docs sharing ONE planted stop-shingle (plus unique tails):
+    # without a df-cut the inverted index pairs all 40*39/2 of them;
+    # with df_cut < 40 the stop-shingle is dropped and no pair
+    # survives (their true jaccard is ~0 anyway)
+    stop = "the quick brown fox jumps"
+    rows = [
+        (i, f"{stop} unique tail {i} alpha beta gamma delta {i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_cut = ngram_jaccard_pairs(docs, threshold=0.1, df_cut=16).collect()
+    assert with_cut == []
+    # sanity: disabling the cut re-admits the quadratic candidates
+    no_cut = ngram_jaccard_pairs(docs, threshold=0.01, df_cut=None).collect()
+    assert len(no_cut) == 40 * 39 / 2

@@ -104,3 +104,62 @@ def test_watermarked_window_counts(spark, tmp_path):
     wm = hi - datetime.timedelta(hours=2)
     for r in got.collect():
         assert r["window_end"] <= wm, (r["window_end"], wm)
+
+
+def test_stateful_sessionize_with_eviction(spark, tmp_path):
+    """applyInPandasWithState sessionizer: convs accumulate state
+    across micro-batches; a conv idle past the timeout is evicted
+    with a final summary (stale-dir eviction analog,
+    logsender.py:152-160)."""
+    import datetime as dt
+
+    from ci_log_processing_spark.streaming.session_state import (
+        run_stateful_sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(conv, lo, hi):
+        return [
+            (conv, i, "assistant", f"line {i}", None,
+             t0 + dt.timedelta(seconds=i))
+            for i in range(lo, hi)
+        ]
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    in_dir = str(tmp_path / "stream_in")
+    # file 1: conv A (will go idle) + conv B part 1
+    spark.createDataFrame(
+        rows("conv-A", 0, 5) + rows("conv-B", 0, 3), schema
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f0"))
+    # file 2: conv B part 2 only -> A times out during this batch
+    spark.createDataFrame(rows("conv-B", 3, 7), schema).coalesce(
+        1
+    ).write.parquet(os.path.join(in_dir, "f1"))
+
+    # wait until BOTH convs have idled out (all state drained)
+    out = run_stateful_sessionize(
+        spark, in_dir + "/*", str(tmp_path / "stream_out"), wait_evictions=2
+    )
+    rows_out = out.collect()
+    evicted = {
+        r["conv_id"]: r for r in rows_out if r["status"] == "evicted"
+    }
+    # final summaries carry the FULL accumulated session
+    assert evicted["conv-A"]["turns"] == 5
+    assert (
+        evicted["conv-A"]["last_us"] - evicted["conv-A"]["first_us"]
+        == 4_000_000
+    )
+    assert evicted["conv-B"]["turns"] == 7
+    # running 'active' rows show cross-batch accumulation for B
+    b_active = sorted(
+        r["turns"] for r in rows_out
+        if r["conv_id"] == "conv-B" and r["status"] == "active"
+    )
+    assert b_active[0] == 3 and b_active[-1] == 7
+    # exactly one eviction per conv (state removed on timeout)
+    assert sum(1 for r in rows_out if r["status"] == "evicted") == 2
