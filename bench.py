@@ -47,6 +47,9 @@ def main():
     from ci_log_processing_spark.sources.transcripts import load_transcripts
 
     transcripts = load_transcripts(spark, sf_dir)
+    from ci_log_processing_spark.sources.derived import conv_meta_sql
+
+    meta = spark.sql(conv_meta_sql("spark", "events"))
     n_turns = transcripts.count()  # warms the events scan
     corpus = load_corpus(spark, sf_dir)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -70,7 +73,9 @@ def main():
 
     bench(
         "pipeline_native",
-        lambda: checksum(full_pipeline(transcripts, spark), routed_cols),
+        lambda: checksum(
+            full_pipeline(transcripts, spark, meta=meta), routed_cols
+        ),
     )
     extras["pipeline_native_turns_per_sec"] = round(
         n_turns / timings["pipeline_native"], 1
@@ -78,7 +83,8 @@ def main():
     bench(
         "pipeline_pandas_udf",
         lambda: checksum(
-            full_pipeline(transcripts, spark, impl="pandas"), routed_cols
+            full_pipeline(transcripts, spark, impl="pandas", meta=meta),
+            routed_cols,
         ),
     )
     extras["pipeline_pandas_turns_per_sec"] = round(

@@ -41,6 +41,25 @@ def main(argv=None):
     # --impl pandas stays as the mandated-path parity option.
     ap.add_argument("--impl", choices=["native", "pandas"], default="native")
     ap.add_argument("--no-skip-debug", action="store_true")
+    # fan-out write strategy (measured in BASELINE.md):
+    #   repartition — one exchange keyed on the table partition scheme;
+    #     cleanest file layout (files track sink x date), but write
+    #     parallelism collapses to the number of distinct
+    #     (sink, date) combos — a skew/straggler risk at scale;
+    #   salted — same exchange plus a conv-hash salt: file layout
+    #     stays (sink x date x salt) while write parallelism is
+    #     combos x salt, removing the one-task-per-date straggler;
+    #   direct — NO exchange: write straight from the pipeline's
+    #     conv-keyed distribution with
+    #     spark.sql.maxConcurrentOutputFileWriters keeping up to N
+    #     partition writers open per task (sort-free dynamic write);
+    #     fewest shuffles, most output files.
+    ap.add_argument(
+        "--write-strategy",
+        choices=["repartition", "salted", "direct"],
+        default="repartition",
+    )
+    ap.add_argument("--write-salt", type=int, default=8)
     ap.add_argument("--no-write", action="store_true",
                     help="run parse->enrich->route and count per-sink "
                          "rows without writing sinks (isolates engine "
@@ -120,8 +139,9 @@ def main(argv=None):
         # sink docs keep `message`, not the raw line (the reference's
         # ES documents likewise store the split message, doc_iter
         # logsender.py:416-428); dropping text+ts cuts the fan-out
-        # exchange + file bytes ~40%
-        .drop("text", "ts")
+        # exchange + file bytes ~40%. prior_ts_count is routing
+        # scratch — never a sink column.
+        .drop("text", "ts", "prior_ts_count")
     )
     counts = {}
     # Row count of THIS write comes from an Observation on the write
@@ -170,13 +190,25 @@ def main(argv=None):
                 json.dump(summary, f)
         spark.stop()
         return 0
-    (
-        routed.observe(obs, F.count(F.lit(1)).alias("n"))
-        .repartition(F.col("sink"), F.col("event_date"))
-        .write.mode("append")
-        .partitionBy("sink", "event_date")
-        .parquet(sinks_dir)
-    )
+    w = routed.observe(obs, F.count(F.lit(1)).alias("n"))
+    if args.write_strategy == "repartition":
+        w = w.repartition(F.col("sink"), F.col("event_date"))
+    elif args.write_strategy == "salted":
+        w = w.repartition(
+            F.col("sink"),
+            F.col("event_date"),
+            (F.xxhash64("conv_id") % args.write_salt).alias("_salt"),
+        )
+    else:  # direct: sort-free dynamic-partition write, no exchange
+        spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "160")
+    # sink DDL seam (sinks.TableSink): ParquetDirSink here; a real
+    # Iceberg catalog slots in as IcebergTableSink without touching
+    # the plan (create_indices analog, logsender.py:563-618)
+    from ..sinks import ParquetDirSink
+
+    table = ParquetDirSink(sinks_dir)
+    table.ensure(spark)
+    table.append(w)
     n_rows = obs.get["n"]
     phases["fanout_write_sec"] = round(time.time() - t_w, 2)
     t_w = time.time()

@@ -1,0 +1,110 @@
+"""Sink DDL seam — the reference's index-creation layer
+(`get_index`/`create_indices`, logsender.py:563-618: create the
+date-suffixed OpenSearch index if absent, tolerate already-exists,
+then bulk-append) abstracted so the SAME pipeline writes to either
+a plain parquet directory (this sandbox) or an Iceberg catalog
+table (production) without touching plan code.
+
+Iceberg mapping (SURVEY.md §7):
+  * index name `<prefix>YYYY.MM.DD`  -> one table partitioned by
+    days(event_date) — daily partitions replace daily indices;
+  * create-if-absent + exists-tolerance -> CREATE TABLE IF NOT EXISTS;
+  * bulk append (helpers.bulk)        -> df.writeTo(table).append(),
+    an atomic snapshot commit (upgrades the parquet-dir path's
+    at-least-once to exactly-once).
+
+IcebergTableSink emits real Spark SQL DDL and a writeTo append; it
+requires the iceberg-spark-runtime jar + a configured catalog, which
+this offline sandbox does not ship — `available()` reports that
+honestly, and tests golden-check the generated DDL instead.
+"""
+
+from __future__ import annotations
+
+import abc
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableSink(abc.ABC):
+    """Create-if-absent + append contract for one sink table."""
+
+    @abc.abstractmethod
+    def ensure(self, spark: SparkSession) -> None:
+        """Create the table/DDL surface if absent (idempotent —
+        get_index's exists-tolerance, logsender.py:575-589)."""
+
+    @abc.abstractmethod
+    def append(self, df: DataFrame) -> None:
+        """Append a batch (helpers.bulk analog, logsender.py:481)."""
+
+
+class ParquetDirSink(TableSink):
+    """Hive-layout parquet directory partitioned by
+    (sink, event_date) — the sandbox stand-in for the Iceberg table.
+    One write job covers all four logical sinks; files track
+    (sink x date), not tasks x dates."""
+
+    def __init__(self, path: str, partition_cols: tuple[str, ...] = ("sink", "event_date")):
+        self.path = path
+        self.partition_cols = tuple(partition_cols)
+
+    def ensure(self, spark: SparkSession) -> None:
+        return None  # directory sinks materialize on first write
+
+    def append(self, df: DataFrame) -> None:
+        (
+            df.write.mode("append")
+            .partitionBy(*self.partition_cols)
+            .parquet(self.path)
+        )
+
+
+class IcebergTableSink(TableSink):
+    """Iceberg catalog table partitioned by (sink, days(event_date)).
+
+    DDL parity with create_indices (logsender.py:563-618): daily
+    partitions stand in for daily index names; IF NOT EXISTS stands
+    in for the exists-tolerant create; snapshot-commit append stands
+    in for the bulk send.
+    """
+
+    def __init__(self, table: str):
+        self.table = table
+
+    def ddl(self) -> str:
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.table} ("
+            "  conv_id STRING, turn_idx INT, role STRING, tool STRING,"
+            "  event_ts TIMESTAMP, filled_ts TIMESTAMP, severity STRING,"
+            "  subsystem STRING, message STRING, pipeline STRING,"
+            "  category STRING, drop_reason STRING, sink STRING,"
+            "  batch_id STRING, event_date DATE,"
+            "  src_partition INT"
+            ") USING iceberg "
+            "PARTITIONED BY (sink, days(event_date))"
+        )
+
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        """True iff an iceberg catalog is on the classpath/config."""
+        try:
+            return (
+                spark.conf.get(
+                    "spark.sql.catalog.spark_catalog", None
+                )
+                is not None
+            )
+        except Exception:
+            return False
+
+    def ensure(self, spark: SparkSession) -> None:
+        if not self.available(spark):
+            raise NotImplementedError(
+                "iceberg-spark-runtime is not on the classpath in this "
+                "sandbox; DDL that would run: " + self.ddl()
+            )
+        spark.sql(self.ddl())
+
+    def append(self, df: DataFrame) -> None:
+        df.writeTo(self.table).append()
