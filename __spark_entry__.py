@@ -331,6 +331,13 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(load_corpus(spark, sf_dir))
 
 
+def q_dedup_exact_apply(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import exact_dedup_keep_first
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return exact_dedup_keep_first(load_corpus(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import ngram_jaccard_pairs
     from ci_log_processing_spark.sources.corpus import load_corpus
@@ -496,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(
         {
             "dedup_exact": q_dedup_exact,
+            "dedup_exact_apply": q_dedup_exact_apply,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_simhash": q_dedup_simhash,
@@ -546,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(
         {
             "dedup_exact": od.q_dedup_exact(),
+            "dedup_exact_apply": od.q_dedup_exact_apply(),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_simhash": od.q_dedup_simhash(),

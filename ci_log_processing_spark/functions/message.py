@@ -44,3 +44,17 @@ def message_sql_duckdb(text_expr: str) -> str:
         f"THEN ltrim(substr({no_nl}, strpos({no_nl}, '|') + 1)) "
         f"ELSE {no_nl} END"
     )
+
+
+def url_join_col(base, name):
+    """F6 url join. The reference uses BOTH styles: urljoin for the
+    scraper's download URLs (logscraper.py:361,622-627) and a plain
+    string concat in the sender's per-doc log_url
+    (logsender.py:543-544). This is the sender's concat variant with
+    single-slash normalization — pure Catalyst.
+    """
+    from pyspark.sql import functions as F
+
+    b = F.regexp_replace(base, "/+$", "")
+    n = F.regexp_replace(name, "^/+", "")
+    return F.concat(b, F.lit("/"), n)

@@ -84,6 +84,25 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dedup_keep_first(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The APPLY side of exact dedup: the surviving corpus, keeping
+    the lowest doc_id of every identical-content group (training-data
+    pipelines consume this, not the group report). One row_number
+    window over the md5 key — a single hash-partitioned shuffle,
+    same cost as the groupBy report."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(text_col).cast("binary"))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", h.alias("h"))
+    )
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     toks = tokens_col(F.col(text_col))
     return (

@@ -51,6 +51,17 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_exact_apply() -> str:
+    return f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT doc_id, h FROM (
+  SELECT doc_id, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1
+"""
+
+
 def _shingle_ctes() -> str:
     return f"""
 WITH corpus AS ({CORPUS_SQL}),

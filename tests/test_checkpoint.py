@@ -86,3 +86,34 @@ def test_expire_checkpoint_ttl(spark, tmp_path):
     assert kept == 5
     _, already = filter_unprocessed(spark, t, ckpt)
     assert already == 5
+
+
+def test_expire_checkpoint_is_distributed(spark, tmp_path):
+    """The TTL rewrite must never collect the manifest to the driver
+    (round-1 verdict: millions of convs at 100x scale = driver OOM in
+    a maintenance path): exercise it on a manifest bigger than any
+    sane collect default, and statically assert no collect in the
+    code path."""
+    import inspect
+
+    from ci_log_processing_spark.operators import checkpoint as cp
+
+    src = inspect.getsource(cp.expire_checkpoint)
+    assert ".collect()" not in src and "toPandas" not in src
+
+    ckpt = str(tmp_path / "big_ckpt")
+    n = 200_000
+    manifest = spark.range(n).selectExpr(
+        "concat('conv-', lpad(cast(id as string), 8, '0')) AS conv_id",
+        "id AS rows",
+    )
+    manifest.write.mode("overwrite").parquet(ckpt)
+    keep = spark.range(0, n, 2).selectExpr(
+        "concat('conv-', lpad(cast(id as string), 8, '0')) AS conv_id"
+    )
+    expire_checkpoint(spark, ckpt, keep)
+    back = spark.read.parquet(ckpt)
+    assert back.count() == n // 2
+    # swapped atomically: no temp dir left behind
+    import os
+    assert not os.path.exists(ckpt + ".expire_tmp")

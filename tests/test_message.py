@@ -33,3 +33,26 @@ def test_catalyst(spark):
     got = {r["i"]: r["m"] for r in df.select("i", message_col(F.col("text")).alias("m")).collect()}
     for i, (_, expected) in enumerate(CASES):
         assert got[i] == expected, CASES[i]
+
+
+def test_url_join(spark):
+    from ci_log_processing_spark.functions.message import url_join_col
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://logs.example/build/42/", "job-output.txt"),
+        ("https://logs.example/build/42", "/job-output.txt"),
+        ("https://logs.example/build/42/", "/logs/job.log.gz"),
+    ]
+    df = spark.createDataFrame(rows, "base string, name string")
+    got = [
+        r["u"]
+        for r in df.select(
+            url_join_col(F.col("base"), F.col("name")).alias("u")
+        ).collect()
+    ]
+    assert got == [
+        "https://logs.example/build/42/job-output.txt",
+        "https://logs.example/build/42/job-output.txt",
+        "https://logs.example/build/42/logs/job.log.gz",
+    ]
