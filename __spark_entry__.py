@@ -313,6 +313,100 @@ def q_subunit_binary(spark, sf_dir):
     return test_durations(rows)
 
 
+# --- streaming queries (gate-checked) -----------------------------------
+
+
+def q_stream_follow(spark, sf_dir):
+    """§2.8 follow loop as a GATE-CHECKED query: a deterministic
+    subset of conversations (user_id % 29 == 1) is streamed through
+    run_follow (availableNow micro-batches, conv-aligned files) and
+    the landed sink rows are compared against the batch oracle —
+    streaming and batch semantics must be identical
+    (reference --follow is literally a re-run loop,
+    logsender.py:683-687)."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.operators.route import SINKS
+    from ci_log_processing_spark.sources.derived import conv_meta_sql
+    from ci_log_processing_spark.streaming.follow import run_follow
+
+    t = load_transcripts(spark, sf_dir)
+    meta = spark.sql(conv_meta_sql("spark", "events"))
+    subset = t.filter(
+        F.substring("conv_id", 6, 10).cast("int") % 29 == 1
+    )
+    work = tempfile.mkdtemp(prefix="gate_follow_")
+    try:
+        in_dir = os.path.join(work, "in")
+        out_dir = os.path.join(work, "out")
+        # convs must not straddle files (the conv is the readiness
+        # unit, like the reference's build dirs)
+        subset.repartition(2, "conv_id").write.parquet(in_dir)
+        run_follow(spark, in_dir, out_dir, meta=meta)
+        parts = []
+        for sink in SINKS:
+            p = os.path.join(out_dir, "sinks", sink)
+            if os.path.exists(p):
+                parts.append(
+                    spark.read.parquet(p).select(
+                        "conv_id",
+                        "turn_idx",
+                        F.lit(sink).alias("sink"),
+                        "drop_reason",
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # materialize before the temp dir is deleted
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, sink string, drop_reason string"
+    )
+
+
+def q_stream_session_evictions(spark, sf_dir):
+    """Stateful applyInPandasWithState sessionizer (idle eviction) —
+    rows-only gate entry (state timeouts are not SQL-expressible):
+    stream 3 convs in 2 conv-aligned files, wait for all evictions,
+    return the final (deterministic) evicted summaries."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.session_state import (
+        run_stateful_sessionize,
+    )
+
+    t = load_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 6, 10).cast("int") % 50 == 1
+    )
+    n_convs = t.select("conv_id").distinct().count()
+    work = tempfile.mkdtemp(prefix="gate_sess_")
+    try:
+        in_dir = os.path.join(work, "in")
+        t.repartition(2, "conv_id").write.parquet(in_dir)
+        out = run_stateful_sessionize(
+            spark,
+            in_dir,
+            os.path.join(work, "out"),
+            max_files_per_trigger=1,
+            wait_evictions=n_convs,
+        )
+        rows = (
+            out.filter(F.col("status") == "evicted")
+            .select("conv_id", "turns", "first_us", "last_us")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "conv_id string, turns long, first_us long, last_us long"
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ---------
 
 
@@ -500,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
+    qs["stream_follow_route"] = q_stream_follow
+    qs["stream_session_evictions"] = q_stream_session_evictions
     qs.update(
         {
             "dedup_exact": q_dedup_exact,
@@ -549,6 +645,10 @@ def oracle_sql() -> dict[str, str]:
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
+    # streaming twins: identical semantics to the batch pipeline on
+    # the same deterministic conv subsets
+    sqls["stream_follow_route"] = oracle.q_stream_follow()
+    sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
     from ci_log_processing_spark import oracle_data as od
 
     sqls.update(

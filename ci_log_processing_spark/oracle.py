@@ -370,6 +370,27 @@ FROM p GROUP BY 1
 """
 
 
+def q_stream_follow() -> str:
+    """Streaming follow loop must equal batch routing on the same
+    conv subset (user_id % 29 == 1)."""
+    return pipeline_cte() + (
+        "SELECT conv_id, turn_idx, sink, drop_reason FROM routed "
+        "WHERE CAST(substr(conv_id, 6) AS INT) % 29 = 1"
+    )
+
+
+def q_stream_session_evictions() -> str:
+    """Stateful sessionizer's final evicted summaries: per-conv turn
+    count and first/last event micros over the same deterministic
+    subset (user_id % 50 == 1)."""
+    return pipeline_cte() + (
+        "SELECT conv_id, count(*) AS turns, "
+        "min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us "
+        "FROM transcripts WHERE CAST(substr(conv_id, 6) AS INT) % 50 = 1 "
+        "GROUP BY conv_id"
+    )
+
+
 def q_file_tags() -> str:
     """J1 ordered suffix-match lookup oracle (get_file_info parity,
     logsender.py:375-381) — same CASE chain, DuckDB dialect."""

@@ -45,17 +45,25 @@ def run_follow(
     ref_year: int = DEFAULT_REF_YEAR,
     impl: str = "native",
     processing_time: str | None = None,
+    meta=None,
 ):
     """Stream the transcripts directory into the 4 sinks + hourly agg.
 
-    Returns the StreamingQuery (already awaited when availableNow).
+    `meta` (conv-metadata DataFrame) enables the no_metadata drop
+    rule exactly as in batch mode. Returns the StreamingQuery
+    (already awaited when availableNow).
     """
 
     def process_batch(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
         routed = full_pipeline(
-            batch_df, spark, batch_ts=batch_ts, ref_year=ref_year, impl=impl
+            batch_df,
+            spark,
+            batch_ts=batch_ts,
+            ref_year=ref_year,
+            impl=impl,
+            meta=meta,
         ).withColumn("batch_id", F.lit(batch_id))
         routed = routed.persist()
         try:
