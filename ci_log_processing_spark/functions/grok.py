@@ -123,8 +123,10 @@ def make_grok_udf(ref_year: int = 2024):
         (r"^([A-Za-z]{3} [0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2})(?:\s|$)",
          "%b %d %H:%M:%S", False, True),
         (r"^([-0-9T:]{19})", "%Y-%m-%dT%H:%M:%S", False, False),
+        # no trailing anchor — the reference's 14-char window stops
+        # after the seconds regardless of what follows
         (r"^((?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday) "
-         r"[0-9]{2} [A-Za-z]+ [0-9]{4}  [0-9]{2}:[0-9]{2}:[0-9]{2})(?:\s|$)",
+         r"[0-9]{2} [A-Za-z]+ [0-9]{4}  [0-9]{2}:[0-9]{2}:[0-9]{2})",
          "%A %d %B %Y  %H:%M:%S", False, False),
     ]
 

@@ -115,10 +115,13 @@ _SPARK_STEPS = [
     # 5: first 19 iso chars
     (r"^([-0-9T:]{19})", 1, "yyyy-MM-dd'T'HH:mm:ss", False),
     # 6: ansible long date (weekday validated by regex; Spark cannot
-    #    parse EEEE so the weekday token is stripped before parsing)
+    #    parse EEEE so the weekday token is stripped before parsing).
+    #    NO trailing anchor: the reference's `[0-9: ]{14}` window
+    #    simply stops after the seconds, so 'HH:MM:SSgarbage' still
+    #    parses (fuzz-verified parity, logsender.py:345)
     (
         r"^(?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday) "
-        r"([0-9]{2} [A-Za-z]+ [0-9]{4}  [0-9]{2}:[0-9]{2}:[0-9]{2})(?:\s|$)",
+        r"([0-9]{2} [A-Za-z]+ [0-9]{4}  [0-9]{2}:[0-9]{2}:[0-9]{2})",
         1,
         "dd MMMM yyyy  HH:mm:ss",
         False,
@@ -216,9 +219,11 @@ def ts_cascade_sql_duckdb(text_expr: str, ref_year: int = 2024) -> str:
             True,
         ),
         plain_step(r"^([-0-9T:]{19})", "%Y-%m-%dT%H:%M:%S", False),
+        # no trailing anchor — reference's 14-char window stops after
+        # the seconds regardless of what follows (logsender.py:345)
         plain_step(
             r"^((?:Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday) "
-            r"[0-9]{2} [A-Za-z]+ [0-9]{4}  [0-9]{2}:[0-9]{2}:[0-9]{2})(\s|$)",
+            r"[0-9]{2} [A-Za-z]+ [0-9]{4}  [0-9]{2}:[0-9]{2}:[0-9]{2})",
             "%A %d %B %Y %H:%M:%S",
             False,
         ),

@@ -1,0 +1,58 @@
+"""Physical-plan regression guards: the properties PLANS.md documents
+must survive refactors — one conv-keyed exchange for the whole
+parse→window→route path on a materialized table, broadcast-only
+joins, and no shuffle joins of the fact table anywhere."""
+
+import datetime as dt
+
+from ci_log_processing_spark.plans.pipeline import full_pipeline
+
+
+def _materialized(spark, tmp_path):
+    rows = [
+        (f"c{c}", i, "assistant",
+         f"2024-03-01 10:00:0{i % 10}.000000 | INFO [nova.x] line {i}",
+         None, dt.datetime(2024, 3, 1))
+        for c in range(20)
+        for i in range(30)
+    ]
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_native_pipeline_single_exchange(spark, tmp_path):
+    t = _materialized(spark, tmp_path)
+    meta = spark.createDataFrame([(f"c{c}",) for c in range(15)], "conv_id string")
+    routed = full_pipeline(t, spark, meta=meta)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE fact-table exchange: the explicit conv repartition
+    # that the ffill window and routing reuse (REPARTITION_BY_NUM).
+    # Exchanges under broadcast build sides (dim distinct before
+    # broadcast) move dimension rows, not the fact table, and are
+    # exempt — so count by the repartition tag, not by line.
+    fact_exchanges = [
+        ln for ln in plan.splitlines() if "REPARTITION_BY_NUM" in ln
+    ]
+    assert len(fact_exchanges) == 1, plan
+    # every join is broadcast: the fact table never shuffles on a key
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # both window frames (ffill + prior count) share ONE Sort/Window
+    assert plan.count("Window") == 1, plan
+
+
+def test_scan_prunes_columns(spark, tmp_path):
+    # a projection that needs only conv_id/turn_idx/text must not
+    # drag role/tool/ts through the scan (ReadSchema pruning)
+    t = _materialized(spark, tmp_path)
+    from ci_log_processing_spark.plans.pipeline import parse_transcripts
+
+    q = parse_transcripts(t).select("conv_id", "turn_idx", "severity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "role" not in scan and "tool" not in scan, scan
