@@ -44,9 +44,18 @@ def _tool_category_values() -> str:
     return f"(VALUES {rows}) AS tc(tool, category, cat_tags)"
 
 
-def pipeline_cte(skip_debug: bool = True) -> str:
+def pipeline_cte(
+    skip_debug: bool = True,
+    transcripts_rel: str | None = None,
+    meta_rel: str | None = None,
+) -> str:
     """Shared WITH-prefix: transcripts -> parsed -> filled -> enriched
-    -> routed. Ends with CTE name `routed`."""
+    -> routed. Ends with CTE name `routed`.
+
+    By default transcripts/meta derive from the events view (the
+    driver's gate). `transcripts_rel`/`meta_rel` substitute arbitrary
+    relations instead — used by the randomized end-to-end fuzz test,
+    where the input is NOT the derived table."""
     msg = message_sql_duckdb("text")
     sev = severity_sql_duckdb("message")
     sub = subsystem_sql_duckdb("message")
@@ -60,9 +69,20 @@ def pipeline_cte(skip_debug: bool = True) -> str:
     )
     from .sources.derived import conv_meta_sql
 
+    t_src = (
+        f"SELECT * FROM {transcripts_rel}"
+        if transcripts_rel
+        else transcripts_sql("duckdb", "events")
+    )
+    m_src = (
+        f"SELECT conv_id FROM {meta_rel}"
+        if meta_rel
+        else conv_meta_sql("duckdb", "events")
+    )
+
     return f"""
-WITH transcripts AS ({transcripts_sql('duckdb', 'events')}),
-meta AS (SELECT DISTINCT conv_id FROM ({conv_meta_sql('duckdb', 'events')})),
+WITH transcripts AS ({t_src}),
+meta AS (SELECT DISTINCT conv_id FROM ({m_src})),
 parsed AS (
   SELECT conv_id, turn_idx, role, text, tool, ts,
          {ts} AS event_ts,
