@@ -482,6 +482,36 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+CONTAM_SNIPPETS = ["merge batch part", "scan slow fast", "vector table fast"]
+
+
+def q_decontaminate(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), CONTAM_SNIPPETS)
+
+
+def q_stratified_downsample(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import (
+        stratified_downsample,
+    )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "stratum", (F.col("doc_id") % 7).cast("long")
+    )
+    return stratified_downsample(d, "stratum", keep_one_in=3).select(
+        "doc_id", "stratum"
+    )
+
+
+def q_token_histogram(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import (
+        token_length_histogram,
+    )
+
+    return token_length_histogram(_docs(spark, sf_dir))
+
+
 def q_token_counts(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import token_counts
 
@@ -607,6 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine": q_embed_near_dup,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
+            "cur_decontaminate": q_decontaminate,
+            "cur_stratified_downsample": q_stratified_downsample,
+            "cur_token_histogram": q_token_histogram,
             "text_token_counts": q_token_counts,
             "text_quality": q_quality,
             "text_lang_id": q_lang_id,
@@ -662,6 +695,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
+            "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
+            "cur_stratified_downsample": od.q_stratified_downsample(3),
+            "cur_token_histogram": od.q_token_histogram(16),
             "text_token_counts": od.q_token_counts(),
             "text_quality": od.q_quality(),
             "text_lang_id": od.q_lang_id(),

@@ -256,6 +256,39 @@ scored AS (
 """ + _TOPK_TAIL.format(k=k)
 
 
+# --- curation ----------------------------------------------------------
+
+
+def q_decontaminate(snippets: list[str]) -> str:
+    hit = "NULL"
+    for s in reversed(snippets):
+        hit = f"CASE WHEN contains(text, '{s}') THEN '{s}' ELSE {hit} END"
+    return f"""
+SELECT doc_id, ({hit}) IS NOT NULL AS contaminated,
+       {hit} AS matched_snippet
+FROM documents
+"""
+
+
+def q_stratified_downsample(keep_one_in: int = 3) -> str:
+    return f"""
+SELECT doc_id, stratum FROM (
+  SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS stratum,
+         row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE (rn - 1) % {keep_one_in} = 0
+"""
+
+
+def q_token_histogram(bucket: int = 16) -> str:
+    n = f"len({_TOKS})"
+    return f"""
+SELECT CAST(({n} // {bucket}) * {bucket} AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs, CAST(sum({n}) AS BIGINT) AS total_tokens
+FROM documents GROUP BY 1
+"""
+
+
 # --- text analysis -----------------------------------------------------
 
 

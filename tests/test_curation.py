@@ -1,0 +1,58 @@
+"""Curation operator semantics: decontamination (first snippet
+wins), deterministic stratified downsampling, token histogram."""
+
+from pyspark.sql import functions as F
+
+from ci_log_processing_spark.operators.curation import (
+    decontaminate,
+    stratified_downsample,
+    token_length_histogram,
+)
+
+
+def test_decontaminate_first_snippet_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "clean document here"),
+            (3, "beta gamma AND alpha beta both present"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["contaminated"], r["matched_snippet"])
+        for r in decontaminate(docs, ["alpha beta", "beta gamma"]).collect()
+    }
+    assert out[1] == (True, "alpha beta")
+    assert out[2] == (False, None)
+    # doc 3 contains BOTH; list order decides
+    assert out[3] == (True, "alpha beta")
+
+
+def test_stratified_downsample_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", i % 3) for i in range(90)],
+        "doc_id long, text string, stratum int",
+    )
+    a = stratified_downsample(docs, "stratum", keep_one_in=5)
+    b = stratified_downsample(docs, "stratum", keep_one_in=5)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb  # bit-for-bit reproducible, no RNG
+    per = {
+        r["stratum"]: r["n"]
+        for r in a.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {0: 6, 1: 6, 2: 6}  # 30 per stratum / 5
+
+
+def test_token_histogram_conserves_totals(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (i + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    h = token_length_histogram(docs, bucket_size=16).collect()
+    assert sum(r["n_docs"] for r in h) == 40
+    assert sum(r["total_tokens"] for r in h) == sum(range(1, 41))
+    los = sorted(r["bucket_lo"] for r in h)
+    assert los == [0, 16, 32]
