@@ -482,6 +482,17 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    from ci_log_processing_spark.operators.similarity import (
+        ivf_multiprobe_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return ivf_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2
+    )
+
+
 CONTAM_SNIPPETS = ["merge batch part", "scan slow fast", "vector table fast"]
 
 
@@ -637,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine": q_embed_near_dup,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
+            "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
             "cur_decontaminate": q_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_token_histogram": q_token_histogram,
@@ -695,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
+            "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_token_histogram": od.q_token_histogram(16),

@@ -114,6 +114,97 @@ def bucketed_ann_topk(
     )
 
 
+def bucket_centroids(
+    emb: DataFrame, bucket_col: str = "label"
+) -> DataFrame:
+    """Element-wise MEDIAN centroid per coarse bucket.
+
+    Median (exact percentile 0.5), not mean, deliberately: a mean's
+    floating-point sum depends on aggregation order, so Spark and
+    the DuckDB oracle could disagree in the last ulp; the median of
+    stored values — (a+b)/2 of two exact floats at even counts — is
+    order-independent and reproduces bit-for-bit on both engines.
+    Semantics for IVF are unchanged (a robust per-bucket
+    representative). Cost: posexplode + one (bucket, pos) aggregate
+    over the dim table — tiny next to the corpus.
+    """
+    pos = emb.select(
+        F.col(bucket_col).alias("bkt"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    cent = pos.groupBy("bkt", "pos").agg(
+        F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("cv")
+    )
+    return cent.groupBy("bkt").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda x: x["cv"],
+        ).alias("centroid")
+    )
+
+
+def ivf_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    bucket_col: str = "label",
+) -> DataFrame:
+    """True IVF search: rank bucket centroids per query, probe the
+    nprobe nearest buckets, exact top-k inside the probed set.
+
+    Scale shape: centroids are a tiny dim table (buckets × dim) —
+    broadcast both the query set and the probe assignment; the
+    corpus join touches only the probed buckets' partitions (at
+    100 TB the corpus is partitioned by bucket id, so this is
+    partition pruning, not a scan). Recall rises with nprobe and is
+    measured against brute force in tests.
+    """
+    from pyspark.sql.window import Window
+
+    cents = bucket_centroids(emb, bucket_col)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ranked = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("bkt"),
+            cosine_col(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_cos"), F.asc("bkt")
+                )
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select("query_id", "q_emb", "bkt")
+    )
+    scored = (
+        emb.join(
+            F.broadcast(ranked), emb[bucket_col] == ranked["bkt"], "inner"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_col(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, bucket_col: str = "label"
 ) -> DataFrame:

@@ -240,6 +240,42 @@ scored AS (
 """ + _TOPK_TAIL.format(k=k)
 
 
+def q_ann_ivf_multiprobe(
+    k: int = 10, n_queries: int = 5, nprobe: int = 2
+) -> str:
+    """IVF multiprobe oracle: element-wise MEDIAN centroids (order-
+    independent — see operators.similarity.bucket_centroids), rank
+    buckets per query by centroid cosine, probe nprobe buckets,
+    exact top-k inside."""
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+px AS (SELECT label, emb, unnest(generate_series(1, len(emb))) AS pos FROM e),
+cm AS (SELECT label, pos, median(emb[pos]) AS cv FROM px GROUP BY 1, 2),
+cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, q_emb, label FROM (
+    SELECT q.query_id, q.q_emb, c.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.q_emb, c.centroid) /
+                     (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                      sqrt(list_dot_product(c.centroid, c.centroid))), 5)
+               DESC, c.label ASC) AS c_rank
+    FROM q, cent c
+  ) WHERE c_rank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(p.q_emb, e.emb) /
+               (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                sqrt(list_dot_product(e.emb, e.emb))), 5) AS cosine
+  FROM e JOIN probes p ON e.label = p.label
+  WHERE e.vec_id != p.query_id
+)
+""" + _TOPK_TAIL.format(k=k)
+
+
 def q_ann_bucketed(k: int = 10, n_queries: int = 5) -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -80,3 +80,25 @@ def test_fingerprint_canonicalizes(spark):
     fps = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
     assert fps[1] == fps[2]  # order + duplication insensitive
     assert fps[1] != fps[3]
+
+
+def test_ivf_multiprobe_recall_dominates_single_bucket(spark, emb):
+    from ci_log_processing_spark.operators.similarity import (
+        ivf_multiprobe_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    def recall(nprobe):
+        got = ivf_multiprobe_topk(emb, q, k=10, nprobe=nprobe).collect()
+        g = {(r["query_id"], r["neighbor_id"]) for r in got}
+        return len(e & g) / len(e)
+
+    r1, r3 = recall(1), recall(3)
+    # probing more buckets can only add candidates -> recall is
+    # monotone in nprobe; at nprobe = all buckets it equals 1.0
+    assert r1 <= r3
+    n_buckets = emb.select("label").distinct().count()
+    assert recall(n_buckets) == 1.0
