@@ -565,6 +565,41 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(attach_media(_docs(spark, sf_dir)))
 
 
+def q_mm_audio_chunks(spark, sf_dir):
+    from ci_log_processing_spark.operators.multimodal import (
+        attach_media,
+        audio_chunks,
+    )
+
+    return audio_chunks(attach_media(_docs(spark, sf_dir)))
+
+
+MM_AUDIO_ORACLE = """
+WITH a AS (
+  SELECT doc_id, text, length(text) AS L FROM documents WHERE doc_id % 3 = 1
+),
+c AS (
+  SELECT doc_id, text,
+         unnest(range(least(8, greatest((L + 31) // 32, 1)))) AS ci
+  FROM a
+),
+s AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         CAST(ci * 32 AS BIGINT) AS start_byte,
+         substr(text, CAST(ci * 32 + 1 AS INT), 32) AS seg
+  FROM c
+)
+SELECT doc_id, chunk_idx, start_byte,
+       CAST(length(seg) AS BIGINT) AS n_bytes,
+       coalesce(round(list_aggregate(
+         list_transform(range(1, length(seg) + 1),
+                        i -> ord(substr(seg, CAST(i AS INT), 1))), 'avg'),
+         6), 0.0) AS rms_proxy,
+       md5(seg) AS chunk_hash
+FROM s
+"""
+
+
 MM_IMAGE_ORACLE = """
 SELECT doc_id,
        CAST(64 + length(text) % 577 AS INT) AS width,
@@ -658,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_fingerprint": q_fingerprint,
             "mm_image_features": q_mm_image_features,
             "mm_frame_sample": q_mm_frame_sample,
+            "mm_audio_chunks": q_mm_audio_chunks,
         }
     )
     return qs
@@ -717,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
             "text_fingerprint": od.q_fingerprint(),
             "mm_image_features": MM_IMAGE_ORACLE,
             "mm_frame_sample": MM_FRAME_ORACLE,
+            "mm_audio_chunks": MM_AUDIO_ORACLE,
         }
     )
     return sqls

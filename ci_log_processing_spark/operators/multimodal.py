@@ -139,3 +139,50 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
     videos = media.filter(F.col("kind") == "video")
     return videos.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, chunk_idx int, start_byte long, n_bytes long, "
+    "rms_proxy double, chunk_hash string"
+)
+
+
+def audio_chunks(
+    media: DataFrame, chunk_bytes: int = 32, max_chunks: int = 8
+) -> DataFrame:
+    """Fixed-size chunking + per-chunk features for audio payloads —
+    the audio analog of frame_sample (real pipeline: resample +
+    window + spectral features via libav/librosa, absent here).
+
+    The DECODE is a deterministic fake (rms_proxy = mean byte value
+    of the chunk — a pure function of the payload, so results are
+    reproducible and oracle-checkable); the Spark-side contract —
+    binary column in, Arrow batches through mapInPandas, bounded
+    chunk fan-out per row — is the production shape.
+    """
+
+    def chunk(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "chunk_idx": [], "start_byte": [],
+                "n_bytes": [], "rms_proxy": [], "chunk_hash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = min(max_chunks, max((len(b) + chunk_bytes - 1) // chunk_bytes, 1))
+                for i in range(n):
+                    seg = b[i * chunk_bytes:(i + 1) * chunk_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(i)
+                    rows["start_byte"].append(i * chunk_bytes)
+                    rows["n_bytes"].append(len(seg))
+                    rows["rms_proxy"].append(
+                        round(sum(seg) / len(seg), 6) if seg else 0.0
+                    )
+                    rows["chunk_hash"].append(hashlib.md5(seg).hexdigest())
+            yield pd.DataFrame(rows)
+
+    audio = media.filter(F.col("kind") == "audio")
+    return audio.mapInPandas(chunk, AUDIO_CHUNK_SCHEMA)

@@ -49,3 +49,29 @@ def test_frame_sample_shape(spark, media):
     for doc_rows in by_doc.values():
         offs = [r["offset"] for r in sorted(doc_rows, key=lambda r: r["frame_idx"])]
         assert offs == sorted(offs)
+
+
+def test_audio_chunks_contract(spark):
+    from ci_log_processing_spark.operators.multimodal import (
+        attach_media,
+        audio_chunks,
+    )
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100, "s"), (4, "xy", "s"), (7, "b" * 500, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = audio_chunks(attach_media(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 bytes -> 4 chunks of 32/32/32/4
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_bytes"] for r in c1] == [32, 32, 32, 4]
+    assert c1[0]["rms_proxy"] == float(ord("a"))
+    assert c1[0]["chunk_hash"] == hashlib.md5(b"a" * 32).hexdigest()
+    # doc 4: tiny payload -> exactly one chunk
+    assert [r["n_bytes"] for r in by_doc[4]] == [2]
+    # doc 7: 500 bytes capped at max_chunks=8
+    assert len(by_doc[7]) == 8
