@@ -344,23 +344,23 @@ def q_stream_follow(spark, sf_dir):
         # unit, like the reference's build dirs)
         subset.repartition(2, "conv_id").write.parquet(in_dir)
         run_follow(spark, in_dir, out_dir, meta=meta)
-        parts = []
+        rows = []
         for sink in SINKS:
             p = os.path.join(out_dir, "sinks", sink)
-            if os.path.exists(p):
-                parts.append(
-                    spark.read.parquet(p).select(
-                        "conv_id",
-                        "turn_idx",
-                        F.lit(sink).alias("sink"),
-                        "drop_reason",
-                    )
-                )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        # materialize before the temp dir is deleted
-        rows = out.collect()
+            try:
+                # a sink that received no rows leaves only _SUCCESS —
+                # schema inference fails; treat as empty
+                sdf = spark.read.parquet(p)
+            except Exception:
+                continue
+            rows.extend(
+                sdf.select(
+                    "conv_id",
+                    "turn_idx",
+                    F.lit(sink).alias("sink"),
+                    "drop_reason",
+                ).collect()
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
