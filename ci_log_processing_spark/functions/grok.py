@@ -59,16 +59,29 @@ def subsystem_col(message: Column) -> Column:
     return F.nullif(F.regexp_extract(message, SUBSYSTEM_RX, 1), F.lit(""))
 
 
+def _syslog_shaped(text: Column) -> Column:
+    """Cheap pre-gate: SYSLOG_PROG_RX can only match lines starting
+    with a letter (month abbreviation). Skipping the regex for the
+    ~3/4 of lines that start with a digit/other measurably cuts
+    parse cost (same trick as the ts cascade's first-char gating)."""
+    c = F.ascii(F.substring(text, 1, 1))
+    return ((c >= 65) & (c <= 90)) | ((c >= 97) & (c <= 122))
+
+
 def program_col(text: Column) -> Column:
     """syslog_program from the raw line (group 2 of SYSLOG_PROG_RX)."""
-    return F.nullif(F.regexp_extract(text, SYSLOG_PROG_RX, 2), F.lit(""))
+    return F.when(
+        _syslog_shaped(text),
+        F.nullif(F.regexp_extract(text, SYSLOG_PROG_RX, 2), F.lit("")),
+    )
 
 
 def pid_col(text: Column) -> Column:
     """syslog_pid (group 3); NULL when the [pid] suffix is absent."""
-    return F.nullif(F.regexp_extract(text, SYSLOG_PROG_RX, 3), F.lit("")).try_cast(
-        "long"
-    )
+    return F.when(
+        _syslog_shaped(text),
+        F.nullif(F.regexp_extract(text, SYSLOG_PROG_RX, 3), F.lit("")),
+    ).try_cast("long")
 
 
 def severity_sql_duckdb(message_expr: str) -> str:
