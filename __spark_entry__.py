@@ -394,6 +394,7 @@ def q_stream_session_evictions(spark, sf_dir):
             os.path.join(work, "out"),
             max_files_per_trigger=1,
             wait_evictions=n_convs,
+            eviction_deadline_sec=180.0,  # headroom on loaded machines
         )
         rows = (
             out.filter(F.col("status") == "evicted")
