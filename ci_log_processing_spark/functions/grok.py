@@ -191,7 +191,25 @@ def make_grok_udf(ref_year: int = 2024):
         subsystem = message.str.extract(SUBSYSTEM_RX, expand=False)
         prog = text.str.extract(SYSLOG_PROG_RX, expand=True)
         program = prog[1].where(prog[1].notna() & (prog[1] != ""))
-        pid = pd.to_numeric(prog[2], errors="coerce").astype("Int64")
+
+        # exact int path. Two float64 traps to avoid: pd.to_numeric
+        # coerces through float64 when NaN is present, and even
+        # Series.map(...).astype("Int64") does (map stores None back
+        # as np.nan, and object->Int64 with NaN routes via float64) —
+        # both silently round pids above 2^53 where native
+        # try_cast("long") stays exact. pd.array over python
+        # ints/None is the exact construction. Regex guarantees
+        # digits-only.
+        def _pid(x):
+            if not isinstance(x, str) or not x:
+                return None
+            v = int(x)
+            return v if v <= 9223372036854775807 else None
+
+        pid = pd.Series(
+            pd.array([_pid(x) for x in prog[2]], dtype="Int64"),
+            index=text.index,
+        )
         return pd.DataFrame(
             {
                 "event_ts": ts,

@@ -240,7 +240,10 @@ def iso_serialize_col(ts):
     from pyspark.sql import functions as F
 
     base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
-    micros = F.unix_micros(ts) % 1000000
+    # pmod, not %: pre-1970 instants have negative unix_micros, and a
+    # negative remainder would lpad-truncate into garbage; pmod gives
+    # the 0..999999 fractional field datetime.isoformat() carries
+    micros = F.pmod(F.unix_micros(ts), F.lit(1000000))
     return F.when(ts.isNull(), F.lit(None).cast("string")).otherwise(
         F.when(micros == 0, base).otherwise(
             F.concat(base, F.lit("."), F.lpad(micros.cast("string"), 6, "0"))

@@ -76,5 +76,13 @@ def expire_checkpoint(
     path = jvm.org.apache.hadoop.fs.Path(ckpt_dir)
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
     fs = path.getFileSystem(conf)
-    fs.delete(path, True)
-    fs.rename(tmp, path)
+    # Hadoop FS reports failure via boolean returns, not exceptions —
+    # a swallowed failed rename after a successful delete would
+    # silently destroy the manifest (every conv reprocessed next run)
+    if not fs.delete(path, True):
+        raise IOError(f"checkpoint expiry: could not delete {ckpt_dir}")
+    if not fs.rename(tmp, path):
+        raise IOError(
+            f"checkpoint expiry: rename {tmp_dir} -> {ckpt_dir} failed; "
+            f"manifest preserved at {tmp_dir}"
+        )

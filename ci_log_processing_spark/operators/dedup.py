@@ -19,6 +19,12 @@ because it evaluates identically in Spark, DuckDB and Python, which
 the correctness oracle needs (Spark's xxhash64 and DuckDB's hash()
 disagree). At production scale swap H32_EXPR for xxhash64 — the
 plan shape is unchanged.
+
+Caching note: ngram_jaccard_pairs / minhash_lsh_pairs / simhash_pairs
+persist() an intermediate so their verify stage reuses one corpus
+scan. The persisted data stays referenced by the returned plan, so a
+session running MANY such operators back-to-back should
+spark.catalog.clearCache() between them (the bundled harnesses do).
 """
 
 from __future__ import annotations
@@ -100,35 +106,6 @@ def exact_dedup_keep_first(
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", h.alias("h"))
-    )
-
-
-def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    toks = tokens_col(F.col(text_col))
-    return (
-        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
-        .select("doc_id", F.explode("shingles").alias("s"))
-    )
-
-
-def _with_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
-    """Attach jaccard = inter / (na + nb - inter) to (doc_a, doc_b,
-    inter) rows and filter by threshold."""
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

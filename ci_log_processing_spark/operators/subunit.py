@@ -83,7 +83,10 @@ def packet_hex_col(
     return F.concat(
         F.lit("B3"),
         F.lpad(F.hex(code), 2, "0"),
-        F.lpad(F.hex(F.length(test_name)), 4, "0"),
+        # octet_length, NOT length: name_len counts UTF-8 BYTES (the
+        # name is hex'd as bytes); a character count desyncs the
+        # stream on the first multi-byte test name
+        F.lpad(F.hex(F.octet_length(test_name)), 4, "0"),
         F.hex(test_name),
         F.lpad(F.hex(start_us), 16, "0"),
         F.lpad(F.hex(end_us), 16, "0"),

@@ -98,7 +98,14 @@ def main(argv=None):
             os.path.dirname(args.transcripts_parquet.rstrip("/")),
             "conv_meta.parquet",
         )
-        if os.path.exists(meta_path):
+        # Hadoop FS, not os.path: the transcripts path is an
+        # HDFS/S3 URI in the deployment this job is designed for,
+        # where os.path.exists would silently disable the
+        # no_metadata rule
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(meta_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             meta = spark.read.parquet(meta_path)
     else:
         from ..sources.derived import conv_meta_sql

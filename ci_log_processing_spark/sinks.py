@@ -72,16 +72,37 @@ class IcebergTableSink(TableSink):
     def __init__(self, table: str):
         self.table = table
 
+    # exactly the columns plans/job.py appends (full_pipeline output
+    # minus text/ts/prior_ts_count, plus src_partition/batch_id/
+    # event_date) — tests assert the DDL list matches the job's
+    # routed schema so the two can never drift
+    COLUMNS = (
+        ("conv_id", "STRING"),
+        ("turn_idx", "INT"),
+        ("role", "STRING"),
+        ("tool", "STRING"),
+        ("event_ts", "TIMESTAMP"),
+        ("message", "STRING"),
+        ("severity", "STRING"),
+        ("subsystem", "STRING"),
+        ("program", "STRING"),
+        ("pid", "BIGINT"),
+        ("filled_ts", "TIMESTAMP"),
+        ("pipeline", "STRING"),
+        ("category", "STRING"),
+        ("tags", "ARRAY<STRING>"),
+        ("sink", "STRING"),
+        ("drop_reason", "STRING"),
+        ("src_partition", "INT"),
+        ("batch_id", "STRING"),
+        ("event_date", "DATE"),
+    )
+
     def ddl(self) -> str:
+        cols = ", ".join(f"{n} {t}" for n, t in self.COLUMNS)
         return (
-            f"CREATE TABLE IF NOT EXISTS {self.table} ("
-            "  conv_id STRING, turn_idx INT, role STRING, tool STRING,"
-            "  event_ts TIMESTAMP, filled_ts TIMESTAMP, severity STRING,"
-            "  subsystem STRING, message STRING, pipeline STRING,"
-            "  category STRING, drop_reason STRING, sink STRING,"
-            "  batch_id STRING, event_date DATE,"
-            "  src_partition INT"
-            ") USING iceberg "
+            f"CREATE TABLE IF NOT EXISTS {self.table} ({cols}) "
+            "USING iceberg "
             "PARTITIONED BY (sink, days(event_date))"
         )
 

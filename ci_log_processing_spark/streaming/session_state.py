@@ -150,6 +150,7 @@ def run_stateful_sessionize(
     # requested number of evictions has landed in the sink.
     try:
         deadline = time.time() + eviction_deadline_sec
+        drained_empty_polls = 0
         while time.time() < deadline:
             lp = q.lastProgress
             drained = lp is not None and lp.get("numInputRows", -1) == 0
@@ -161,11 +162,21 @@ def run_stateful_sessionize(
                         .count()
                     )
                 except Exception:
-                    n = 0
-                if n >= wait_evictions:
+                    # sink never materialized: with a non-empty input
+                    # the FIRST data batch writes 'active' rows, so a
+                    # drained stream with no sink means the input was
+                    # empty — stop instead of spinning to the deadline
+                    drained_empty_polls += 1
+                    if drained_empty_polls > 20:
+                        break
+                    n = None
+                if n is not None and n >= wait_evictions:
                     break
             time.sleep(0.25)
     finally:
         q.stop()
         q.awaitTermination()
-    return spark.read.parquet(sink)
+    try:
+        return spark.read.parquet(sink)
+    except Exception:  # empty input -> no batch ever wrote the sink
+        return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)

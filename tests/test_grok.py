@@ -56,6 +56,9 @@ def test_iso_serialize_micros_iff_nonzero(spark):
         (1, dt.datetime(2022, 2, 28, 19, 51, 55)),          # micros 0
         (2, dt.datetime(2024, 1, 1, 0, 0, 0, 7)),           # pad to 6
         (3, None),
+        # pre-1970: unix_micros is negative; pmod must still yield
+        # the 0..999999 fractional field isoformat carries
+        (4, dt.datetime(1960, 6, 1, 12, 0, 0, 250000)),
     ]
     df = spark.createDataFrame(rows, "i int, ts timestamp")
     got = {
@@ -69,6 +72,7 @@ def test_iso_serialize_micros_iff_nonzero(spark):
     assert got[1] == "2022-02-28T19:51:55"
     assert got[2] == "2024-01-01T00:00:00.000007"
     assert got[3] is None
+    assert got[4] == "1960-06-01T12:00:00.250000"
     for i, ts in rows:
         if ts is not None:
             assert got[i] == ts.isoformat()

@@ -25,6 +25,10 @@ PAYLOADS = [
     " | plain message",
     " host-3 kernel: event",
     " myhost sudo[77]: ran thing",
+    # pids around/over 2^53 and 2^63: float64 would corrupt the
+    # first and blow up on the second — exact paths must agree
+    " h prog[9007199254740993]: big pid",
+    " h prog[9223372036854775808]: over int64",
     " | TOOL bash invoke",
     "garbage trailing | with | pipes",
     " | DEBUG detail",

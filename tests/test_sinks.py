@@ -36,6 +36,35 @@ def test_iceberg_ddl_golden():
     assert "PARTITIONED BY (sink, days(event_date))" in ddl
 
 
+def test_iceberg_ddl_matches_job_schema(spark):
+    # the DDL column set must equal what plans/job.py actually
+    # appends, or the Iceberg path fails on its first real write
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ci_log_processing_spark.plans.pipeline import full_pipeline
+
+    t = spark.createDataFrame(
+        [("c1", 0, "assistant", "2024-01-01 00:00:00.5 | INFO x", None,
+          dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    meta = spark.createDataFrame([("c1",)], "conv_id string")
+    routed = (
+        full_pipeline(t, spark, meta=meta)
+        .withColumn("src_partition", F.spark_partition_id())
+        .withColumn("batch_id", F.lit("b"))
+        .withColumn("event_date", F.to_date("filled_ts"))
+        .drop("text", "ts", "prior_ts_count")
+    )
+    ddl_cols = {n for n, _t in IcebergTableSink.COLUMNS}
+    assert ddl_cols == set(routed.columns), (
+        ddl_cols ^ set(routed.columns)
+    )
+
+
 def test_iceberg_unavailable_raises_with_ddl(spark):
     s = IcebergTableSink("logs.agent_turns")
     if IcebergTableSink.available(spark):  # pragma: no cover

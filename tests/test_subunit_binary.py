@@ -95,6 +95,39 @@ def test_midstream_corruption_truncates(spark):
     )
 
 
+def test_multibyte_test_name_roundtrip(spark):
+    # name_len is UTF-8 BYTES: a multi-byte char must not desync the
+    # stream (Catalyst encoder uses octet_length, not length)
+    from ci_log_processing_spark.operators.subunit import packet_hex_col
+    from pyspark.sql import functions as F
+
+    tests = [
+        ("tests.test_ü.TestÜ.test_ünïcode", "success", _us(), _us(s=1)),
+        ("tests.test_after.TestA.test_two", "success", _us(), _us(s=2)),
+    ]
+    # python encoder roundtrip
+    df = _df(spark, [("c1", "x.subunit", encode_stream(tests))])
+    names = sorted(r["test_name"] for r in parse_subunit_stream(df).collect())
+    assert names == sorted(n for n, *_ in tests)
+    # catalyst encoder produces byte-identical framing
+    rows = spark.createDataFrame(
+        tests,
+        "test_name string, test_status string, start_us long, end_us long",
+    )
+    hexes = {
+        r["test_name"]: r["h"]
+        for r in rows.select(
+            "test_name",
+            packet_hex_col(
+                F.col("test_name"), F.col("test_status"),
+                F.col("start_us"), F.col("end_us"),
+            ).alias("h"),
+        ).collect()
+    }
+    for t in tests:
+        assert bytes.fromhex(hexes[t[0]]) == encode_packet(*t)
+
+
 def test_roundtrip_catalyst_encoder(spark):
     # packet_hex_col must produce byte-identical framing to
     # encode_packet for the same fields

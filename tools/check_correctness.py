@@ -68,6 +68,10 @@ def main():
     for name, fn in qs.items():
         if name_filter and name_filter not in name:
             continue
+        # several operators persist() intermediates for single-scan
+        # plans; clear between queries so the sweep doesn't accumulate
+        # pinned storage across ~50 invocations
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
