@@ -494,6 +494,48 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import (
+        duplicate_components,
+        exact_star_edges,
+        minhash_lsh_pairs,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = (
+        exact_star_edges(corpus)
+        .unionAll(
+            minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
+                "doc_a", "doc_b"
+            )
+        )
+        .distinct()
+    )
+    return duplicate_components(pairs, corpus.select("doc_id"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    from ci_log_processing_spark.operators.pii import attach_pii, pii_scrub
+
+    return pii_scrub(attach_pii(_docs(spark, sf_dir)))
+
+
+def q_repetition(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import (
+        attach_lines,
+        repetition_stats,
+    )
+
+    return repetition_stats(attach_lines(_docs(spark, sf_dir)))
+
+
+def q_pack_sequences(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), capacity=256)
+
+
 CONTAM_SNIPPETS = ["merge batch part", "scan slow fast", "vector table fast"]
 
 
@@ -681,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_simhash": q_dedup_simhash,
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
+            "dedup_components": q_dedup_components,
             "dedup_embedding_cosine": q_embed_near_dup,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
@@ -688,7 +731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_decontaminate": q_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_token_histogram": q_token_histogram,
+            "cur_pack_sequences": q_pack_sequences,
             "text_token_counts": q_token_counts,
+            "text_pii_scrub": q_pii_scrub,
+            "text_repetition": q_repetition,
             "text_quality": q_quality,
             "text_lang_id": q_lang_id,
             "text_fingerprint": q_fingerprint,
@@ -741,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_simhash": od.q_dedup_simhash(),
             "dedup_simhash_pairs": od.q_dedup_simhash_pairs(3),
+            "dedup_components": od.q_dedup_components(0.6),
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
@@ -748,7 +795,10 @@ def oracle_sql() -> dict[str, str]:
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_token_histogram": od.q_token_histogram(16),
+            "cur_pack_sequences": od.q_pack_sequences(256),
             "text_token_counts": od.q_token_counts(),
+            "text_pii_scrub": od.q_pii_scrub(),
+            "text_repetition": od.q_repetition(),
             "text_quality": od.q_quality(),
             "text_lang_id": od.q_lang_id(),
             "text_fingerprint": od.q_fingerprint(),

@@ -68,6 +68,66 @@ def stratified_downsample(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-fit sequence packing: assign documents to fixed-capacity
+    token bins for pretraining batch assembly.
+
+    Packing is inherently sequential WITHIN a shard (each bin's
+    remaining capacity depends on every earlier document), so the
+    operator runs the sequential scan per group with applyInPandas —
+    one shuffle on the group key, then an Arrow-batched linear pass
+    per group. That per-shard shape is exactly how production
+    packing runs at 100 TB: documents are already sharded (by
+    source, date, or hash bucket) and each shard packs
+    independently; cross-shard packing would serialize the world for
+    a ~1% density gain. Skewed shards split via AQE like any other
+    grouped stage.
+
+    Deterministic rule (mirrored by the recursive-CTE oracle):
+    within a group, in doc_id order, a doc joins the current bin iff
+    used + n_tokens <= capacity, else it OPENS a new bin (even when
+    n_tokens > capacity: oversized docs get a bin of their own and
+    are truncated downstream, not dropped here).
+
+    Output: (group_col, doc_id, n_tokens, bin_idx, offset_in_bin).
+    """
+    import pandas as pd
+
+    base = docs.select(
+        group_col,
+        "doc_id",
+        F.size(F.split(F.lower(F.col(text_col)), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        bin_i, used = 0, 0
+        for i, nt in enumerate(pdf["n_tokens"]):
+            if i > 0 and used + nt > capacity:
+                bin_i += 1
+                used = 0
+            bins.append(bin_i)
+            offs.append(used)
+            used += nt
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        pdf["offset_in_bin"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    schema = (
+        f"{group_col} string, doc_id long, n_tokens long, "
+        "bin_idx long, offset_in_bin long"
+    )
+    return base.groupBy(group_col).applyInPandas(_pack, schema=schema)
+
+
 def token_length_histogram(
     docs: DataFrame,
     text_col: str = "text",

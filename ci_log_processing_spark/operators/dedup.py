@@ -338,6 +338,96 @@ def minhash_lsh_pairs(
     )
 
 
+def exact_star_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate edges as a STAR (group-min doc_id -> member),
+    not a clique: a group of n identical docs contributes n-1 edges
+    instead of n(n-1)/2, which is what keeps the edge list linear in
+    corpus size when a boilerplate page repeats millions of times.
+    Components over star edges equal components over the clique."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(text_col).cast("binary"))
+    w = Window.partitionBy(h)
+    return (
+        docs.select(
+            F.min("doc_id").over(w).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+
+
+def duplicate_components(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list — the
+    step that turns pairwise dedup output (exact / minhash / simhash
+    pairs) into keep-drop decisions: one component = one duplicate
+    cluster, keeper = min doc_id.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; rounds = graph
+    diameter. Duplicate graphs are unions of stars and near-cliques
+    (LSH buckets pair every member with the same anchors), so
+    diameter is small and 2-3 rounds converge; for adversarial
+    chain-shaped graphs the alternating small-star/large-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce",
+    SoCC'14) drops rounds to O(log^2 n) with the same per-round
+    plan shape (groupBy-min on node id).
+
+    Each round is one shuffle (groupBy node). Convergence is
+    detected by sum(label): labels only ever decrease, so the sum
+    is strictly monotone until the fixed point — one cheap global
+    aggregate per round instead of a join against the previous
+    labels. Each round's labels are localCheckpoint()ed, which
+    TRUNCATES the logical plan — persist() alone is not enough for
+    iterative algorithms, because the un-truncated plan still nests
+    per round and by ~10 rounds merely FORMATTING it for AQE's plan
+    update OOMs the driver (observed on a 10-node path graph).
+
+    Returns (doc_id, component, is_keeper).
+    """
+    edges0 = pairs.select("doc_a", "doc_b")
+    edges = (
+        edges0.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .unionAll(
+            edges0.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nb = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionAll(nb)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def simhash_col(toks: Column, bits: int = 32) -> Column:
     """32-bit SimHash over distinct tokens as one expression.
 

@@ -97,6 +97,85 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant multi-line structure for the repetition gate query: the
+    synthetic documents are single-line, so every doc_id % 4 == 0 is
+    doubled with a newline separator (a guaranteed duplicate line).
+    Mirrored by the DuckDB oracle (oracle_data.q_repetition)."""
+    t = F.col(text_col)
+    return docs.withColumn(
+        "ltext",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(t, F.lit("\n"), t)
+        ).otherwise(t),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "ltext") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    most-frequent-bigram token fraction.
+
+    Pure per-row array expressions (split / filter / aggregate /
+    zip_with) — whole-stage codegen, zero shuffles, so the operator
+    is scan-bound at any corpus size. The per-doc mode computation is
+    O(distinct_bigrams * n_bigrams) doc-local work, bounded by doc
+    length, never by corpus size. Ties on the top bigram break
+    lexicographically via array_sort over (-count, bigram) structs —
+    deterministic and identical in the oracle.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines.cast("double"),
+        6,
+    )
+    dup_lines = F.filter(
+        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1
+    )
+    line_chars = lambda ls: F.aggregate(  # noqa: E731
+        ls, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    dup_char_frac = F.round(
+        line_chars(dup_lines)
+        / F.greatest(line_chars(lines), F.lit(1)).cast("double"),
+        6,
+    )
+    toks = tokens(t)
+    bg = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.struct(
+                (-F.size(F.filter(bg, lambda y: y == x))).alias("neg"),
+                x.alias("bg"),
+            ),
+        )
+    )
+    has_bg = F.size(bg) > 0
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        F.when(has_bg, ranked[0]["bg"]).alias("top_bigram"),
+        F.when(
+            has_bg,
+            F.round(
+                -ranked[0]["neg"] * F.lit(2.0) / F.size(toks).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """OpenRefine-style fingerprint: md5 over the sorted distinct
     token set — canonicalizes word order + duplication."""

@@ -292,6 +292,43 @@ scored AS (
 """ + _TOPK_TAIL.format(k=k)
 
 
+def q_dedup_components(threshold: float = 0.6) -> str:
+    """Components over exact-star + verified-LSH edges: transitive
+    closure via recursive CTE (min reachable doc_id = component),
+    checked against the Spark min-label-propagation operator."""
+    lsh = q_dedup_minhash_lsh(threshold)
+    return f"""
+WITH lsh AS ({lsh}),
+corpus AS ({CORPUS_SQL}),
+star0 AS (
+  SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
+         doc_id AS doc_b
+  FROM corpus
+),
+pe AS (
+  SELECT doc_a, doc_b FROM star0 WHERE doc_a != doc_b
+  UNION
+  SELECT doc_a, doc_b FROM lsh
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pe
+  UNION
+  SELECT doc_b, doc_a FROM pe
+),
+nodes AS (SELECT DISTINCT doc_id FROM corpus),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS doc_id, min(label) AS component,
+       (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 # --- curation ----------------------------------------------------------
 
 
@@ -325,7 +362,123 @@ FROM documents GROUP BY 1
 """
 
 
+def q_pack_sequences(capacity: int = 256) -> str:
+    """Next-fit packing per source group via recursive CTE — one row
+    of recursion per document, all groups advancing in lock-step."""
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pk AS (
+  WITH RECURSIVE p(source, rn, doc_id, nt, bin, used) AS (
+    SELECT source, rn, doc_id, nt, CAST(0 AS BIGINT), nt
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.source, b.rn, b.doc_id, b.nt,
+           CASE WHEN p.used + b.nt <= {capacity} THEN p.bin
+                ELSE p.bin + 1 END,
+           CASE WHEN p.used + b.nt <= {capacity} THEN p.used + b.nt
+                ELSE b.nt END
+    FROM p JOIN base b ON b.source = p.source AND b.rn = p.rn + 1
+  ) SELECT * FROM p
+)
+SELECT source, doc_id, nt AS n_tokens, bin AS bin_idx,
+       CAST(used - nt AS BIGINT) AS offset_in_bin
+FROM pk
+"""
+
+
 # --- text analysis -----------------------------------------------------
+
+
+def q_pii_scrub() -> str:
+    """PII plant + scrub oracle; patterns and planting derived from
+    operators.pii so the two sides cannot drift."""
+    from .operators.pii import PII_RULES
+
+    plant = """
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 4 = 1 THEN ' from 10.'
+       || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+       || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 5 = 2 THEN ' call 555-'
+       || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+       || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 7 = 3 THEN ' ssn '
+       || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+       || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+       || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+"""
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(pii_text, '{rx}')) AS n_{stem}"
+        for stem, rx, _ in PII_RULES
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(pii_text, '{rx}'))" for _, rx, _ in PII_RULES
+    )
+    redacted = "pii_text"
+    for _, rx, token in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{rx}', '{token}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id, ({plant}) AS pii_text FROM documents
+)
+SELECT doc_id,
+       {counts},
+       {total} AS n_pii,
+       {redacted} AS redacted
+FROM planted
+"""
+
+
+def q_repetition() -> str:
+    """Gopher-repetition oracle: same planted line-doubling, same
+    tie-break (list_sort over (-count, bigram) structs)."""
+    ranked = (
+        "list_sort(list_transform(list_distinct(bigrams), "
+        "x -> {'neg': -len(list_filter(bigrams, y -> y = x)), 'bg': x}))"
+    )
+    return f"""
+WITH lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || text
+              ELSE text END AS ltext
+  FROM documents
+),
+base AS (
+  SELECT doc_id, string_split(ltext, chr(10)) AS lines,
+         string_split(lower(ltext), ' ') AS toks
+  FROM lined
+),
+bg AS (
+  SELECT doc_id, lines, toks,
+         list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                        s -> s[1] || ' ' || s[2]) AS bigrams
+  FROM base
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       round((len(lines) - len(list_distinct(lines)))
+             / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
+       round(coalesce(list_aggregate(list_transform(
+               list_filter(lines,
+                 x -> len(list_filter(lines, y -> y = x)) > 1),
+               x -> length(x)), 'sum'), 0)
+             / CAST(greatest(list_aggregate(
+                 list_transform(lines, x -> length(x)), 'sum'), 1)
+               AS DOUBLE), 6) AS dup_line_char_frac,
+       CASE WHEN len(bigrams) > 0 THEN {ranked}[1].bg
+            ELSE NULL END AS top_bigram,
+       CASE WHEN len(bigrams) > 0 THEN
+         round(-{ranked}[1].neg * 2.0 / len(toks), 6)
+       ELSE 0.0 END AS top_bigram_frac
+FROM bg
+"""
 
 
 def q_token_counts() -> str:

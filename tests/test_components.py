@@ -1,0 +1,65 @@
+"""Connected-components dedup clustering: chains, stars, singletons,
+convergence on a path graph (worst diameter case for propagation)."""
+
+from pyspark.sql import functions as F
+
+from ci_log_processing_spark.operators.dedup import (
+    duplicate_components,
+    exact_star_edges,
+)
+
+
+def _run(spark, edges, n_nodes):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "doc_id long"
+    )
+    return {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in duplicate_components(pairs, nodes).collect()
+    }
+
+
+def test_components_merges_transitively(spark):
+    # two clusters {0,1,2,3} (via chain 0-1, 1-2, 2-3) and {5,6};
+    # 4 and 7 are singletons
+    out = _run(spark, [(0, 1), (1, 2), (2, 3), (5, 6)], 8)
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)
+    assert out[6] == (5, False)
+    assert out[7] == (7, True)
+
+
+def test_components_path_graph_needs_iterations(spark):
+    # a pure path 0-1-2-...-9: min label must travel the full
+    # diameter, exercising the propagation loop beyond round one
+    out = _run(spark, [(i, i + 1) for i in range(9)], 10)
+    assert all(out[i][0] == 0 for i in range(10))
+    assert sum(1 for i in range(10) if out[i][1]) == 1
+
+
+def test_exact_star_edges_linear_in_group_size(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(6)] + [(10, "unique")],
+        "doc_id long, text string",
+    )
+    edges = exact_star_edges(docs).collect()
+    # n-1 star edges for the 6-clique, none for the singleton
+    assert len(edges) == 5
+    assert all(r["doc_a"] == 0 for r in edges)
+    assert sorted(r["doc_b"] for r in edges) == [1, 2, 3, 4, 5]
+
+
+def test_components_keeper_rate_on_clusters(spark):
+    # 3 disjoint triangles -> 3 keepers, 9 nodes
+    edges = []
+    for base in (0, 3, 6):
+        edges += [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    out = _run(spark, edges, 9)
+    keepers = [d for d, (_, k) in out.items() if k]
+    assert sorted(keepers) == [0, 3, 6]
+    comps = {c for c, _ in out.values()}
+    assert comps == {0, 3, 6}

@@ -1,0 +1,73 @@
+"""Sequence packing: next-fit rule, capacity boundaries, oversized
+docs, per-group independence, and repetition-stat formulas."""
+
+from pyspark.sql import functions as F
+
+from ci_log_processing_spark.operators.curation import pack_sequences
+from ci_log_processing_spark.operators.textstats import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(s, i, " ".join(["w"] * n)) for i, (s, n) in enumerate(rows)],
+        "source string, doc_id long, text string",
+    )
+
+
+def test_pack_next_fit_rule(spark):
+    # capacity 10: [4, 4, 4] -> bins 0,0,1 (4+4=8 fits, +4 would be 12)
+    docs = _docs(spark, [("a", 4), ("a", 4), ("a", 4)])
+    out = sorted(
+        (r["doc_id"], r["bin_idx"], r["offset_in_bin"])
+        for r in pack_sequences(docs, capacity=10).collect()
+    )
+    assert out == [(0, 0, 0), (1, 0, 4), (2, 1, 0)]
+
+
+def test_pack_oversized_doc_gets_own_bin(spark):
+    # capacity 10: [3, 25, 2] -> 25 opens its own bin, 2 opens another
+    docs = _docs(spark, [("a", 3), ("a", 25), ("a", 2)])
+    out = sorted(
+        (r["doc_id"], r["bin_idx"], r["offset_in_bin"])
+        for r in pack_sequences(docs, capacity=10).collect()
+    )
+    assert out == [(0, 0, 0), (1, 1, 0), (2, 2, 0)]
+
+
+def test_pack_groups_independent(spark):
+    docs = _docs(spark, [("a", 6), ("b", 6), ("a", 6), ("b", 6)])
+    out = {
+        r["doc_id"]: (r["source"], r["bin_idx"])
+        for r in pack_sequences(docs, capacity=10).collect()
+    }
+    # each source restarts at bin 0
+    assert out[0] == ("a", 0) and out[2] == ("a", 1)
+    assert out[1] == ("b", 0) and out[3] == ("b", 1)
+
+
+def test_repetition_stats_formulas(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd"),   # 2 of 3 lines duplicated
+            (2, "x y z"),                  # no dup lines, all bigrams once
+            (3, "go go go go"),            # top bigram 'go go' x3 of 3
+        ],
+        "doc_id long, ltext string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["n_lines"] == 3
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    # 10 chars in duplicated lines of 15 total
+    assert abs(out[1]["dup_line_char_frac"] - 10 / 15) < 1e-6
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["top_bigram"] == "go go"
+    assert abs(out[3]["top_bigram_frac"] - 6 / 4) < 1e-6
+
+
+def test_repetition_single_token_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo")], "doc_id long, ltext string"
+    )
+    r = repetition_stats(docs).collect()[0]
+    assert r["top_bigram"] is None
+    assert r["top_bigram_frac"] == 0.0

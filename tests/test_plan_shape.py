@@ -46,6 +46,40 @@ def test_native_pipeline_single_exchange(spark, tmp_path):
     assert plan.count("Window") == 1, plan
 
 
+def test_pii_and_repetition_are_shuffle_free(spark, tmp_path):
+    # both operators are pure per-row expression pipelines; any
+    # Exchange appearing here is a regression
+    from ci_log_processing_spark.operators.pii import pii_scrub
+    from ci_log_processing_spark.operators.textstats import repetition_stats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text {i}", f"line {i}") for i in range(10)],
+        "doc_id long, pii_text string, ltext string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    for q in (pii_scrub(docs), repetition_stats(docs)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_pack_sequences_single_group_shuffle(spark, tmp_path):
+    from ci_log_processing_spark.operators.curation import pack_sequences
+
+    p = str(tmp_path / "pdocs")
+    spark.createDataFrame(
+        [("s" + str(i % 3), i, "a b c") for i in range(12)],
+        "source string, doc_id long, text string",
+    ).write.parquet(p)
+    q = pack_sequences(spark.read.parquet(p), capacity=8)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # exactly one hash exchange on the group key feeding the Arrow
+    # stage; the sequential pass itself runs inside FlatMapGroupsInPandas
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
 def test_scan_prunes_columns(spark, tmp_path):
     # a projection that needs only conv_id/turn_idx/text must not
     # drag role/tool/ts through the scan (ReadSchema pruning)
