@@ -107,13 +107,57 @@ def main():
             emb, emb.filter(F.col("vec_id") < 16), k=10
         ).count(),
     )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     bench(
         "text_quality",
+        lambda: checksum(quality_scores(docs), ["doc_id", "quality"]),
+    )
+
+    from ci_log_processing_spark.operators.curation import pack_sequences
+    from ci_log_processing_spark.operators.dedup import (
+        duplicate_components,
+        exact_star_edges,
+    )
+    from ci_log_processing_spark.operators.pii import attach_pii, pii_scrub
+    from ci_log_processing_spark.operators.textstats import (
+        attach_lines,
+        repetition_stats,
+    )
+
+    bench(
+        "text_pii_scrub",
         lambda: checksum(
-            quality_scores(spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))),
-            ["doc_id", "quality"],
+            pii_scrub(attach_pii(docs)), ["doc_id", "n_pii", "redacted"]
         ),
     )
+    bench(
+        "text_repetition",
+        lambda: checksum(
+            repetition_stats(attach_lines(docs)),
+            ["doc_id", "dup_line_frac", "top_bigram_frac"],
+        ),
+    )
+    bench(
+        "cur_pack_sequences",
+        lambda: checksum(
+            pack_sequences(docs, capacity=256),
+            ["source", "doc_id", "bin_idx", "offset_in_bin"],
+        ),
+    )
+
+    def _components():
+        pairs = (
+            exact_star_edges(corpus)
+            .unionAll(
+                minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
+                    "doc_a", "doc_b"
+                )
+            )
+            .distinct()
+        )
+        return duplicate_components(pairs, corpus.select("doc_id")).count()
+
+    bench("dedup_components", _components)
 
     total = round(sum(timings.values()), 3)
     out = {
