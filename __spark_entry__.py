@@ -515,6 +515,26 @@ def q_dedup_components(spark, sf_dir):
     return duplicate_components(pairs, corpus.select("doc_id"))
 
 
+def q_dedup_semantic_apply(spark, sf_dir):
+    """SemDeDup-style composition: the generic components operator
+    consuming the embedding-cosine near-dup pair stream — one
+    operator family (pairs -> clusters -> keepers) serving lexical
+    AND semantic dedup."""
+    from ci_log_processing_spark.operators.dedup import duplicate_components
+    from ci_log_processing_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.30).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return duplicate_components(pairs, nodes).select(
+        F.col("doc_id").alias("vec_id"), "component", "is_keeper"
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     from ci_log_processing_spark.operators.pii import attach_pii, pii_scrub
 
@@ -534,6 +554,12 @@ def q_pack_sequences(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), capacity=256)
+
+
+def q_top_ngrams(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
 CONTAM_SNIPPETS = ["merge batch part", "scan slow fast", "vector table fast"]
@@ -724,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": q_dedup_simhash,
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "dedup_components": q_dedup_components,
+            "dedup_semantic_apply": q_dedup_semantic_apply,
             "dedup_embedding_cosine": q_embed_near_dup,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
@@ -732,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_token_histogram": q_token_histogram,
             "cur_pack_sequences": q_pack_sequences,
+            "cur_top_ngrams": q_top_ngrams,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
             "text_repetition": q_repetition,
@@ -788,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash": od.q_dedup_simhash(),
             "dedup_simhash_pairs": od.q_dedup_simhash_pairs(3),
             "dedup_components": od.q_dedup_components(0.6),
+            "dedup_semantic_apply": od.q_dedup_semantic_apply(0.30),
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
@@ -796,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_token_histogram": od.q_token_histogram(16),
             "cur_pack_sequences": od.q_pack_sequences(256),
+            "cur_top_ngrams": od.q_top_ngrams(20),
             "text_token_counts": od.q_token_counts(),
             "text_pii_scrub": od.q_pii_scrub(),
             "text_repetition": od.q_repetition(),

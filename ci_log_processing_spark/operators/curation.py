@@ -128,6 +128,51 @@ def pack_sequences(
     return base.groupBy(group_col).applyInPandas(_pack, schema=schema)
 
 
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k n-grams with document frequency — the
+    statistic behind stop-shingle cuts, contamination screens and
+    boilerplate detection.
+
+    Shape: per-row n-gram array (zip of shifted token slices, no
+    Python), explode, ONE partial-aggregated shuffle on the n-gram
+    key (map-side combine collapses each partition's counts before
+    the exchange — the count stream entering the shuffle is bounded
+    by distinct n-grams per partition, not corpus tokens). The
+    global top-k goes through orderBy().limit(k), which Catalyst
+    plans as TakeOrderedAndProject — a per-partition k-row HEAP plus
+    a k-row driver merge, NOT a global sort (a rank-<=k window would
+    single-partition-sort every distinct n-gram in the corpus).
+    Rank is then assigned on the k surviving rows. Ties break by
+    n-gram text ascending, so the result is deterministic.
+
+    Output: (ngram, occurrences, doc_freq, rank), rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    arrs = [F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
+    grams = arrs[0]
+    for a in arrs[1:]:
+        grams = F.zip_with(
+            grams, a, lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    g = docs.select("doc_id", F.explode(grams).alias("ngram"))
+    counts = g.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    order = [F.desc("occurrences"), F.asc("ngram")]
+    topk = counts.orderBy(*order).limit(k)
+    return topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+
+
 def token_length_histogram(
     docs: DataFrame,
     text_col: str = "text",

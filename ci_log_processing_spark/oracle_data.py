@@ -329,6 +329,31 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_semantic_apply(threshold: float = 0.30) -> str:
+    """SemDeDup-style apply: components over embedding-cosine
+    near-dup pairs; every vector gets a cluster id + keeper flag."""
+    return f"""
+WITH nd AS ({q_embed_near_dup(threshold)}),
+pe AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM nd),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pe
+  UNION
+  SELECT doc_b, doc_a FROM pe
+),
+nodes AS (SELECT vec_id FROM embeddings),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT vec_id, vec_id FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.node
+  ) SELECT * FROM r
+)
+SELECT node AS vec_id, min(label) AS component,
+       (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 # --- curation ----------------------------------------------------------
 
 
@@ -359,6 +384,34 @@ def q_token_histogram(bucket: int = 16) -> str:
 SELECT CAST(({n} // {bucket}) * {bucket} AS BIGINT) AS bucket_lo,
        count(*) AS n_docs, CAST(sum({n}) AS BIGINT) AS total_tokens
 FROM documents GROUP BY 1
+"""
+
+
+def q_top_ngrams(k: int = 20) -> str:
+    """Corpus top-k bigram oracle (n fixed at 2; the Spark operator
+    is generic over n)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+           s -> s[1] || ' ' || s[2])) AS ngram
+  FROM base
+),
+c AS (
+  SELECT ngram, count(*) AS occurrences,
+         count(DISTINCT doc_id) AS doc_freq
+  FROM g GROUP BY 1
+),
+r AS (
+  SELECT ngram, occurrences, doc_freq,
+         row_number() OVER (ORDER BY occurrences DESC, ngram ASC) AS rank
+  FROM c
+)
+SELECT * FROM r WHERE rank <= {k}
 """
 
 

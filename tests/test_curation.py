@@ -46,6 +46,34 @@ def test_stratified_downsample_deterministic(spark):
     assert per == {0: 6, 1: 6, 2: 6}  # 30 per stratum / 5
 
 
+def test_top_ngrams_counts_and_ties(spark):
+    from ci_log_processing_spark.operators.curation import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # 'a b' x2, 'b a' x1, 'b c' x1
+            (2, "a b z"),       # 'a b' x1, 'b z' x1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["ngram"]: (r["occurrences"], r["doc_freq"], r["rank"])
+        for r in top_ngrams(docs, n=2, k=10).collect()
+    }
+    assert out["a b"] == (3, 2, 1)
+    # ties at occurrences=1 break lexicographically
+    assert out["b a"][2] < out["b c"][2] < out["b z"][2]
+    # top-k must plan as TakeOrderedAndProject (per-partition heap),
+    # never a global sort of all distinct n-grams
+    plan = (
+        top_ngrams(docs, n=2, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_token_histogram_conserves_totals(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["tok"] * (i + 1))) for i in range(40)],
