@@ -562,6 +562,21 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_c4_clean(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import (
+        attach_c4_lines,
+        c4_line_filter,
+    )
+
+    return c4_line_filter(attach_c4_lines(_docs(spark, sf_dir)))
+
+
+def q_chunk_documents(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 CONTAM_SNIPPETS = ["merge batch part", "scan slow fast", "vector table fast"]
 
 
@@ -760,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_token_histogram": q_token_histogram,
             "cur_pack_sequences": q_pack_sequences,
             "cur_top_ngrams": q_top_ngrams,
+            "cur_chunk_documents": q_chunk_documents,
+            "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
             "text_repetition": q_repetition,
@@ -826,6 +843,8 @@ def oracle_sql() -> dict[str, str]:
             "cur_token_histogram": od.q_token_histogram(16),
             "cur_pack_sequences": od.q_pack_sequences(256),
             "cur_top_ngrams": od.q_top_ngrams(20),
+            "cur_chunk_documents": od.q_chunk_documents(64, 16),
+            "text_c4_clean": od.q_c4_clean(),
             "text_token_counts": od.q_token_counts(),
             "text_pii_scrub": od.q_pii_scrub(),
             "text_repetition": od.q_repetition(),

@@ -173,6 +173,55 @@ def top_ngrams(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap —
+    the standard pre-embedding step for retrieval indexes.
+
+    Stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens). Every token is covered, the
+    last chunk may be short, and a doc shorter than one chunk yields
+    exactly one chunk. Per-row sequence + explode — the only data
+    growth is the intended ~1/(1-overlap/chunk) duplication factor,
+    no shuffle at all.
+
+    Output: (doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_hash) — the hash stands in for shipping chunk text to a
+    downstream embedder.
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    # starts: 0, stride, 2*stride, ... while start < n AND the chunk
+    # adds new tokens (start + overlap < n handles the final window)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+    )
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("start_tok") + 1, chunk_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", piece).cast("binary")).alias("chunk_hash"),
+    )
+
+
 def token_length_histogram(
     docs: DataFrame,
     text_col: str = "text",

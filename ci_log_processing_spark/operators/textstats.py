@@ -188,6 +188,73 @@ def repetition_stats(docs: DataFrame, text_col: str = "ltext") -> DataFrame:
     )
 
 
+C4_BLOCKLIST = ["lorem ipsum", "javascript", "{"]
+
+
+def attach_c4_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant line structure for the C4-cleaner gate query: the
+    synthetic docs are single-line and unpunctuated, so derive three
+    deterministic lines per doc — a terminal-punctuated prefix (kept
+    when long enough), a 2-word line (too short), and an
+    unpunctuated suffix (no terminal punctuation). doc_id % 9 == 0
+    additionally gets a blocklisted line. Mirrored by
+    oracle_data.q_c4_clean."""
+    t = F.col(text_col)
+    l1 = F.concat(F.substring(t, 1, 40), F.lit("."))
+    l2 = F.lit("too short")
+    l3 = F.substring(t, 41, 40)
+    base = F.concat_ws("\n", l1, l2, l3)
+    return docs.withColumn(
+        "ltext",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(base, F.lit("\nthis page uses javascript heavily.")),
+        ).otherwise(base),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "ltext",
+    min_words: int = 5,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2
+    heuristics, public description): keep a line iff it ends in
+    terminal punctuation (. ! ? ") AND has >= min_words words AND
+    contains no blocklisted phrase (case-insensitive); a document
+    survives iff >= min_kept_lines lines remain.
+
+    Pure per-row array expressions (split / filter / array_join) —
+    zero shuffles, scan-bound at any corpus size.
+
+    Output: (doc_id, n_lines, n_kept, cleaned, doc_kept).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(x):
+        ends_punct = (
+            x.endswith(".")
+            | x.endswith("!")
+            | x.endswith("?")
+            | x.endswith('"')
+        )
+        enough_words = F.size(F.split(x, " ")) >= min_words
+        blocked = F.lit(False)
+        for phrase in C4_BLOCKLIST:
+            blocked = blocked | F.lower(x).contains(phrase)
+        return ends_punct & enough_words & ~blocked
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+        (F.size(kept) >= min_kept_lines).alias("doc_kept"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """OpenRefine-style fingerprint: md5 over the sorted distinct
     token set — canonicalizes word order + duplication."""

@@ -534,6 +534,68 @@ FROM bg
 """
 
 
+def q_c4_clean(min_words: int = 5, min_kept_lines: int = 1) -> str:
+    """C4 line-filter oracle; planting and rules mirror
+    operators.textstats.attach_c4_lines / c4_line_filter."""
+    from .operators.textstats import C4_BLOCKLIST
+
+    blocked = " AND ".join(
+        f"NOT contains(lower(x), '{p}')" for p in C4_BLOCKLIST
+    )
+    return f"""
+WITH lined AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || '.' || chr(10) || 'too short' || chr(10)
+           || substr(text, 41, 40)
+           || CASE WHEN doc_id % 9 = 0
+                THEN chr(10) || 'this page uses javascript heavily.'
+                ELSE '' END AS ltext
+  FROM documents
+),
+base AS (
+  SELECT doc_id, string_split(ltext, chr(10)) AS lines FROM lined
+),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+           (ends_with(x, '.') OR ends_with(x, '!')
+            OR ends_with(x, '?') OR ends_with(x, '"'))
+           AND len(string_split(x, ' ')) >= {min_words}
+           AND {blocked}) AS kept
+  FROM base
+)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       array_to_string(kept, chr(10)) AS cleaned,
+       (len(kept) >= {min_kept_lines}) AS doc_kept
+FROM k
+"""
+
+
+def q_chunk_documents(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(
+           CAST(ceil((len(toks) - {overlap}) / {stride}.0) AS BIGINT),
+           1))) AS ci
+  FROM base
+)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       CAST(ci * {stride} AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, ci * {stride} + 1,
+                           ci * {stride} + {chunk_tokens})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(
+         list_slice(toks, ci * {stride} + 1,
+                    ci * {stride} + {chunk_tokens}), ' ')) AS chunk_hash
+FROM c
+"""
+
+
 def q_token_counts() -> str:
     rx = BPE_RX.replace("\\", "\\\\")
     return f"""

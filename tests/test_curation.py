@@ -74,6 +74,50 @@ def test_top_ngrams_counts_and_ties(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ci_log_processing_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # short: 1 chunk
+            (2, " ".join(f"t{i}" for i in range(100))),  # 3 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=40, overlap=10).collect()
+    )
+    # doc 1: one short chunk; doc 2: stride 30 -> starts 0,30,60
+    assert out == [
+        (1, 0, 0, 10),
+        (2, 0, 0, 40),
+        (2, 1, 30, 40),
+        (2, 2, 60, 40),
+    ]
+    # every token of doc 2 is covered: 0-39, 30-69, 60-99
+
+
+def test_c4_line_filter_rules(spark):
+    from ci_log_processing_spark.operators.textstats import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this line has enough words here.\nshort.\nno punct at all"),
+            (2, "uses javascript so it must go away.\ngood line stays here fine!"),
+            (3, "nothing survives this one"),
+        ],
+        "doc_id long, ltext string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[1]["n_kept"] == 1
+    assert out[1]["cleaned"] == "this line has enough words here."
+    # blocklisted line dropped even with punctuation + words
+    assert out[2]["n_kept"] == 1
+    assert out[2]["cleaned"] == "good line stays here fine!"
+    assert out[3]["n_kept"] == 0 and out[3]["doc_kept"] is False
+
+
 def test_token_histogram_conserves_totals(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["tok"] * (i + 1))) for i in range(40)],
