@@ -494,6 +494,42 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming ingest dedup as a GATE-CHECKED query: documents plus
+    exact copies (doc_id % 10 == 0, the corpus planting rule) arrive
+    in two separate micro-batches; dropDuplicatesWithinWatermark must
+    keep each text exactly once. The surviving HASH SET is compared
+    against batch SQL (which copy of a pair survives depends on file
+    arrival order, so the gate checks the order-insensitive set)."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ts = F.timestamp_seconds(
+        F.lit(1709287200) + (F.col("doc_id") % 3600)
+    ).alias("event_ts")
+    base = docs.select("doc_id", "text", ts)
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", ts
+    )
+    work = tempfile.mkdtemp(prefix="gate_sdedup_")
+    try:
+        in_dir = os.path.join(work, "in")
+        base.coalesce(1).write.parquet(in_dir)
+        dups.coalesce(1).write.mode("append").parquet(in_dir)
+        out = streaming_exact_dedup(
+            spark, in_dir, os.path.join(work, "out")
+        )
+        rows = out.select("h").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "h string")
+
+
 def q_dedup_components(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import (
         duplicate_components,
@@ -756,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_session_evictions"] = q_stream_session_evictions
+    qs["stream_dedup_exact"] = q_stream_dedup
     qs.update(
         {
             "dedup_exact": q_dedup_exact,
@@ -822,6 +859,10 @@ def oracle_sql() -> dict[str, str]:
     # the same deterministic conv subsets
     sqls["stream_follow_route"] = oracle.q_stream_follow()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
+    # order-insensitive survivor set: one row per distinct text hash
+    sqls["stream_dedup_exact"] = (
+        "SELECT md5(text) AS h FROM documents GROUP BY 1"
+    )
     from ci_log_processing_spark import oracle_data as od
 
     sqls.update(

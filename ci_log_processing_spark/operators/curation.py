@@ -155,7 +155,10 @@ def top_ngrams(
     from pyspark.sql.window import Window
 
     toks = F.split(F.lower(F.col(text_col)), " ")
-    arrs = [F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
+    # docs with < n tokens yield no n-grams; clamp the slice length
+    # at 0 (a negative length throws under ANSI)
+    take = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    arrs = [F.slice(toks, i + 1, take) for i in range(n)]
     grams = arrs[0]
     for a in arrs[1:]:
         grams = F.zip_with(

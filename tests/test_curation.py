@@ -118,6 +118,23 @@ def test_c4_line_filter_rules(spark):
     assert out[3]["n_kept"] == 0 and out[3]["doc_kept"] is False
 
 
+def test_top_ngrams_trigram_short_docs(spark):
+    from ci_log_processing_spark.operators.curation import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c a b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["ngram"]: r["occurrences"]
+        for r in top_ngrams(docs, n=3, k=5).collect()
+    }
+    # docs 1-2 are shorter than n and contribute nothing (and must
+    # not crash the slice under ANSI)
+    assert out["a b c"] == 2
+    assert out["b c a"] == 1
+
+
 def test_token_histogram_conserves_totals(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["tok"] * (i + 1))) for i in range(40)],

@@ -163,3 +163,43 @@ def test_stateful_sessionize_with_eviction(spark, tmp_path):
     assert b_active[0] == 3 and b_active[-1] == 7
     # exactly one eviction per conv (state removed on timeout)
     assert sum(1 for r in rows_out if r["status"] == "evicted") == 2
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: duplicates
+    split over separate input files survive exactly once, matching
+    batch exact-dedup on the same data."""
+    import datetime
+
+    from ci_log_processing_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    mk = lambda i, txt, mins: (  # noqa: E731
+        i, txt, base + datetime.timedelta(minutes=mins)
+    )
+    # file 1 and file 2 share texts 'dup-a' and 'dup-b' (cross-batch
+    # duplicates, within the 2h watermark horizon)
+    f1 = [mk(1, "dup-a", 0), mk(2, "only-one", 1), mk(3, "dup-b", 2)]
+    f2 = [mk(4, "dup-a", 30), mk(5, "dup-b", 40), mk(6, "only-two", 50)]
+    in_dir = str(tmp_path / "docs_in")
+    schema = "doc_id long, text string, event_ts timestamp"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    out = streaming_exact_dedup(
+        spark, in_dir, str(tmp_path / "dedup_out")
+    ).collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["dup-a", "dup-b", "only-one", "only-two"]
+    # batch agreement: same distinct-text count
+    batch = (
+        spark.createDataFrame(f1 + f2, schema)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(out) == batch
