@@ -152,8 +152,6 @@ def top_ngrams(
 
     Output: (ngram, occurrences, doc_freq, rank), rank 1..k.
     """
-    from pyspark.sql.window import Window
-
     toks = F.split(F.lower(F.col(text_col)), " ")
     # docs with < n tokens yield no n-grams; clamp the slice length
     # at 0 (a negative length throws under ANSI)

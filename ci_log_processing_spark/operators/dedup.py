@@ -379,14 +379,44 @@ def duplicate_components(
     detected by sum(label): labels only ever decrease, so the sum
     is strictly monotone until the fixed point — one cheap global
     aggregate per round instead of a join against the previous
-    labels. Each round's labels are localCheckpoint()ed, which
-    TRUNCATES the logical plan — persist() alone is not enough for
-    iterative algorithms, because the un-truncated plan still nests
-    per round and by ~10 rounds merely FORMATTING it for AQE's plan
-    update OOMs the driver (observed on a 10-node path graph).
+    labels. If max_iter rounds pass without reaching the fixed
+    point the result would be silently wrong (one cluster split
+    into several, extra keepers), so the operator RAISES instead.
+
+    Each round's labels are localCheckpoint()ed, which TRUNCATES
+    the logical plan — persist() alone is not enough for iterative
+    algorithms, because the un-truncated plan still nests per round
+    and by ~10 rounds merely FORMATTING it for AQE's plan update
+    OOMs the driver (observed on a 10-node path graph). And because
+    Dataset.unpersist() does NOT free localCheckpoint blocks (they
+    are RDD-level caches, invisible to the cache manager — verified
+    empirically), each superseded round's RDD is unpersisted
+    through SparkContext.getPersistentRDDs; without that, executor
+    storage grows by O(|nodes|) per round. Only the final round's
+    blocks remain, released when the returned DataFrame is GC'd.
 
     Returns (doc_id, component, is_keeper).
     """
+
+    def _persistent_ids(sc):
+        lst = sc._jsc.sc().getPersistentRDDs().toList()
+        return {lst.apply(i)._1(): lst.apply(i)._2() for i in range(lst.size())}
+
+    def _checkpoint(df):
+        sc = df.sparkSession.sparkContext
+        before = set(_persistent_ids(sc))
+        out = df.localCheckpoint()
+        fresh = {
+            rid: rdd
+            for rid, rdd in _persistent_ids(sc).items()
+            if rid not in before
+        }
+        return out, fresh
+
+    def _release(fresh):
+        for rdd in fresh.values():
+            rdd.unpersist(False)
+
     edges0 = pairs.select("doc_a", "doc_b")
     edges = (
         edges0.select(
@@ -400,27 +430,37 @@ def duplicate_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
+    labels, labels_rdds = _checkpoint(
+        nodes.select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+        )
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nb = edges.join(labels, edges["dst"] == labels["node"]).select(
             edges["src"].alias("node"), "label"
         )
-        new_labels = (
+        new_labels, new_rdds = _checkpoint(
             labels.unionAll(nb)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        _release(labels_rdds)
+        labels, labels_rdds = new_labels, new_rdds
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        _release(labels_rdds)
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use a "
+            "small-star/large-star formulation for chain-shaped graphs"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component"),

@@ -135,16 +135,43 @@ def repetition_stats(docs: DataFrame, text_col: str = "ltext") -> DataFrame:
         (n_lines - F.size(F.array_distinct(lines))) / n_lines.cast("double"),
         6,
     )
-    dup_lines = F.filter(
-        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1
+    # chars inside duplicated lines, via the same sort+run-length
+    # fold as the bigram mode below (the nested filter-within-filter
+    # shape is O(n^2) and interpreted — the exact trap measured on
+    # the bigram path)
+    dup_acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("dup"),
     )
-    line_chars = lambda ls: F.aggregate(  # noqa: E731
-        ls, F.lit(0), lambda acc, x: acc + F.length(x)
+
+    def _dup_merge(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        run_new = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        closed = F.when(
+            ~same & (acc["run"] > 1),
+            acc["run"].cast("long") * F.length(acc["prev"]),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            (acc["dup"] + closed).alias("dup"),
+        )
+
+    dup_chars = F.aggregate(
+        F.array_sort(lines),
+        dup_acc0,
+        _dup_merge,
+        lambda acc: acc["dup"]
+        + F.when(
+            acc["run"] > 1, acc["run"].cast("long") * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
     )
     dup_char_frac = F.round(
-        line_chars(dup_lines)
-        / F.greatest(line_chars(lines), F.lit(1)).cast("double"),
-        6,
+        dup_chars / F.greatest(total_chars, F.lit(1)).cast("double"), 6
     )
     toks = tokens(t)
     bg = F.zip_with(

@@ -41,6 +41,33 @@ def test_components_path_graph_needs_iterations(spark):
     assert sum(1 for i in range(10) if out[i][1]) == 1
 
 
+def test_components_raises_when_not_converged(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, nodes, max_iter=3)
+
+
+def test_components_frees_superseded_checkpoints(spark):
+    # each propagation round localCheckpoints its labels; superseded
+    # rounds must be unpersisted (Dataset.unpersist is a no-op on
+    # checkpoint blocks), leaving at most the final round pinned
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    out = _run(spark, [(i, i + 1) for i in range(9)], 10)
+    assert len(out) == 10
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # >= 10 rounds ran; at most one labels RDD (the returned one) may
+    # remain beyond whatever was pinned before
+    assert after - before <= 1, (before, after)
+
+
 def test_exact_star_edges_linear_in_group_size(spark):
     docs = spark.createDataFrame(
         [(i, "same text") for i in range(6)] + [(10, "unique")],
