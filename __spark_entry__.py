@@ -598,6 +598,37 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_full_curation(spark, sf_dir):
+    """Flagship composition for the training-data tier: C4 line
+    cleaning -> quality gate -> exact dedup keep-first -> next-fit
+    sequence packing, all operator-level (passthrough columns, no
+    rejoin). Plan cost: one scan, the dedup window's md5 shuffle,
+    and the pack group shuffle — 2 exchanges end to end."""
+    from ci_log_processing_spark.operators.curation import pack_sequences
+    from ci_log_processing_spark.operators.dedup import (
+        exact_dedup_keep_first,
+    )
+    from ci_log_processing_spark.operators.textstats import (
+        attach_c4_lines,
+        c4_line_filter,
+        quality_scores,
+    )
+
+    cleaned = c4_line_filter(
+        attach_c4_lines(_docs(spark, sf_dir)), keep_cols=("source",)
+    ).filter("doc_kept")
+    scored = quality_scores(
+        cleaned, text_col="cleaned", keep_cols=("source", "cleaned")
+    )
+    survivors = scored.filter(F.col("quality") >= 0.45)
+    deduped = exact_dedup_keep_first(
+        survivors, text_col="cleaned", keep_cols=("source", "cleaned")
+    )
+    return pack_sequences(
+        deduped, capacity=128, group_col="source", text_col="cleaned"
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import (
         attach_c4_lines,
@@ -813,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_pack_sequences": q_pack_sequences,
             "cur_top_ngrams": q_top_ngrams,
             "cur_chunk_documents": q_chunk_documents,
+            "cur_full_curation": q_full_curation,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -885,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_pack_sequences": od.q_pack_sequences(256),
             "cur_top_ngrams": od.q_top_ngrams(20),
             "cur_chunk_documents": od.q_chunk_documents(64, 16),
+            "cur_full_curation": od.q_full_curation(0.45, 128),
             "text_c4_clean": od.q_c4_clean(),
             "text_token_counts": od.q_token_counts(),
             "text_pii_scrub": od.q_pii_scrub(),

@@ -91,7 +91,9 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup_keep_first(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The APPLY side of exact dedup: the surviving corpus, keeping
     the lowest doc_id of every identical-content group (training-data
@@ -105,7 +107,7 @@ def exact_dedup_keep_first(
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("doc_id", h.alias("h"))
+        .select("doc_id", *keep_cols, h.alias("h"))
     )
 
 

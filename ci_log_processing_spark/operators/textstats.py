@@ -47,7 +47,11 @@ def _ratio(num: Column, den: Column) -> Column:
     return F.round(num / F.greatest(den.cast("double"), F.lit(1.0)), 6)
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Length / punctuation / stopword heuristics -> quality score.
 
     score = 0.4*stopword_ratio_clipped + 0.3*len_score + 0.3*(1 -
@@ -71,6 +75,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep_cols,
         n_tok.alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
@@ -245,6 +250,7 @@ def c4_line_filter(
     text_col: str = "ltext",
     min_words: int = 5,
     min_kept_lines: int = 1,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, §2.2
     heuristics, public description): keep a line iff it ends in
@@ -275,6 +281,7 @@ def c4_line_filter(
     kept = F.filter(lines, keep)
     return docs.select(
         "doc_id",
+        *keep_cols,
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
         F.array_join(kept, "\n").alias("cleaned"),

@@ -596,6 +596,94 @@ FROM c
 """
 
 
+def q_full_curation(
+    min_quality: float = 0.45,
+    capacity: int = 128,
+    min_words: int = 5,
+) -> str:
+    """Composed curation pipeline oracle: C4 clean -> quality gate ->
+    exact dedup keep-first -> next-fit pack, all over `cleaned`
+    text. Each stage mirrors its standalone oracle exactly."""
+    from .operators.textstats import C4_BLOCKLIST
+
+    blocked = " AND ".join(
+        f"NOT contains(lower(x), '{p}')" for p in C4_BLOCKLIST
+    )
+    ctoks = "string_split(lower(cleaned), ' ')"
+    stop_filter = (
+        f"len(list_filter({ctoks}, x -> {_in_list('x', STOPWORDS)}))"
+    )
+    return f"""
+WITH lined AS (
+  SELECT doc_id, source,
+         substr(text, 1, 40) || '.' || chr(10) || 'too short' || chr(10)
+           || substr(text, 41, 40)
+           || CASE WHEN doc_id % 9 = 0
+                THEN chr(10) || 'this page uses javascript heavily.'
+                ELSE '' END AS ltext
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source,
+         list_filter(string_split(ltext, chr(10)), x ->
+           (ends_with(x, '.') OR ends_with(x, '!')
+            OR ends_with(x, '?') OR ends_with(x, '"'))
+           AND len(string_split(x, ' ')) >= {min_words}
+           AND {blocked}) AS kept
+  FROM lined
+),
+c AS (
+  SELECT doc_id, source, array_to_string(kept, chr(10)) AS cleaned
+  FROM k WHERE len(kept) >= 1
+),
+sq AS (
+  SELECT doc_id, source, cleaned,
+    round({stop_filter} / greatest(CAST(len({ctoks}) AS DOUBLE), 1.0), 6)
+      AS stopword_ratio,
+    round(len(regexp_extract_all(cleaned, '[^A-Za-z0-9\\s]')) /
+          greatest(CAST(length(cleaned) AS DOUBLE), 1.0), 6) AS punct_ratio,
+    round(least(len({ctoks}) / 64.0, 1.0), 6) AS len_score
+  FROM c
+),
+surv AS (
+  SELECT doc_id, source, cleaned FROM sq
+  WHERE round(0.4 * least(stopword_ratio * 4, 1.0)
+              + 0.3 * len_score
+              + 0.3 * (1.0 - punct_ratio), 6) >= {min_quality}
+),
+dd AS (
+  SELECT doc_id, source, cleaned FROM (
+    SELECT doc_id, source, cleaned,
+           row_number() OVER (PARTITION BY md5(cleaned)
+                              ORDER BY doc_id) AS rn
+    FROM surv
+  ) WHERE rn = 1
+),
+pbase AS (
+  SELECT source, doc_id,
+         CAST(len({ctoks}) AS BIGINT) AS nt,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM dd
+),
+pk AS (
+  WITH RECURSIVE p(source, rn, doc_id, nt, bin, used) AS (
+    SELECT source, rn, doc_id, nt, CAST(0 AS BIGINT), nt
+    FROM pbase WHERE rn = 1
+    UNION ALL
+    SELECT b.source, b.rn, b.doc_id, b.nt,
+           CASE WHEN p.used + b.nt <= {capacity} THEN p.bin
+                ELSE p.bin + 1 END,
+           CASE WHEN p.used + b.nt <= {capacity} THEN p.used + b.nt
+                ELSE b.nt END
+    FROM p JOIN pbase b ON b.source = p.source AND b.rn = p.rn + 1
+  ) SELECT * FROM p
+)
+SELECT source, doc_id, nt AS n_tokens, bin AS bin_idx,
+       CAST(used - nt AS BIGINT) AS offset_in_bin
+FROM pk
+"""
+
+
 def q_token_counts() -> str:
     rx = BPE_RX.replace("\\", "\\\\")
     return f"""

@@ -80,6 +80,18 @@ def test_pack_sequences_single_group_shuffle(spark, tmp_path):
     assert "FlatMapGroupsInPandas" in plan, plan
 
 
+def test_full_curation_two_exchanges(spark, tmp_path):
+    # clean -> quality -> dedup -> pack composes into exactly two
+    # shuffles (dedup's md5 window + pack's group key); the
+    # passthrough-column API exists so no stage needs a rejoin
+    import __spark_entry__ as entry
+
+    q = entry.q_full_curation(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_scan_prunes_columns(spark, tmp_path):
     # a projection that needs only conv_id/turn_idx/text must not
     # drag role/tool/ts through the scan (ReadSchema pruning)

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Worker for tools/run_corpus_scaling.py — one fresh JVM per
+(core-count) measurement of the training-data-tier operators.
+
+Synthesizes a deterministic corpus ENTIRELY JVM-side (no Python in
+the generation path): doc text is 60-120 words drawn from a fixed
+400-word vocabulary by xxhash64(doc_id, position), plus 2% planted
+exact copies and 2% near copies so dedup has real work. The corpus
+is materialized to tmpfs parquet first, so generation cost never
+contaminates operator timings.
+
+Usage (via spark-submit):
+  _corpus_scale_worker.py <n_docs> <summary_json>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+VOCAB = [f"w{i}" for i in range(360)] + [
+    "the", "a", "and", "of", "to", "in", "is", "table", "scan", "row",
+    "batch", "merge", "sort", "hash", "join", "value", "query", "part",
+    "fast", "slow", "data", "line", "key", "agg", "window", "filter",
+    "stream", "group", "order", "column", "small", "big", "spark",
+    "vector", "customer", "date", "file", "disk", "node", "task",
+]
+
+
+def build_corpus(spark, n_docs: int, work: str) -> str:
+    v = F.array(*[F.lit(w) for w in VOCAB])
+    nv = len(VOCAB)
+    doc_id = F.col("id")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(60) + F.pmod(doc_id, 60)),
+            lambda i: F.element_at(
+                v, F.pmod(F.xxhash64(doc_id, i), nv).cast("int") + 1
+            ),
+        ),
+    )
+    base = spark.range(n_docs).select(
+        doc_id.alias("doc_id"),
+        text.alias("text"),
+        F.concat(F.lit("s"), F.pmod(doc_id, 64)).alias("source"),
+    )
+    exact = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "source"
+    )
+    near = base.filter(F.col("doc_id") % 50 == 7).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias(
+            "text"
+        ),
+        "source",
+    )
+    path = os.path.join(work, "corpus")
+    (
+        base.unionAll(exact)
+        .unionAll(near)
+        .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+        .write.parquet(path)
+    )
+    return path
+
+
+def main():
+    n_docs = int(sys.argv[1])
+    summary = sys.argv[2]
+    spark = SparkSession.builder.getOrCreate()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+    from ci_log_processing_spark.operators.curation import (
+        pack_sequences,
+        top_ngrams,
+    )
+    from ci_log_processing_spark.operators.dedup import (
+        duplicate_components,
+        exact_star_edges,
+        minhash_lsh_pairs,
+    )
+    from ci_log_processing_spark.operators.pii import pii_scrub
+    from ci_log_processing_spark.operators.textstats import repetition_stats
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    work = tempfile.mkdtemp(prefix="corpus_scale_", dir=shm)
+    timings: dict[str, float] = {}
+    try:
+        corpus = spark.read.parquet(build_corpus(spark, n_docs, work))
+        n_rows = corpus.count()  # warm the scan
+
+        def t(name, fn, warmup=False):
+            # scan-bound ops finish in seconds even at 150k docs, so
+            # a 2-4 s Janino codegen compile would dominate their
+            # ratio; warm those up and report steady-state (the
+            # LSH/components tier runs long enough to amortize it)
+            if warmup:
+                fn()
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 2)
+
+        # scan-bound tier (documents-shaped input: doc_id + text)
+        t(
+            "pii_scrub",
+            lambda: pii_scrub(corpus, text_col="text")
+            .select(F.sum(F.xxhash64("doc_id", "n_pii", "redacted")))
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "repetition",
+            lambda: repetition_stats(corpus, text_col="text")
+            .select(
+                F.sum(
+                    F.xxhash64(
+                        "doc_id", "dup_line_frac", "top_bigram_frac"
+                    )
+                )
+            )
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "top_ngrams",
+            lambda: top_ngrams(corpus, n=2, k=20)
+            .select(F.sum(F.xxhash64("ngram", "occurrences")))
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "pack_sequences",
+            lambda: pack_sequences(corpus, capacity=256)
+            .select(F.sum(F.xxhash64("doc_id", "bin_idx")))
+            .collect(),
+            warmup=True,
+        )
+        # shuffle/iteration tier: materializing `pairs` IS the LSH
+        # timing; components then consumes the persisted pairs so its
+        # number isolates edge-symmetrization + propagation rounds
+        stats: dict[str, int] = {}
+        pairs = (
+            exact_star_edges(corpus)
+            .unionAll(
+                minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
+                    "doc_a", "doc_b"
+                )
+            )
+            .distinct()
+            .persist()
+        )
+        t("lsh_pairs", lambda: stats.update(n_pairs=pairs.count()))
+        t(
+            "components",
+            lambda: stats.update(
+                n_keepers=duplicate_components(
+                    pairs, corpus.select("doc_id")
+                )
+                .filter("is_keeper")
+                .count()
+            ),
+        )
+        with open(summary, "w") as f:
+            json.dump(
+                {"n_docs": n_rows, "timings": timings, **stats}, f
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence for the TRAINING-DATA tier
+(dedup / components / text / curation operators), companion to
+tools/run_scaling.py which covers the parse->route pipeline job.
+
+Runs tools/_corpus_scale_worker.py at local[8] and local[32] — fresh
+JVM each, identical right-sized 8g heap, tmpfs spark.local.dir — and
+reports per-operator wall time at both plus N->4N efficiency
+(eff = t8 / (4 * t32); 1.0 = perfect linear scaling). Results land
+in CORPUS_SCALING.json.
+
+Usage: python tools/run_corpus_scaling.py [n_docs]   (default 100000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cores: int, n_docs: int) -> dict:
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=shm)
+    summary = os.path.join(local_dir, "summary.json")
+    try:
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [
+                "spark-submit",
+                "--master",
+                f"local[{cores}]",
+                "--driver-memory",
+                "8g",
+                "--conf",
+                f"spark.local.dir={local_dir}",
+                "--conf",
+                f"spark.sql.shuffle.partitions={cores * 4}",
+                "--conf",
+                "spark.sql.adaptive.enabled=true",
+                os.path.join(REPO, "tools", "_corpus_scale_worker.py"),
+                str(n_docs),
+                summary,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+            env=env,
+        )
+        if not os.path.exists(summary):
+            sys.stderr.write((proc.stderr or "")[-3000:])
+            raise SystemExit(f"worker at local[{cores}] produced no summary")
+        with open(summary) as f:
+            return json.load(f)
+    finally:
+        import shutil
+
+        shutil.rmtree(local_dir, ignore_errors=True)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    r8 = run(8, n_docs)
+    r32 = run(32, n_docs)
+    ops = sorted(r8["timings"])
+    out = {
+        "n_docs": r8["n_docs"],
+        "n_pairs": r8.get("n_pairs"),
+        "n_keepers": r8.get("n_keepers"),
+        "per_op": {},
+    }
+    for op in ops:
+        t8, t32 = r8["timings"][op], r32["timings"][op]
+        out["per_op"][op] = {
+            "local8_sec": t8,
+            "local32_sec": t32,
+            "speedup": round(t8 / t32, 2) if t32 else None,
+            "efficiency_N_to_4N": round(t8 / (4 * t32), 3) if t32 else None,
+        }
+    tot8 = sum(r8["timings"].values())
+    tot32 = sum(r32["timings"].values())
+    out["total"] = {
+        "local8_sec": round(tot8, 2),
+        "local32_sec": round(tot32, 2),
+        "speedup": round(tot8 / tot32, 2),
+        "efficiency_N_to_4N": round(tot8 / (4 * tot32), 3),
+    }
+    with open(os.path.join(REPO, "CORPUS_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
