@@ -180,6 +180,12 @@ def main():
     if os.path.exists(scaling_cache):
         with open(scaling_cache) as f:
             out["scaling"] = json.load(f)
+    corpus_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CORPUS_SCALING.json"
+    )
+    if os.path.exists(corpus_cache):
+        with open(corpus_cache) as f:
+            out["corpus_scaling"] = json.load(f)
     print(json.dumps(out))
     spark.stop()
 
