@@ -551,6 +551,31 @@ def q_dedup_components(spark, sf_dir):
     return duplicate_components(pairs, corpus.select("doc_id"))
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Same edge set and same oracle as dedup_components, computed by
+    the O(log^2 n) large-star/small-star contraction instead of
+    min-label propagation — the gate proves the two algorithms agree
+    on real dedup output."""
+    from ci_log_processing_spark.operators.dedup import (
+        duplicate_components_star,
+        exact_star_edges,
+        minhash_lsh_pairs,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = (
+        exact_star_edges(corpus)
+        .unionAll(
+            minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
+                "doc_a", "doc_b"
+            )
+        )
+        .distinct()
+    )
+    return duplicate_components_star(pairs, corpus.select("doc_id"))
+
+
 def q_dedup_semantic_apply(spark, sf_dir):
     """SemDeDup-style composition: the generic components operator
     consuming the embedding-cosine near-dup pair stream — one
@@ -833,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": q_dedup_simhash,
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "dedup_components": q_dedup_components,
+            "dedup_components_star": q_dedup_components_star,
             "dedup_semantic_apply": q_dedup_semantic_apply,
             "dedup_embedding_cosine": q_embed_near_dup,
             "sim_ann_brute_force": q_ann_brute_force,
@@ -906,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash": od.q_dedup_simhash(),
             "dedup_simhash_pairs": od.q_dedup_simhash_pairs(3),
             "dedup_components": od.q_dedup_components(0.6),
+            "dedup_components_star": od.q_dedup_components(0.6),
             "dedup_semantic_apply": od.q_dedup_semantic_apply(0.30),
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),

@@ -359,6 +359,31 @@ def exact_star_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _persistent_ids(sc):
+    lst = sc._jsc.sc().getPersistentRDDs().toList()
+    return {lst.apply(i)._1(): lst.apply(i)._2() for i in range(lst.size())}
+
+
+def _checkpoint(df: DataFrame):
+    """localCheckpoint + handles to the newly pinned RDDs, so an
+    iterative loop can free superseded rounds deterministically
+    (Dataset.unpersist does NOT release checkpoint blocks)."""
+    sc = df.sparkSession.sparkContext
+    before = set(_persistent_ids(sc))
+    out = df.localCheckpoint()
+    fresh = {
+        rid: rdd
+        for rid, rdd in _persistent_ids(sc).items()
+        if rid not in before
+    }
+    return out, fresh
+
+
+def _release(fresh) -> None:
+    for rdd in fresh.values():
+        rdd.unpersist(False)
+
+
 def duplicate_components(
     pairs: DataFrame, nodes: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -399,26 +424,6 @@ def duplicate_components(
 
     Returns (doc_id, component, is_keeper).
     """
-
-    def _persistent_ids(sc):
-        lst = sc._jsc.sc().getPersistentRDDs().toList()
-        return {lst.apply(i)._1(): lst.apply(i)._2() for i in range(lst.size())}
-
-    def _checkpoint(df):
-        sc = df.sparkSession.sparkContext
-        before = set(_persistent_ids(sc))
-        out = df.localCheckpoint()
-        fresh = {
-            rid: rdd
-            for rid, rdd in _persistent_ids(sc).items()
-            if rid not in before
-        }
-        return out, fresh
-
-    def _release(fresh):
-        for rdd in fresh.values():
-            rdd.unpersist(False)
-
     edges0 = pairs.select("doc_a", "doc_b")
     edges = (
         edges0.select(
@@ -437,7 +442,10 @@ def duplicate_components(
             F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
         )
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal sum: at 10^12-node scale a long sum of doc_ids can
+    # overflow, which ANSI turns into a crash mid-maintenance
+    lbl_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(lbl_sum).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         nb = edges.join(labels, edges["dst"] == labels["node"]).select(
@@ -448,7 +456,7 @@ def duplicate_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(lbl_sum).collect()[0][0]
         _release(labels_rdds)
         labels, labels_rdds = new_labels, new_rdds
         if new_sum == prev_sum:
@@ -467,6 +475,106 @@ def duplicate_components(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component"),
         (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def duplicate_components_star(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 40
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — O(log^2 n) rounds on ANY graph shape,
+    where plain min-label propagation (duplicate_components) needs
+    diameter rounds and is the better choice only for the
+    star/near-clique graphs dedup usually produces.
+
+    Per round: each operation is one groupBy-min on the node key
+    plus one join on the same key (co-partitioned, so Catalyst
+    reuses the exchange) — no per-node neighbor list is ever
+    materialized in a single row, so a hot node cannot OOM a task.
+    Rounds are localCheckpoint()ed and superseded checkpoints freed,
+    same as the propagation variant. Convergence = the oriented edge
+    set's (count, xxhash64-sum) signature repeating.
+
+    Returns (doc_id, component, is_keeper) — identical contract and
+    output to duplicate_components.
+    """
+
+    def large_star(e):
+        # undirected neighborhoods: both orientations of every edge
+        nbrs = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        # orient every edge large -> small, then hang each node's
+        # smaller neighbors (and itself) off its minimum neighbor
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        hang = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return (
+            hang.unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(e):
+        # bit_xor, not sum: xxhash64 sums overflow long under ANSI,
+        # and xor is order-independent + overflow-free (edges are
+        # distinct, so xor is a faithful set signature)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    edges, edges_rdds = _checkpoint(
+        pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        new_edges, new_rdds = _checkpoint(small_star(large_star(edges)))
+        sig = signature(new_edges)
+        _release(edges_rdds)
+        edges, edges_rdds = new_edges, new_rdds
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        _release(edges_rdds)
+        raise RuntimeError(
+            f"duplicate_components_star did not converge in {max_iter} "
+            "rounds"
+        )
+    # fixed point: edges are (member -> component-min) stars
+    members = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    )
+    singletons = nodes.join(
+        edges.select(F.col("u").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component"))
+    return members.unionAll(singletons).select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_keeper"),
     )
 
 

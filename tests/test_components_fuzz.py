@@ -29,6 +29,16 @@ def _union_find(n_nodes, edges):
     return {v: min(vs) for r, vs in comp.items() for v in vs}
 
 
+def _spark_graph(spark, edges, n):
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.filter("doc_a != doc_a")  # empty edge list
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    return pairs, nodes
+
+
 def test_components_match_union_find_random_graphs(spark):
     rng = random.Random(20260817)
     for trial in range(3):
@@ -39,19 +49,37 @@ def test_components_match_union_find_random_graphs(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         expected = _union_find(n, edges)
-        pairs = spark.createDataFrame(
-            edges or [(0, 0)], "doc_a long, doc_b long"
-        )
-        if not edges:
-            pairs = pairs.filter("doc_a != doc_a")  # empty edge list
-        nodes = spark.createDataFrame(
-            [(i,) for i in range(n)], "doc_id long"
-        )
+        pairs, nodes = _spark_graph(spark, edges, n)
         got = {
             r["doc_id"]: r["component"]
             for r in duplicate_components(pairs, nodes).collect()
         }
         assert got == expected, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_star_components_match_union_find(spark):
+    from ci_log_processing_spark.operators.dedup import (
+        duplicate_components_star,
+    )
+
+    rng = random.Random(20260819)
+    cases = []
+    for _ in range(2):
+        n = rng.randint(10, 50)
+        m = rng.randint(0, n * 2)
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        cases.append((n, [(a, b) for a, b in es if a != b]))
+    # the shape propagation is worst at: a long path (diameter = n-1);
+    # star contraction must converge in O(log^2 n) rounds
+    cases.append((40, [(i, i + 1) for i in range(39)]))
+    for n, edges in cases:
+        expected = _union_find(n, edges)
+        pairs, nodes = _spark_graph(spark, edges, n)
+        rows = duplicate_components_star(pairs, nodes).collect()
+        got = {r["doc_id"]: r["component"] for r in rows}
+        assert got == expected, f"n={n} edges={edges}"
+        keepers = {r["doc_id"] for r in rows if r["is_keeper"]}
+        assert keepers == set(expected.values())
 
 
 def _next_fit(items, capacity):
