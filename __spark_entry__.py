@@ -623,6 +623,43 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_jsonl_quarantine(spark, sf_dir):
+    """JSONL ingest with record-level corrupt quarantine: documents
+    serialized to JSON lines, every 13th line truncated mid-object;
+    the PERMISSIVE reader must parse the rest and flag exactly the
+    planted records (fields NULL there) — record-granular analog of
+    the reference's broken-file skip (logsender.py:527-529)."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.sources.jsonl import read_documents_jsonl
+
+    docs = _docs(spark, sf_dir)
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.substring(line, 1, F.length(line) - 5),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="gate_jsonl_")
+    try:
+        path = os.path.join(work, "shard")
+        lines.coalesce(2).write.text(path)
+        out = read_documents_jsonl(
+            spark,
+            path,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        rows = out.select("doc_id", "is_corrupt").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
+
+
 def q_full_curation(spark, sf_dir):
     """Flagship composition for the training-data tier: C4 line
     cleaning -> quality gate -> exact dedup keep-first -> next-fit
@@ -871,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_top_ngrams": q_top_ngrams,
             "cur_chunk_documents": q_chunk_documents,
             "cur_full_curation": q_full_curation,
+            "src_jsonl_quarantine": q_jsonl_quarantine,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -945,6 +983,13 @@ def oracle_sql() -> dict[str, str]:
             "cur_top_ngrams": od.q_top_ngrams(20),
             "cur_chunk_documents": od.q_chunk_documents(64, 16),
             "cur_full_curation": od.q_full_curation(0.45, 128),
+            "src_jsonl_quarantine": (
+                "SELECT doc_id, FALSE AS is_corrupt FROM documents "
+                "WHERE doc_id % 13 != 0 "
+                "UNION ALL "
+                "SELECT NULL AS doc_id, TRUE AS is_corrupt FROM documents "
+                "WHERE doc_id % 13 = 0"
+            ),
             "text_c4_clean": od.q_c4_clean(),
             "text_token_counts": od.q_token_counts(),
             "text_pii_scrub": od.q_pii_scrub(),
