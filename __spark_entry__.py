@@ -617,6 +617,16 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), capacity=256)
 
 
+def q_overlap_decontaminate(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import (
+        overlap_decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    return overlap_decontaminate(docs, bench, k=5, threshold=0.5)
+
+
 def q_top_ngrams(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import top_ngrams
 
@@ -902,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
             "cur_decontaminate": q_decontaminate,
+            "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_token_histogram": q_token_histogram,
             "cur_pack_sequences": q_pack_sequences,
@@ -977,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
+            "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_token_histogram": od.q_token_histogram(16),
             "cur_pack_sequences": od.q_pack_sequences(256),

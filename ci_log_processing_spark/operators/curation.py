@@ -68,6 +68,67 @@ def stratified_downsample(
     )
 
 
+def overlap_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlap-RATIO decontamination: flag a document when >=
+    `threshold` of its distinct k-token shingles appear anywhere in
+    the benchmark set — the stricter n-gram-overlap rule modern eval
+    decontamination uses, vs `decontaminate`'s exact-substring
+    check.
+
+    Scale shape: the benchmark shingle set is DISTINCT'd (small —
+    eval suites are MBs, corpora are TBs), marked, and BROADCAST
+    left-joined onto the corpus's exploded shingles; both counts
+    (total + matched) then partial-aggregate in ONE doc-keyed
+    shuffle. Corpus-side cost: one scan, one broadcast join, one
+    count shuffle; nothing corpus-sized is ever collected,
+    broadcast, or rejoined.
+
+    Output: (doc_id, n_shingles, n_overlap, overlap_frac,
+    contaminated). Docs with < k tokens have no shingles and are
+    never flagged.
+    """
+    from .dedup import shingles_col, tokens_col
+
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        shingles_col(tokens_col(F.col(text_col)), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    bench_grams = (
+        sh(benchmark)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        sh(docs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench_grams), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+    )
+    frac = F.round(
+        F.col("n_overlap") / F.col("n_shingles").cast("double"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 256,

@@ -387,6 +387,32 @@ FROM documents GROUP BY 1
 """
 
 
+def q_overlap_decontaminate(threshold: float = 0.5) -> str:
+    """Overlap-ratio decontamination oracle: benchmark = every
+    doc_id % 31 == 0 document; a doc is contaminated when >=
+    threshold of its distinct 5-shingles appear in the benchmark."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0
+),
+per AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap
+  FROM sh LEFT JOIN bench b ON sh.s = b.s
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_overlap,
+       round(n_overlap / CAST(n_shingles AS DOUBLE), 6) AS overlap_frac,
+       (round(n_overlap / CAST(n_shingles AS DOUBLE), 6) >= {threshold})
+         AS contaminated
+FROM per
+"""
+
+
 def q_top_ngrams(k: int = 20) -> str:
     """Corpus top-k bigram oracle (n fixed at 2; the Spark operator
     is generic over n)."""

@@ -135,6 +135,36 @@ def test_top_ngrams_trigram_short_docs(spark):
     assert out["b c a"] == 1
 
 
+def test_overlap_decontaminate_ratio_and_plan(spark):
+    from ci_log_processing_spark.operators.curation import (
+        overlap_decontaminate,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                               # benchmark member
+            (2, base + " iota kappa"),               # high overlap
+            (3, "one two three four five six seven"),  # disjoint
+            (4, "tiny doc"),                          # < 5 tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    q = overlap_decontaminate(docs, bench, k=5, threshold=0.5)
+    out = {r["doc_id"]: r for r in q.collect()}
+    assert out[1]["overlap_frac"] == 1.0 and out[1]["contaminated"]
+    # doc 2: 6 shingles, 4 of them inside the benchmark text
+    assert out[2]["n_shingles"] == 6 and out[2]["n_overlap"] == 4
+    assert out[2]["contaminated"]
+    assert out[3]["n_overlap"] == 0 and not out[3]["contaminated"]
+    assert 4 not in out  # shingle-less docs are not judged
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # benchmark side broadcast; corpus shuffles once, on doc_id only
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_token_histogram_conserves_totals(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["tok"] * (i + 1))) for i in range(40)],
