@@ -532,22 +532,13 @@ def q_stream_dedup(spark, sf_dir):
 
 def q_dedup_components(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import (
+        dedup_pair_edges,
         duplicate_components,
-        exact_star_edges,
-        minhash_lsh_pairs,
     )
     from ci_log_processing_spark.sources.corpus import load_corpus
 
     corpus = load_corpus(spark, sf_dir)
-    pairs = (
-        exact_star_edges(corpus)
-        .unionAll(
-            minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
-                "doc_a", "doc_b"
-            )
-        )
-        .distinct()
-    )
+    pairs = dedup_pair_edges(corpus, spark, threshold=0.6)
     return duplicate_components(pairs, corpus.select("doc_id"))
 
 
@@ -557,22 +548,13 @@ def q_dedup_components_star(spark, sf_dir):
     min-label propagation — the gate proves the two algorithms agree
     on real dedup output."""
     from ci_log_processing_spark.operators.dedup import (
+        dedup_pair_edges,
         duplicate_components_star,
-        exact_star_edges,
-        minhash_lsh_pairs,
     )
     from ci_log_processing_spark.sources.corpus import load_corpus
 
     corpus = load_corpus(spark, sf_dir)
-    pairs = (
-        exact_star_edges(corpus)
-        .unionAll(
-            minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
-                "doc_a", "doc_b"
-            )
-        )
-        .distinct()
-    )
+    pairs = dedup_pair_edges(corpus, spark, threshold=0.6)
     return duplicate_components_star(pairs, corpus.select("doc_id"))
 
 

@@ -115,8 +115,8 @@ def main():
 
     from ci_log_processing_spark.operators.curation import pack_sequences
     from ci_log_processing_spark.operators.dedup import (
+        dedup_pair_edges,
         duplicate_components,
-        exact_star_edges,
     )
     from ci_log_processing_spark.operators.pii import attach_pii, pii_scrub
     from ci_log_processing_spark.operators.textstats import (
@@ -146,15 +146,7 @@ def main():
     )
 
     def _components():
-        pairs = (
-            exact_star_edges(corpus)
-            .unionAll(
-                minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
-                    "doc_a", "doc_b"
-                )
-            )
-            .distinct()
-        )
+        pairs = dedup_pair_edges(corpus, spark, threshold=0.6)
         return duplicate_components(pairs, corpus.select("doc_id")).count()
 
     bench("dedup_components", _components)

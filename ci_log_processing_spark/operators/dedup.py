@@ -478,6 +478,24 @@ def duplicate_components(
     )
 
 
+def dedup_pair_edges(
+    corpus: DataFrame, spark: SparkSession, threshold: float = 0.6
+) -> DataFrame:
+    """The canonical dedup edge list: exact-duplicate star edges
+    unioned with verified minhash-LSH near-dup pairs. Shared by the
+    components gate queries, the bench, and the scaling worker so
+    the edge definition cannot drift between them."""
+    return (
+        exact_star_edges(corpus)
+        .unionAll(
+            minhash_lsh_pairs(corpus, spark, threshold=threshold).select(
+                "doc_a", "doc_b"
+            )
+        )
+        .distinct()
+    )
+
+
 def duplicate_components_star(
     pairs: DataFrame, nodes: DataFrame, max_iter: int = 40
 ) -> DataFrame:
@@ -488,13 +506,19 @@ def duplicate_components_star(
     diameter rounds and is the better choice only for the
     star/near-clique graphs dedup usually produces.
 
-    Per round: each operation is one groupBy-min on the node key
-    plus one join on the same key (co-partitioned, so Catalyst
-    reuses the exchange) — no per-node neighbor list is ever
+    Per round: each phase is a groupBy-min on the node key plus a
+    join back on that key and a distinct — a BOUNDED handful of
+    hash-key exchanges per round (measured: ~11 for the composed
+    large+small round; Catalyst does NOT reuse the aggregate's
+    exchange for the join's probe side). The constant factor per
+    round is therefore higher than plain propagation's single
+    shuffle — the win is round COUNT (log^2 vs diameter), so prefer
+    `duplicate_components` on star/near-clique dedup graphs and
+    this on long-chain ones. No per-node neighbor list is ever
     materialized in a single row, so a hot node cannot OOM a task.
     Rounds are localCheckpoint()ed and superseded checkpoints freed,
     same as the propagation variant. Convergence = the oriented edge
-    set's (count, xxhash64-sum) signature repeating.
+    set's (count, bit_xor-of-hashes) signature repeating.
 
     Returns (doc_id, component, is_keeper) — identical contract and
     output to duplicate_components.

@@ -182,10 +182,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "ltext") -> DataFrame:
     # display string is built exactly once at the end, which cuts
     # per-bigram string allocation out of the sort+fold hot path —
     # measured 2.6x faster at sf0.1 (4.6 s -> 1.8 s), identical
-    # output. Tie-break stays identical to the oracle's string sort
-    # because tokens cannot contain the separator: for space-free
-    # tokens, struct (a, b) order == "a b" string order (the space
-    # sorts below every in-token character).
+    # output. Tie-break: struct (a, b) order equals "a<sep>b" string
+    # order for any separator sorting below every in-token character
+    # — NOT true of the display space once tokens carry newlines
+    # (attach_lines plants them; \n < ' ') — so the oracle ranks by
+    # a chr(1)-joined key. Divergence would need a NUL inside a
+    # token.
     toks = tokens(t)
     bg = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),

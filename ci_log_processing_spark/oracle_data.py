@@ -517,10 +517,17 @@ FROM planted
 
 def q_repetition() -> str:
     """Gopher-repetition oracle: same planted line-doubling, same
-    tie-break (list_sort over (-count, bigram) structs)."""
+    tie-break. The rank key joins the bigram's tokens with chr(1) —
+    NOT the display space — because the Spark side compares (a, b)
+    token STRUCTS: struct order equals sep-joined string order only
+    when the separator sorts below every in-token character, and
+    tokens CAN contain newlines (attach_lines plants them), which
+    sort below space but above chr(1). Divergence would need a
+    token containing NUL."""
     ranked = (
         "list_sort(list_transform(list_distinct(bigrams), "
-        "x -> {'neg': -len(list_filter(bigrams, y -> y = x)), 'bg': x}))"
+        "x -> {'neg': -len(list_filter(bigrams, y -> y = x)), "
+        "'key': replace(x, ' ', chr(1)), 'bg': x}))"
     )
     return f"""
 WITH lined AS (

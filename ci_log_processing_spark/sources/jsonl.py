@@ -3,15 +3,21 @@
 Training corpora arrive as JSON-lines shards, and real shards carry
 truncated/garbled lines. The reference skips whole broken FILES
 (logsender.py:527-529, the hardcoded testrepository.subunit.gz
-skip); at corpus scale the right granularity is the RECORD: read
-PERMISSIVE with a corrupt-record column, route good rows onward and
-quarantine bad ones with their raw bytes so nothing is silently
-dropped — the same keep-everything philosophy as the pipeline's
-drop_queue sink.
+skip); at corpus scale the right granularity is the RECORD: parse
+each line, route good rows onward and quarantine bad ones WITH
+their raw bytes so nothing is silently dropped — the same
+keep-everything philosophy as the pipeline's drop_queue sink.
 
-Spark-first shape: the JSON parse is the datasource's own reader
-(JacksonParser inside the scan, no Python), corrupt routing is a
-column filter — the whole split is one scan with zero shuffles.
+Implementation detail that matters: this reads the shard as TEXT and
+parses with `from_json(columnNameOfCorruptRecord=...)` rather than
+using the JSON datasource's PERMISSIVE mode. The datasource's
+corrupt column carries a restriction (Spark raises
+UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN whenever
+column pruning reduces a query to only corrupt-derived columns —
+so even `quarantined.count()` throws unless the caller caches
+first). Parsing from a real text column has no such restriction,
+keeps the raw line for free, and the parse still runs JVM-side
+(JacksonParser inside codegen) in one scan with zero shuffles.
 """
 
 from __future__ import annotations
@@ -25,23 +31,29 @@ CORRUPT_COL = "_corrupt_record"
 def read_documents_jsonl(
     spark: SparkSession, path: str, schema: str
 ) -> DataFrame:
-    """Read a JSONL shard PERMISSIVEly; adds `is_corrupt` plus the
-    raw line for quarantined records (fields stay NULL there)."""
-    full_schema = f"{schema}, {CORRUPT_COL} string"
-    df = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    """Read a JSONL shard; returns the schema's columns plus
+    `is_corrupt` and `raw_line` (raw bytes kept only for quarantined
+    records; parsed fields are NULL there)."""
+    parsed = F.from_json(
+        F.col("value"),
+        f"{schema}, {CORRUPT_COL} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    return df.select(
-        "*",
-        F.col(CORRUPT_COL).isNotNull().alias("is_corrupt"),
-    ).drop(CORRUPT_COL)
+    is_corrupt = F.col(f"r.{CORRUPT_COL}").isNotNull()
+    return (
+        spark.read.text(path)
+        .select(parsed.alias("r"), F.col("value"))
+        .select(
+            "r.*",
+            is_corrupt.alias("is_corrupt"),
+            F.when(is_corrupt, F.col("value")).alias("raw_line"),
+        )
+        .drop(CORRUPT_COL)
+    )
 
 
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good rows without the flag, quarantined rows)."""
-    good = df.filter(~F.col("is_corrupt")).drop("is_corrupt")
+    """(good rows without the quarantine columns, quarantined rows)."""
+    good = df.filter(~F.col("is_corrupt")).drop("is_corrupt", "raw_line")
     bad = df.filter(F.col("is_corrupt"))
     return good, bad

@@ -21,10 +21,16 @@ def test_jsonl_quarantines_bad_records(spark, tmp_path):
 
     df = read_documents_jsonl(spark, p, "doc_id long, text string")
     good, bad = split_quarantine(df)
+    # corrupt-only aggregations must WORK (the JSON datasource's own
+    # corrupt column throws QUERY_ONLY_CORRUPT_RECORD_COLUMN here)
+    assert bad.count() == 2
+    assert good.count() == 3
     g = {r["doc_id"]: r["text"] for r in good.collect()}
     # missing fields are NOT corruption — only unparseable lines are
     assert g == {1: "good one", 3: "also fine", 5: None}
     b = bad.collect()
-    assert len(b) == 2
-    # quarantined rows keep no parsed fields
+    # quarantined rows keep no parsed fields but DO keep raw bytes
     assert all(r["doc_id"] is None for r in b)
+    assert sorted(r["raw_line"] for r in b) == sorted(
+        ['{"doc_id": 2, "text": "truncat', "not json at all"]
+    )

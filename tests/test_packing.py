@@ -64,6 +64,42 @@ def test_repetition_stats_formulas(spark):
     assert abs(out[3]["top_bigram_frac"] - 6 / 4) < 1e-6
 
 
+def test_repetition_tiebreak_matches_oracle_with_newline_tokens(
+    spark, tmp_path
+):
+    """Adversarial tie-break case: doc 'x x' gets line-doubled
+    (doc_id % 4 == 0), producing token 'x\\nx'; both bigrams tie at
+    run 1 and the winner depends on sort order. Spark's struct
+    order must agree with the oracle's chr(1)-keyed rank (the
+    display-space key disagrees: '\\n' < ' ')."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from ci_log_processing_spark import oracle_data as od
+
+    p = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "x x"), (4, "a b a")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(p + "/documents.parquet")
+    got = {
+        r["doc_id"]: (r["top_bigram"], r["top_bigram_frac"])
+        for r in entry.q_repetition(spark, p).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{p}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[4], r[5])
+        for r in con.execute(od.q_repetition()).fetchall()
+    }
+    assert got.keys() == want.keys()
+    for d in got:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert abs(got[d][1] - want[d][1]) < 1e-9
+
+
 def test_repetition_single_token_doc(spark):
     docs = spark.createDataFrame(
         [(1, "solo")], "doc_id long, ltext string"

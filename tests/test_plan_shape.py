@@ -80,7 +80,7 @@ def test_pack_sequences_single_group_shuffle(spark, tmp_path):
     assert "FlatMapGroupsInPandas" in plan, plan
 
 
-def test_full_curation_two_exchanges(spark, tmp_path):
+def test_full_curation_two_exchanges(spark):
     # clean -> quality -> dedup -> pack composes into exactly two
     # shuffles (dedup's md5 window + pack's group key); the
     # passthrough-column API exists so no stage needs a rejoin

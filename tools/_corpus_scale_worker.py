@@ -3,7 +3,7 @@
 (core-count) measurement of the training-data-tier operators.
 
 Synthesizes a deterministic corpus ENTIRELY JVM-side (no Python in
-the generation path): doc text is 60-120 words drawn from a fixed
+the generation path): doc text is 61-120 words drawn from a fixed
 400-word vocabulary by xxhash64(doc_id, position), plus 2% planted
 exact copies and 2% near copies so dedup has real work. The corpus
 is materialized to tmpfs parquet first, so generation cost never
@@ -85,9 +85,8 @@ def main():
         top_ngrams,
     )
     from ci_log_processing_spark.operators.dedup import (
+        dedup_pair_edges,
         duplicate_components,
-        exact_star_edges,
-        minhash_lsh_pairs,
     )
     from ci_log_processing_spark.operators.pii import pii_scrub
     from ci_log_processing_spark.operators.textstats import repetition_stats
@@ -149,16 +148,7 @@ def main():
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds
         stats: dict[str, int] = {}
-        pairs = (
-            exact_star_edges(corpus)
-            .unionAll(
-                minhash_lsh_pairs(corpus, spark, threshold=0.6).select(
-                    "doc_a", "doc_b"
-                )
-            )
-            .distinct()
-            .persist()
-        )
+        pairs = dedup_pair_edges(corpus, spark, threshold=0.6).persist()
         t("lsh_pairs", lambda: stats.update(n_pairs=pairs.count()))
         t(
             "components",

@@ -28,7 +28,6 @@ def run(cores: int, n_docs: int) -> dict:
     local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=shm)
     summary = os.path.join(local_dir, "summary.json")
     try:
-        env = dict(os.environ)
         proc = subprocess.run(
             [
                 "spark-submit",
@@ -50,7 +49,6 @@ def run(cores: int, n_docs: int) -> dict:
             text=True,
             timeout=3600,
             cwd=REPO,
-            env=env,
         )
         if not os.path.exists(summary):
             sys.stderr.write((proc.stderr or "")[-3000:])
