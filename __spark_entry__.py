@@ -469,6 +469,18 @@ def q_embed_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.30)
 
 
+def q_embed_near_dup_capped(spark, sf_dir):
+    from ci_log_processing_spark.operators.similarity import (
+        embedding_near_dup_pairs_capped,
+    )
+
+    # cap 20 < every sf0.01 bucket size (44-59), so sub-splitting is
+    # actually exercised in the gate, not just the nsub=1 fast path
+    return embedding_near_dup_pairs_capped(
+        _emb(spark, sf_dir), threshold=0.30, bucket_cap=20
+    )
+
+
 def q_ann_brute_force(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import brute_force_topk
 
@@ -890,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_components_star": q_dedup_components_star,
             "dedup_semantic_apply": q_dedup_semantic_apply,
             "dedup_embedding_cosine": q_embed_near_dup,
+            "dedup_embedding_cosine_capped": q_embed_near_dup_capped,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -966,6 +979,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_components_star": od.q_dedup_components(0.6),
             "dedup_semantic_apply": od.q_dedup_semantic_apply(0.30),
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
+            "dedup_embedding_cosine_capped": od.q_embed_near_dup_capped(
+                0.30, 20
+            ),
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),

@@ -205,6 +205,64 @@ def ivf_multiprobe_topk(
     )
 
 
+def embedding_near_dup_pairs_capped(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bucket_col: str = "label",
+    bucket_cap: int = 32,
+) -> DataFrame:
+    """embedding_near_dup_pairs with a MEGA-BUCKET guard: any bucket
+    larger than `bucket_cap` is deterministically split into
+    ceil(size / cap) sub-buckets by hashing vec_id, and the all-pairs
+    comparison stays inside a (bucket, sub) cell — per-cell cost is
+    bounded by cap^2 no matter how skewed the clustering is (a
+    boilerplate-heavy corpus concentrating millions of vectors in
+    one coarse centroid would otherwise generate a quadratic cell).
+
+    Recall trade, stated plainly: pairs straddling two sub-buckets
+    of the same bucket are NOT compared — the same bounded-recall
+    contract as the n-gram df-cut, and the DuckDB oracle implements
+    the identical rule so the loss is measured, not hidden. Buckets
+    at or under the cap are unaffected (nsub = 1 reproduces the
+    uncapped operator).
+
+    The bucket-size table is one count per bucket — broadcast here;
+    with millions of buckets it becomes a shuffle join on the bucket
+    key, co-partitioned with the pair join that follows.
+    """
+    from .dedup import h32
+
+    sizes = emb.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("n"))
+    nsub = F.ceil(F.col("n") / F.lit(float(bucket_cap))).cast("long")
+    keyed = (
+        emb.join(F.broadcast(sizes), bucket_col)
+        .select(
+            F.col(bucket_col).alias("bkt"),
+            F.pmod(h32(F.col("vec_id").cast("string")), nsub).alias("sub"),
+            "vec_id",
+            "embedding",
+        )
+    )
+    a = keyed.select(
+        "bkt", "sub", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = keyed.select(
+        "bkt", "sub", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, ["bkt", "sub"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, bucket_col: str = "label"
 ) -> DataFrame:
@@ -212,7 +270,8 @@ def embedding_near_dup_pairs(
 
     Self-join keyed on the bucket column — the all-pairs comparison
     never leaves a bucket, which is what makes embedding dedup
-    feasible at corpus scale.
+    feasible at corpus scale. For skew-proof bounds on a hot bucket
+    see embedding_near_dup_pairs_capped.
     """
     a = emb.select(
         F.col(bucket_col).alias("bkt"),

@@ -216,6 +216,32 @@ WHERE round(list_dot_product(a.emb, b.emb) /
 """
 
 
+def q_embed_near_dup_capped(
+    threshold: float = 0.95, bucket_cap: int = 32
+) -> str:
+    """Capped near-dup oracle: identical deterministic sub-bucket
+    rule (hash(vec_id) % ceil(bucket_size / cap))."""
+    h = _H32.format(x="CAST(vec_id AS VARCHAR)")
+    cos = (
+        "round(list_dot_product(a.emb, b.emb) /"
+        " (sqrt(list_dot_product(a.emb, a.emb)) *"
+        " sqrt(list_dot_product(b.emb, b.emb))), 5)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT label, count(*) AS n FROM e GROUP BY 1),
+k AS (
+  SELECT e.vec_id, e.label, e.emb,
+         {h} % CAST(ceil(n / {bucket_cap}.0) AS BIGINT) AS sub
+  FROM e JOIN s USING (label)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM k a JOIN k b
+  ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
 _TOPK_TAIL = """
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT query_id, neighbor_id, cosine,

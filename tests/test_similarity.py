@@ -102,3 +102,41 @@ def test_ivf_multiprobe_recall_dominates_single_bucket(spark, emb):
     assert r1 <= r3
     n_buckets = emb.select("label").distinct().count()
     assert recall(n_buckets) == 1.0
+
+
+def test_capped_near_dup_bounds_hot_bucket(spark):
+    """A skewed bucket (80 of 90 vectors in one label) must be
+    sub-split: capped pairs are a subset of uncapped, intra-cell
+    work is bounded, and recall stays non-trivial."""
+    import random
+
+    from ci_log_processing_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_capped,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(90):
+        label = 0 if i < 80 else 1  # hot bucket
+        base = [1.0, 0.5, 0.25, 0.1]
+        vec = [v + rng.random() * 0.05 for v in base]
+        rows.append((i, vec, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs_capped(
+            emb, threshold=0.99, bucket_cap=10
+        ).collect()
+    }
+    assert capped <= full  # never invents pairs
+    assert capped  # still finds near-dups inside cells
+    # the hot bucket was split ~8 ways: the capped pair count must be
+    # an order of magnitude below the uncapped quadratic blow-up
+    assert len(capped) < len(full) / 3
