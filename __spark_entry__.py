@@ -542,6 +542,13 @@ def q_stream_dedup(spark, sf_dir):
     return spark.createDataFrame(rows, "h string")
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import duplicate_spans
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return duplicate_spans(load_corpus(spark, sf_dir), k=20)
+
+
 def q_dedup_components(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import (
         dedup_pair_edges,
@@ -894,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "dedup_exact": q_dedup_exact,
             "dedup_exact_apply": q_dedup_exact_apply,
+            "dedup_substring_spans": q_dedup_substring_spans,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_simhash": q_dedup_simhash,
@@ -971,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "dedup_exact": od.q_dedup_exact(),
             "dedup_exact_apply": od.q_dedup_exact_apply(),
+            "dedup_substring_spans": od.q_dedup_substring_spans(20),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_simhash": od.q_dedup_simhash(),

@@ -602,6 +602,88 @@ def duplicate_components_star(
     )
 
 
+def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Substring-level exact dedup report (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2022): find every
+    k-token span occurring MORE THAN ONCE anywhere in the corpus and
+    merge each document's flagged positions into maximal intervals —
+    the per-doc excision plan span-level dedup applies before
+    training. All occurrences are flagged; keep-one policies are the
+    caller's (the paper itself excises every copy).
+
+    Shape: positional k-shingles (posexplode, NOT distinct — the
+    position matters), one partial-aggregated count shuffle on
+    md5(span) (a 32-hex key; the raw 20-token string never shuffles),
+    a semi-join of positions against the duplicated spans, then ONE
+    doc-keyed window doing gaps-and-islands interval merging:
+    an island starts where pos exceeds the running max of previous
+    span ends — standard cumulative-max windowing, no per-doc arrays
+    collected. Cost: two key shuffles, both on bounded-width keys.
+
+    Output: (doc_id, n_spans, n_dup_tokens) — merged duplicate
+    intervals per doc and the token count they cover. Docs with no
+    duplicated span are absent.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    # explicit short-doc guard: sequence(1, 0) DESCENDS in Spark
+    # (it would yield [1, 0], then slice(_, 0, _) throws)
+    spans = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        "doc_id", F.posexplode(spans).alias("pos", "h")
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = pos.join(dup, "h", "left_semi")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w)
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("is_start")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island"),
+    )
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (k - 1)).alias("e"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_dup_tokens"),
+    )
+
+
 def simhash_col(toks: Column, bits: int = 32) -> Column:
     """32-bit SimHash over distinct tokens as one expression.
 

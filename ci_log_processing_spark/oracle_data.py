@@ -318,6 +318,55 @@ scored AS (
 """ + _TOPK_TAIL.format(k=k)
 
 
+def q_dedup_substring_spans(k: int = 20) -> str:
+    """Substring-span dedup oracle: positional k-shingles over the
+    planted corpus, spans occurring > 1x flagged, per-doc interval
+    merge via gaps-and-islands windowing."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus
+),
+sp0 AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(len(toks) - {k} + 1, 0))) AS p
+  FROM base
+),
+sp AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         md5(array_to_string(
+           list_slice(toks, CAST(p + 1 AS INT), CAST(p + {k} AS INT)),
+           ' ')) AS h
+  FROM sp0
+),
+dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+fl AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (h)),
+w AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(
+           max(pos + {k - 1}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS is_start
+  FROM fl
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(is_start) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM w
+),
+m AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {k - 1} AS e
+  FROM isl GROUP BY 1, 2
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
+FROM m GROUP BY doc_id
+"""
+
+
 def q_dedup_components(threshold: float = 0.6) -> str:
     """Components over exact-star + verified-LSH edges: transitive
     closure via recursive CTE (min reachable doc_id = component),

@@ -80,6 +80,33 @@ def test_exact_star_edges_linear_in_group_size(spark):
     assert sorted(r["doc_b"] for r in edges) == [1, 2, 3, 4, 5]
 
 
+def test_duplicate_spans_merging(spark):
+    from ci_log_processing_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(6))  # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one two"),
+            (2, f"prefix bits {shared} other end"),
+            (3, "no overlap here at all whatsoever truly"),
+            # intra-doc repeat: the same 4-gram twice in ONE doc
+            (4, "r1 r2 r3 r4 gap r1 r2 r3 r4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_tokens"])
+        for r in duplicate_spans(docs, k=4).collect()
+    }
+    # docs 1+2 share three 4-gram spans (positions merge into ONE
+    # interval covering the 6 shared tokens)
+    assert out[1] == (1, 6)
+    assert out[2] == (1, 6)
+    assert 3 not in out
+    # doc 4: both occurrences flagged; [0,3] and [5,8] don't touch
+    assert out[4] == (2, 8)
+
+
 def test_components_keeper_rate_on_clusters(spark):
     # 3 disjoint triangles -> 3 keepers, 9 nodes
     edges = []
