@@ -612,13 +612,16 @@ def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
     caller's (the paper itself excises every copy).
 
     Shape: positional k-shingles (posexplode, NOT distinct — the
-    position matters), one partial-aggregated count shuffle on
-    md5(span) (a 32-hex key; the raw 20-token string never shuffles),
-    a semi-join of positions against the duplicated spans, then ONE
-    doc-keyed window doing gaps-and-islands interval merging:
-    an island starts where pos exceeds the running max of previous
-    span ends — standard cumulative-max windowing, no per-doc arrays
-    collected. Cost: two key shuffles, both on bounded-width keys.
+    position matters), persisted so the count build side and the
+    semi-join probe side share ONE tokenize+slice+md5 pass (the
+    same single-scan contract as minhash_lsh_pairs); then a
+    partial-aggregated count shuffle on md5(span) (a 32-hex key;
+    the raw 20-token string never shuffles), the semi-join, and a
+    doc-keyed window doing gaps-and-islands interval merging: an
+    island starts where pos exceeds prev_end + 1, so touching
+    intervals merge and the output intervals are maximal. Cost:
+    three key shuffles (span-key agg, span-key join, doc-key
+    window), all on bounded-width keys.
 
     Output: (doc_id, n_spans, n_dup_tokens) — merged duplicate
     intervals per doc and the token count they cover. Docs with no
@@ -641,7 +644,7 @@ def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     pos = docs.select(
         "doc_id", F.posexplode(spans).alias("pos", "h")
-    )
+    ).persist()
     dup = (
         pos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -659,7 +662,7 @@ def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
         "doc_id",
         "pos",
         F.when(
-            F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1
+            F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1
         )
         .otherwise(0)
         .alias("is_start"),

@@ -205,6 +205,35 @@ def ivf_multiprobe_topk(
     )
 
 
+def _bucket_pair_join(
+    keyed: DataFrame, keys: list[str], threshold: float
+) -> DataFrame:
+    """Shared pair-comparison tail for the near-dup operators: self-
+    join on `keys`, ordered-pair filter, cosine threshold. One
+    definition so the capped and uncapped variants cannot drift on
+    rounding or pair semantics."""
+    a = keyed.select(
+        *keys,
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = keyed.select(
+        *keys,
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs_capped(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -214,8 +243,10 @@ def embedding_near_dup_pairs_capped(
     """embedding_near_dup_pairs with a MEGA-BUCKET guard: any bucket
     larger than `bucket_cap` is deterministically split into
     ceil(size / cap) sub-buckets by hashing vec_id, and the all-pairs
-    comparison stays inside a (bucket, sub) cell — per-cell cost is
-    bounded by cap^2 no matter how skewed the clustering is (a
+    comparison stays inside a (bucket, sub) cell — EXPECTED per-cell
+    cost ~cap^2 regardless of clustering skew (hash placement
+    balances cells on average; the tail cell is cap + O(sqrt) over
+    the mean, not a hard bound) (a
     boilerplate-heavy corpus concentrating millions of vectors in
     one coarse centroid would otherwise generate a quadratic cell).
 
@@ -243,24 +274,7 @@ def embedding_near_dup_pairs_capped(
             "embedding",
         )
     )
-    a = keyed.select(
-        "bkt", "sub", F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-    )
-    b = keyed.select(
-        "bkt", "sub", F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    return (
-        a.join(b, ["bkt", "sub"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _bucket_pair_join(keyed, ["bkt", "sub"], threshold)
 
 
 def embedding_near_dup_pairs(
@@ -270,26 +284,10 @@ def embedding_near_dup_pairs(
 
     Self-join keyed on the bucket column — the all-pairs comparison
     never leaves a bucket, which is what makes embedding dedup
-    feasible at corpus scale. For skew-proof bounds on a hot bucket
+    feasible at corpus scale. For skew-bounded cells on a hot bucket
     see embedding_near_dup_pairs_capped.
     """
-    a = emb.select(
-        F.col(bucket_col).alias("bkt"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
+    keyed = emb.select(
+        F.col(bucket_col).alias("bkt"), "vec_id", "embedding"
     )
-    b = emb.select(
-        F.col(bucket_col).alias("bkt"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    return (
-        a.join(b, "bkt")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    return _bucket_pair_join(keyed, ["bkt"], threshold)

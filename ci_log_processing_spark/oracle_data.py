@@ -346,7 +346,7 @@ w AS (
          CASE WHEN pos > coalesce(
            max(pos + {k - 1}) OVER (
              PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
          THEN 1 ELSE 0 END AS is_start
   FROM fl
 ),

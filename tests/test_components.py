@@ -107,6 +107,27 @@ def test_duplicate_spans_merging(spark):
     assert out[4] == (2, 8)
 
 
+def test_duplicate_spans_touching_intervals_merge(spark):
+    from ci_log_processing_spark.operators.dedup import duplicate_spans
+
+    # doc1 tokens 0..7 are covered by two flagged spans [0,3] and
+    # [4,7] that TOUCH (4 == 3 + 1): they must merge into one
+    # maximal interval, not report two
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7"),
+            (2, "t0 t1 t2 t3 x"),
+            (3, "y t4 t5 t6 t7"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_tokens"])
+        for r in duplicate_spans(docs, k=4).collect()
+    }
+    assert out[1] == (1, 8), out
+
+
 def test_components_keeper_rate_on_clusters(spark):
     # 3 disjoint triangles -> 3 keepers, 9 nodes
     edges = []
