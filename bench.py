@@ -68,6 +68,10 @@ def main():
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # several dedup operators persist() intermediates referenced
+        # by their returned plan; drop them so later queries are not
+        # timed under accumulated cache pressure
+        spark.catalog.clearCache()
 
     routed_cols = ["conv_id", "turn_idx", "sink", "message", "filled_ts"]
 

@@ -11,14 +11,25 @@ skip, reference logsender.py:550-560 semantics).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def read_checkpoint(spark: SparkSession, ckpt_dir: str) -> DataFrame | None:
-    if not os.path.exists(ckpt_dir):
+    """None when no manifest exists yet.
+
+    Existence is probed through the Hadoop FileSystem API, NOT
+    os.path.exists: on an HDFS/S3 checkpoint URI the local-path probe
+    is always false, which would make every run silently skip the
+    anti-join (sink duplication on re-run) and turn expiry into a
+    no-op — the same remote-FS trap expire_checkpoint's boolean
+    checks guard against. The parquet-read fallback still catches a
+    dir that exists but holds no readable footer (e.g. a run killed
+    mid-first-write)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(ckpt_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return None
     try:
         return spark.read.parquet(ckpt_dir)

@@ -60,6 +60,9 @@ def stratified_downsample(
     One row_number window per stratum = one hash shuffle on the
     stratum key; AQE splits skewed strata.
     """
+    # fail at plan-build time: keep_one_in=0 is a mid-job
+    # DIVIDE_BY_ZERO under ANSI and a silent empty corpus otherwise
+    assert keep_one_in >= 1, "keep_one_in must be >= 1"
     w = Window.partitionBy(stratum_col).orderBy(order_col)
     return (
         docs.withColumn("_rn", F.row_number().over(w))

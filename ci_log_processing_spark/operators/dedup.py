@@ -20,11 +20,13 @@ the correctness oracle needs (Spark's xxhash64 and DuckDB's hash()
 disagree). At production scale swap H32_EXPR for xxhash64 — the
 plan shape is unchanged.
 
-Caching note: ngram_jaccard_pairs / minhash_lsh_pairs / simhash_pairs
-persist() an intermediate so their verify stage reuses one corpus
-scan. The persisted data stays referenced by the returned plan, so a
-session running MANY such operators back-to-back should
-spark.catalog.clearCache() between them (the bundled harnesses do).
+Caching note: ngram_jaccard_pairs / minhash_lsh_pairs /
+simhash_pairs / duplicate_spans persist() an intermediate so their
+verify stage reuses one corpus scan. The persisted data stays
+referenced by the returned plan, so a session running MANY such
+operators back-to-back should spark.catalog.clearCache() between
+them (tools/check_correctness.py, bench.py and the scaling worker
+all do).
 """
 
 from __future__ import annotations
@@ -777,6 +779,9 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is a function of the pair,
+        # so the output is identical, but the dedup exchange now only
+        # carries surviving pairs instead of every band collision
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -157,7 +157,11 @@ def parse_subunit_stream(
       * P9 empty payloads (logsender.py:535-537).
     """
     if file_col is not None:
-        df = df.filter(F.col(file_col) != BROKEN_FILE)
+        # NULL-tolerant: plain != would evaluate NULL for a row with
+        # no file name and silently drop a valid payload
+        df = df.filter(
+            F.coalesce(F.col(file_col), F.lit("")) != BROKEN_FILE
+        )
     df = df.filter(
         F.col(payload_col).isNotNull() & (F.length(payload_col) > 0)
     )

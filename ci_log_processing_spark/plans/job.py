@@ -204,7 +204,9 @@ def main(argv=None):
         w = w.repartition(
             F.col("sink"),
             F.col("event_date"),
-            (F.xxhash64("conv_id") % args.write_salt).alias("_salt"),
+            # pmod, not %: xxhash64 is signed, and negative
+            # remainders would double the salt cells to 2*salt-1
+            F.pmod(F.xxhash64("conv_id"), args.write_salt).alias("_salt"),
         )
     else:  # direct: sort-free dynamic-partition write, no exchange
         spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "160")

@@ -39,7 +39,11 @@ def read_documents_jsonl(
         f"{schema}, {CORRUPT_COL} string",
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    is_corrupt = F.col(f"r.{CORRUPT_COL}").isNotNull()
+    # from_json returns a NULL struct (not a populated corrupt
+    # column) for blank/whitespace-only input — without the isNull
+    # arm a blank line would sail through as a phantom all-NULL
+    # "good" document
+    is_corrupt = F.col("r").isNull() | F.col(f"r.{CORRUPT_COL}").isNotNull()
     return (
         spark.read.text(path)
         .select(parsed.alias("r"), F.col("value"))

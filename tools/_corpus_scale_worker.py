@@ -160,6 +160,7 @@ def main():
                 .count()
             ),
         )
+        spark.catalog.clearCache()  # drop pairs + operator persists
         with open(summary, "w") as f:
             json.dump(
                 {"n_docs": n_rows, "timings": timings, **stats}, f
