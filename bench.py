@@ -156,6 +156,13 @@ def main():
     bench("dedup_components", _components)
 
     total = round(sum(timings.values()), 3)
+    # the round-1 suite was these six queries; keep their subtotal so
+    # cross-round comparisons aren't skewed by the suite growing
+    R1_QUERIES = [
+        "pipeline_native", "pipeline_pandas_udf", "agg_hourly",
+        "dedup_minhash_lsh", "ann_brute_force_topk", "text_quality",
+    ]
+    r1_subtotal = round(sum(timings[q] for q in R1_QUERIES), 3)
     out = {
         "metric": "headline suite wall time, steady-state (parse+route pipeline, aggs, dedup, ANN, text)",
         "value": total,
@@ -164,6 +171,7 @@ def main():
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "n_turns": n_turns,
         "cpus": cpus,
+        "value_round1_subset": r1_subtotal,
         "cold_first_run_sec": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
         **extras,
