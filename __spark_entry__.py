@@ -542,6 +542,20 @@ def q_stream_dedup(spark, sf_dir):
     return spark.createDataFrame(rows, "h string")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    from ci_log_processing_spark.operators.dedup import incremental_dedup
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    known = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    incoming = load_corpus(spark, sf_dir)
+    return incremental_dedup(incoming, known)
+
+
 def q_dedup_substring_spans(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import duplicate_spans
     from ci_log_processing_spark.sources.corpus import load_corpus
@@ -902,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": q_dedup_exact,
             "dedup_exact_apply": q_dedup_exact_apply,
             "dedup_substring_spans": q_dedup_substring_spans,
+            "dedup_incremental": q_incremental_dedup,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_simhash": q_dedup_simhash,
@@ -980,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_exact": od.q_dedup_exact(),
             "dedup_exact_apply": od.q_dedup_exact_apply(),
             "dedup_substring_spans": od.q_dedup_substring_spans(20),
+            "dedup_incremental": od.q_incremental_dedup(),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_simhash": od.q_dedup_simhash(),

@@ -113,6 +113,37 @@ def exact_dedup_keep_first(
     )
 
 
+def incremental_dedup(
+    incoming: DataFrame,
+    known_hashes: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingestion-time dedup of a NEW batch against the corpus's
+    persisted content-hash index (the manifest a real pipeline keeps
+    alongside its lakehouse table): a document survives iff its
+    md5(text) is absent from `known_hashes` AND it is the first
+    occurrence inside the batch itself.
+
+    Shape: one window over the md5 key for intra-batch keep-first,
+    then a left-anti join against the index. The index side is the
+    join's build input — broadcast when it fits, hash-shuffled on
+    the same 32-hex key otherwise; either way the batch never
+    self-joins and nothing corpus-sized is collected. Checkpoint
+    anti-join (operators/checkpoint.py) is the conv-id analog of the
+    same pattern; this one is content-addressed.
+
+    `known_hashes` needs one column `h` (md5 hex). Output: the
+    surviving rows of `incoming` plus their `h` — ready to append to
+    both the corpus and the index.
+    """
+    firsts = exact_dedup_keep_first(
+        incoming,
+        text_col=text_col,
+        keep_cols=tuple(c for c in incoming.columns if c != "doc_id"),
+    )
+    return firsts.join(known_hashes.select("h"), "h", "left_anti")
+
+
 DEFAULT_SHINGLE_DF_CUT = 128
 
 

@@ -318,6 +318,28 @@ scored AS (
 """ + _TOPK_TAIL.format(k=k)
 
 
+def q_incremental_dedup() -> str:
+    """Incremental ingest dedup oracle: the known-hash index is every
+    EVEN document's md5; the incoming batch is the planted corpus."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+known AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+firsts AS (
+  SELECT doc_id, text, h FROM (
+    SELECT doc_id, text, md5(text) AS h,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM corpus
+  ) WHERE rn = 1
+)
+SELECT f.doc_id, f.text, f.h
+FROM firsts f LEFT JOIN known k USING (h)
+WHERE k.h IS NULL
+"""
+
+
 def q_dedup_substring_spans(k: int = 20) -> str:
     """Substring-span dedup oracle: positional k-shingles over the
     planted corpus, spans occurring > 1x flagged, per-doc interval

@@ -122,3 +122,26 @@ def test_ngram_df_cut_bounds_candidates(spark):
     # sanity: disabling the cut re-admits the quadratic candidates
     no_cut = ngram_jaccard_pairs(docs, threshold=0.01, df_cut=None).collect()
     assert len(no_cut) == 40 * 39 / 2
+
+
+def test_incremental_dedup_against_index(spark):
+    from pyspark.sql import functions as F
+
+    from ci_log_processing_spark.operators.dedup import incremental_dedup
+
+    incoming = spark.createDataFrame(
+        [
+            (10, "already indexed"),
+            (11, "brand new text"),
+            (12, "brand new text"),     # intra-batch dup: first wins
+            (13, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    known = spark.createDataFrame(
+        [("already indexed",)], "text string"
+    ).select(F.md5(F.col("text").cast("binary")).alias("h"))
+    out = sorted(
+        r["doc_id"] for r in incremental_dedup(incoming, known).collect()
+    )
+    assert out == [11, 13]
