@@ -80,7 +80,6 @@ def main(argv=None):
     from .pipeline import full_pipeline
     from ..operators.aggregate import hourly_agg, sink_counts
     from ..operators.checkpoint import filter_unprocessed, write_checkpoint
-    from ..operators.route import SINKS
 
     spark = get_spark(master=args.master)
     t0 = time.time()
