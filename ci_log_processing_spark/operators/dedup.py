@@ -136,6 +136,10 @@ def incremental_dedup(
     surviving rows of `incoming` plus their `h` — ready to append to
     both the corpus and the index.
     """
+    assert "h" not in incoming.columns, (
+        "incoming already has an 'h' column; it would collide with "
+        "the content-hash column this operator appends"
+    )
     firsts = exact_dedup_keep_first(
         incoming,
         text_col=text_col,
