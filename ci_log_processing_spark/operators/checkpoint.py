@@ -86,14 +86,26 @@ def expire_checkpoint(
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(ckpt_dir)
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    old = jvm.org.apache.hadoop.fs.Path(ckpt_dir.rstrip("/") + ".expire_old")
     fs = path.getFileSystem(conf)
-    # Hadoop FS reports failure via boolean returns, not exceptions —
-    # a swallowed failed rename after a successful delete would
-    # silently destroy the manifest (every conv reprocessed next run)
-    if not fs.delete(path, True):
-        raise IOError(f"checkpoint expiry: could not delete {ckpt_dir}")
+    # Hadoop FS reports failure via boolean returns, not exceptions.
+    # Swap order matters: set the OLD manifest aside first, then move
+    # the new one in, then delete the old — every failure point leaves
+    # a complete manifest on disk (either at ckpt_dir or .expire_old),
+    # so a crash mid-swap can never force a full reprocess / duplicate
+    # sink output under the at-least-once contract.
+    if fs.exists(old) and not fs.delete(old, True):
+        raise IOError(f"checkpoint expiry: could not clear {old}")
+    if not fs.rename(path, old):
+        raise IOError(
+            f"checkpoint expiry: rename {ckpt_dir} -> {old} failed; "
+            f"manifest untouched"
+        )
     if not fs.rename(tmp, path):
+        # restore the original so the next run still has a manifest
+        fs.rename(old, path)
         raise IOError(
             f"checkpoint expiry: rename {tmp_dir} -> {ckpt_dir} failed; "
-            f"manifest preserved at {tmp_dir}"
+            f"original manifest restored"
         )
+    fs.delete(old, True)  # best-effort; a leftover .expire_old is inert

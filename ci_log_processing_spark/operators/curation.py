@@ -33,7 +33,8 @@ def decontaminate(
     Output: (doc_id, contaminated, matched_snippet) — first matching
     snippet in list order, NULL when clean.
     """
-    assert benchmark_snippets, "need at least one snippet"
+    if not benchmark_snippets:
+        raise ValueError("need at least one snippet")
     hit: Column = F.lit(None).cast("string")
     # build WHEN chain in REVERSE so the first list entry wins
     for s in reversed(benchmark_snippets):
@@ -62,7 +63,9 @@ def stratified_downsample(
     """
     # fail at plan-build time: keep_one_in=0 is a mid-job
     # DIVIDE_BY_ZERO under ANSI and a silent empty corpus otherwise
-    assert keep_one_in >= 1, "keep_one_in must be >= 1"
+    # (ValueError, not assert — python -O strips asserts)
+    if keep_one_in < 1:
+        raise ValueError("keep_one_in must be >= 1")
     w = Window.partitionBy(stratum_col).orderBy(order_col)
     return (
         docs.withColumn("_rn", F.row_number().over(w))
@@ -185,8 +188,11 @@ def pack_sequences(
         pdf["offset_in_bin"] = pd.Series(offs, dtype="int64")
         return pdf
 
+    # derive the group column's real type: callers pass non-string
+    # keys too (e.g. a bigint stratum from stratified_downsample)
+    group_type = docs.schema[group_col].dataType.simpleString()
     schema = (
-        f"{group_col} string, doc_id long, n_tokens long, "
+        f"{group_col} {group_type}, doc_id long, n_tokens long, "
         "bin_idx long, offset_in_bin long"
     )
     return base.groupBy(group_col).applyInPandas(_pack, schema=schema)
@@ -258,7 +264,11 @@ def chunk_documents(
     chunk_hash) — the hash stands in for shipping chunk text to a
     downstream embedder.
     """
-    assert 0 <= overlap < chunk_tokens
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must satisfy 0 <= overlap < "
+            f"chunk_tokens={chunk_tokens}"
+        )
     stride = chunk_tokens - overlap
     toks = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(toks)

@@ -136,10 +136,13 @@ def incremental_dedup(
     surviving rows of `incoming` plus their `h` — ready to append to
     both the corpus and the index.
     """
-    assert "h" not in incoming.columns, (
-        "incoming already has an 'h' column; it would collide with "
-        "the content-hash column this operator appends"
-    )
+    if "h" in incoming.columns:
+        # ValueError, not assert: python -O strips asserts, and a
+        # colliding hash column silently dedups against garbage
+        raise ValueError(
+            "incoming already has an 'h' column; it would collide with "
+            "the content-hash column this operator appends"
+        )
     firsts = exact_dedup_keep_first(
         incoming,
         text_col=text_col,
@@ -780,7 +783,19 @@ def simhash_pairs(
     bit_count(xor) <= max_hamming (exact, no false positives;
     recall is total for max_hamming <= n_bands - 1).
     """
-    assert max_hamming <= n_bands - 1, "pigeonhole guarantee broken"
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee broken: max_hamming={max_hamming} "
+            f"needs n_bands >= {max_hamming + 1}"
+        )
+    if bits % n_bands != 0:
+        # a remainder would silently leave the top bits % n_bands
+        # fingerprint bits outside every band — pairs differing only
+        # there would never become candidates (recall hole)
+        raise ValueError(
+            f"bits={bits} not divisible by n_bands={n_bands}; "
+            "the banding would not cover the full fingerprint"
+        )
     band_w = bits // n_bands
     mask = (1 << band_w) - 1
     fps = simhash_fingerprints(docs, text_col).persist()
