@@ -812,22 +812,42 @@ def q_mm_audio_chunks(spark, sf_dir):
     return audio_chunks(attach_media(_docs(spark, sf_dir)))
 
 
+# The oracles recompute every feature straight from `documents`,
+# mirroring the container geometry attach_media derives from
+# length(text) (multimodal.py:_bmp_geometry/_wav_geometry/
+# _y4m_geometry) and slicing the same cycled-text pixel/sample
+# stream the synthesiser embeds in the real BMP/WAV/Y4M payloads.
+# Document text is ASCII (asserted by the char==byte substr/md5
+# equivalence these twins rely on).
 MM_AUDIO_ORACLE = """
 WITH a AS (
-  SELECT doc_id, text, length(text) AS L FROM documents WHERE doc_id % 3 = 1
+  SELECT doc_id, text, length(text) AS L,
+         8000 + (length(text) % 5) * 2000 AS sr,
+         64 + (length(text) * 7) % 193 AS ns
+  FROM documents WHERE doc_id % 3 = 1
 ),
-c AS (
-  SELECT doc_id, text,
-         unnest(range(least(8, greatest((L + 31) // 32, 1)))) AS ci
+d AS (
+  SELECT doc_id, sr, ns, 2 * ns AS nb,
+         substr(repeat(text, CAST(2 * ns // L + 1 AS INT)),
+                1, CAST(2 * ns AS INT)) AS data
   FROM a
 ),
+c AS (
+  SELECT doc_id, sr, ns, nb, data,
+         unnest(range(least(8, (nb + 31) // 32))) AS ci
+  FROM d
+),
 s AS (
-  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+  SELECT doc_id, sr, ns, CAST(ci AS INT) AS chunk_idx,
          CAST(ci * 32 AS BIGINT) AS start_byte,
-         substr(text, CAST(ci * 32 + 1 AS INT), 32) AS seg
+         substr(data, CAST(ci * 32 + 1 AS INT), 32) AS seg
   FROM c
 )
-SELECT doc_id, chunk_idx, start_byte,
+SELECT doc_id,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(ns * 1000000 // sr AS BIGINT) AS duration_us,
+       chunk_idx, start_byte,
        CAST(length(seg) AS BIGINT) AS n_bytes,
        coalesce(round(list_aggregate(
          list_transform(range(1, length(seg) + 1),
@@ -839,26 +859,46 @@ FROM s
 
 
 MM_IMAGE_ORACLE = """
+WITH g AS (
+  SELECT doc_id, text, length(text) AS L,
+         4 * (1 + length(text) % 16) AS w,
+         1 + (length(text) * 31) % 16 AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
 SELECT doc_id,
-       CAST(64 + length(text) % 577 AS INT) AS width,
-       CAST(64 + (length(text) * 31) % 353 AS INT) AS height,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
        CAST(3 AS INT) AS channels,
-       CAST((64 + length(text) % 577) AS BIGINT)
-         * (64 + (length(text) * 31) % 353) * 3 AS n_pixels,
-       CAST(length(text) AS BIGINT) AS payload_len,
-       md5(text) AS phash
-FROM documents WHERE doc_id % 3 = 0
+       CAST(w * h * 3 AS BIGINT) AS n_pixels,
+       CAST(54 + w * h * 3 AS BIGINT) AS payload_len,
+       md5(substr(repeat(text, CAST(w * h * 3 // L + 1 AS INT)),
+                  1, CAST(w * h * 3 AS INT))) AS phash
+FROM g
 """
 
 MM_FRAME_ORACLE = """
-WITH v AS (SELECT doc_id, text, length(text) AS n,
-                  greatest(length(text) // 4, 1) AS step
-           FROM documents WHERE doc_id % 3 = 2),
-f AS (SELECT doc_id, text, n, step, unnest([0, 1, 2, 3]) AS frame_idx FROM v)
-SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-       CAST(least(frame_idx * step, greatest(n - 1, 0)) AS BIGINT) AS offset,
-       md5(substr(text, least(frame_idx * step, greatest(n - 1, 0)) + 1, 8))
-         AS frame_hash
+WITH v AS (
+  SELECT doc_id, text, length(text) AS L,
+         2 * (2 + length(text) % 8) AS w,
+         2 * (2 + (length(text) * 3) % 8) AS h,
+         3 + length(text) % 6 AS T
+  FROM documents WHERE doc_id % 3 = 2
+),
+g AS (
+  SELECT doc_id, text, L, w, h, T, w * h * 3 // 2 AS fsz,
+         length(concat('YUV4MPEG2 W', w, ' H', h, ' F25:1')) + 1 AS hlen
+  FROM v
+),
+f AS (SELECT *, unnest([0, 1, 2, 3]) AS fi FROM g)
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(fi * T // 4 AS INT) AS src_frame,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(hlen + (fi * T // 4) * (6 + fsz) + 6 AS BIGINT) AS offset,
+       md5(substr(repeat(text, CAST(T * fsz // L + 1 AS INT)),
+                  CAST((fi * T // 4) * fsz + 1 AS INT),
+                  CAST(fsz AS INT))) AS frame_hash
 FROM f
 """
 
@@ -881,6 +921,32 @@ def q_file_tags(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse -> enrich -> route -> hourly aggregate."""
     return q_agg_hourly(spark, "/root/testdata/sf0.001")
+
+
+# Queries with no driver CORRECTNESS row through round 2 (the r2 driver
+# recorded 50 of 62) — ordered first so a truncating driver run reaches
+# them before the long-since-green majority.
+_VERIFY_FIRST = (
+    "text_c4_clean",
+    "text_token_counts",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "mm_image_features",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    "cur_full_curation",
+    "src_jsonl_quarantine",
+    "stream_watermark_agg",
+)
+
+
+def _never_verified_first(d: dict) -> dict:
+    head = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    head.update({k: v for k, v in d.items() if k not in head})
+    return head
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -950,7 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_audio_chunks": q_mm_audio_chunks,
         }
     )
-    return qs
+    return _never_verified_first(qs)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1037,5 +1103,5 @@ def oracle_sql() -> dict[str, str]:
             "mm_audio_chunks": MM_AUDIO_ORACLE,
         }
     )
-    return sqls
+    return _never_verified_first(sqls)
 

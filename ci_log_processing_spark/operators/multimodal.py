@@ -1,12 +1,22 @@
 """Multimodal columns: image/audio/video as opaque binary payloads
 with typed metadata, processed by Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (clearly marked below); everything around it —
-binary column handling, schema contracts, Arrow batch shapes,
-partition-parallel execution — is real and tested. Swapping
-`_fake_decode` for PIL/libav turns this into the production
-operator without touching the plan.
+The payloads are REAL container formats, built and parsed with the
+stdlib only (no codec libraries needed):
+
+  * image -> BMP  (BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bpp)
+  * audio -> WAV  (RIFF/WAVE, PCM fmt chunk + data chunk, 16-bit mono)
+  * video -> Y4M  (YUV4MPEG2 plain-text header + FRAME-framed 4:2:0)
+
+`attach_media` synthesises a valid container per document — pixel /
+sample / frame bytes are the document's text bytes cycled to the
+needed length, and the geometry (width, height, sample rate, frame
+count) is a pure function of the text length, so every downstream
+feature is reproducible and oracle-checkable straight from the
+`documents` table.  The decoders then parse the real headers back
+with `struct.unpack` — a failed magic check raises, it is never
+trusted blindly.  Swapping the synthesiser for real files (and the
+pixel reader for PIL / libav) keeps the exact same plan shape.
 
 Reference analog: the subunit binary-stream parser
 (`subunit_iter`, logsender.py:431-464) — the one place the
@@ -15,12 +25,14 @@ reference parses a binary payload into typed records.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 MEDIA_SCHEMA = (
     "doc_id long, kind string, payload binary, "
@@ -32,21 +44,102 @@ IMAGE_FEATURES_SCHEMA = (
     "n_pixels long, payload_len long, phash string"
 )
 
-FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, offset long, frame_hash string"
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, frame_idx int, src_frame int, width int, height int, "
+    "offset long, frame_hash string"
+)
+
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_us long, "
+    "chunk_idx int, start_byte long, n_bytes long, "
+    "rms_proxy double, chunk_hash string"
+)
+
+
+def _cycle(src: bytes, n: int) -> bytes:
+    """First n bytes of src repeated end-to-end (src never empty)."""
+    if not src:
+        src = b"x"
+    return (src * (n // len(src) + 1))[:n]
+
+
+# --- container synthesis (one real file per document) -------------------
+
+
+def _bmp_geometry(text_len: int) -> tuple[int, int]:
+    # width is a multiple of 4 so each 24-bpp row is already 4-byte
+    # aligned — a legal BMP with zero padding bytes, which keeps the
+    # pixel stream contiguous (and the oracle a single substr)
+    width = 4 * (1 + text_len % 16)          # 4..64, %4 == 0
+    height = 1 + (text_len * 31) % 16        # 1..16
+    return width, height
+
+
+def _make_bmp(text: bytes) -> bytes:
+    w, h = _bmp_geometry(len(text))
+    pixels = _cycle(text, w * h * 3)
+    # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40), pixels at 54
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_hdr + dib + pixels
+
+
+def _wav_geometry(text_len: int) -> tuple[int, int]:
+    sample_rate = 8000 + (text_len % 5) * 2000   # 8k..16k
+    n_samples = 64 + (text_len * 7) % 193        # 64..256
+    return sample_rate, n_samples
+
+
+def _make_wav(text: bytes) -> bytes:
+    sr, n_samples = _wav_geometry(len(text))
+    data = _cycle(text, 2 * n_samples)           # 16-bit mono PCM
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _y4m_geometry(text_len: int) -> tuple[int, int, int]:
+    width = 2 * (2 + text_len % 8)               # 4..18, even
+    height = 2 * (2 + (text_len * 3) % 8)        # 4..18, even
+    n_frames = 3 + text_len % 6                  # 3..8
+    return width, height, n_frames
+
+
+def _make_y4m(text: bytes) -> bytes:
+    w, h, n_frames = _y4m_geometry(len(text))
+    fsz = w * h * 3 // 2                         # 4:2:0 planar
+    stream = _cycle(text, n_frames * fsz)
+    header = f"YUV4MPEG2 W{w} H{h} F25:1\n".encode()
+    frames = b"".join(
+        b"FRAME\n" + stream[k * fsz:(k + 1) * fsz] for k in range(n_frames)
+    )
+    return header + frames
 
 
 def attach_media(docs: DataFrame) -> DataFrame:
-    """Model documents as media rows: payload = the raw bytes
-    (here: utf-8 of text), kind cycled deterministically."""
+    """Model documents as media rows: a REAL container per doc
+    (BMP / WAV / Y4M by doc_id % 3), built in an Arrow-vectorized
+    pandas UDF — never per-row Python in the plan."""
+
+    @pandas_udf("binary")
+    def synth(kind: pd.Series, text: pd.Series) -> pd.Series:
+        makers = {"image": _make_bmp, "audio": _make_wav, "video": _make_y4m}
+        return pd.Series(
+            [makers[k](t.encode()) for k, t in zip(kind, text)]
+        )
+
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
-    return docs.select(
+    with_kind = docs.withColumn("kind", kind)
+    return with_kind.select(
         "doc_id",
-        kind.alias("kind"),
-        F.col("text").cast("binary").alias("payload"),
+        "kind",
+        synth("kind", "text").alias("payload"),
         F.struct(
             F.col("source").alias("source"),
             F.length("text").cast("long").alias("declared_len"),
@@ -54,127 +147,108 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
-USE_REAL_DECODE = False  # no codec libs in this container
+# --- decoders (struct.unpack over the real headers) ---------------------
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB: deterministic stand-in for image decoding.
-
-    Real implementation would be e.g. PIL.Image.open(BytesIO(b)).
-    Dimensions are a pure function of the payload so results are
-    reproducible and oracle-checkable.
-    """
-    n = len(payload)
-    width = 64 + n % 577
-    height = 64 + (n * 31) % 353
-    return width, height, 3
-
-
-def decode_image_features(
-    media: DataFrame, use_real_decode: bool | None = None
-) -> DataFrame:
-    """mapInPandas image feature extraction.
-
-    Arrow batches in, Arrow batches out; runs once per input
-    partition — at scale, partition by a size-balanced key first so
-    decode work (the expensive step in production) is even.
-    """
-    real = USE_REAL_DECODE if use_real_decode is None else use_real_decode
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas BMP feature extraction — parses the real
+    BITMAPFILEHEADER / BITMAPINFOHEADER and hashes the real pixel
+    bytes.  Arrow batches in, Arrow batches out; at scale, partition
+    by a size-balanced key first so decode work is even."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if real:
-            raise NotImplementedError(
-                "real image decode requires PIL/turbojpeg, absent here"
-            )
         import hashlib
 
         for pdf in batches:
-            payloads = pdf["payload"]
-            dims = [_fake_decode(bytes(p)) for p in payloads]
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
-                }
-            )
-            out["n_pixels"] = (
-                out["width"].astype("int64")
-                * out["height"].astype("int64")
-                * out["channels"].astype("int64")
-            )
-            out["payload_len"] = payloads.map(len).astype("int64")
-            out["phash"] = [
-                hashlib.md5(bytes(p)).hexdigest() for p in payloads
-            ]
-            yield out
+            rows = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "n_pixels": [], "payload_len": [], "phash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, _file_sz, _r1, _r2, data_off = struct.unpack_from(
+                    "<2sIHHI", b, 0
+                )
+                if magic != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP payload")
+                dib_sz, w, h, _planes, bpp = struct.unpack_from(
+                    "<IiiHH", b, 14
+                )
+                if dib_sz != 40:
+                    raise ValueError(f"doc {doc_id}: unsupported DIB {dib_sz}")
+                channels = bpp // 8
+                h = abs(h)  # negative height = top-down row order
+                pixels = b[data_off:data_off + w * h * channels]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(channels)
+                rows["n_pixels"].append(w * h * channels)
+                rows["payload_len"].append(len(b))
+                rows["phash"].append(hashlib.md5(pixels).hexdigest())
+            yield pd.DataFrame(rows)
 
     images = media.filter(F.col("kind") == "image")
     return images.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
-def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Deterministic frame sampling for video payloads: n_frames
-    evenly spaced byte offsets; frame_hash = md5 of an 8-byte window
-    (STUB for a real keyframe extractor)."""
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "offset": [], "frame_hash": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                step = max(len(b) // n_frames, 1)
-                for i in range(n_frames):
-                    off = min(i * step, max(len(b) - 1, 0))
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(i)
-                    rows["offset"].append(off)
-                    rows["frame_hash"].append(
-                        hashlib.md5(b[off : off + 8]).hexdigest()
-                    )
-            yield pd.DataFrame(rows)
-
-    videos = media.filter(F.col("kind") == "video")
-    return videos.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
-
-
-AUDIO_CHUNK_SCHEMA = (
-    "doc_id long, chunk_idx int, start_byte long, n_bytes long, "
-    "rms_proxy double, chunk_hash string"
-)
+def _parse_wav(b: bytes) -> tuple[int, int, int, bytes]:
+    """Walk the RIFF chunk list; return (sample_rate, channels,
+    bits_per_sample, data bytes)."""
+    riff, _sz, wave = struct.unpack_from("<4sI4s", b, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, csz = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8:pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1:
+                raise ValueError(f"non-PCM WAV (fmt {fmt_tag})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return sr, channels, bits, data
 
 
 def audio_chunks(
     media: DataFrame, chunk_bytes: int = 32, max_chunks: int = 8
 ) -> DataFrame:
-    """Fixed-size chunking + per-chunk features for audio payloads —
-    the audio analog of frame_sample (real pipeline: resample +
-    window + spectral features via libav/librosa, absent here).
+    """Fixed-size chunking + per-chunk features for WAV payloads —
+    parses the real RIFF chunk list for sample rate / width, then
+    windows the real PCM data bytes.  rms_proxy = mean byte value of
+    the chunk (stands in for spectral features; a pure function of
+    the payload so the oracle can recompute it), duration_us is
+    exact integer arithmetic so both sides agree bit-for-bit."""
 
-    The DECODE is a deterministic fake (rms_proxy = mean byte value
-    of the chunk — a pure function of the payload, so results are
-    reproducible and oracle-checkable); the Spark-side contract —
-    binary column in, Arrow batches through mapInPandas, bounded
-    chunk fan-out per row — is the production shape.
-    """
-
-    def chunk(batches):
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             rows = {
-                "doc_id": [], "chunk_idx": [], "start_byte": [],
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_us": [], "chunk_idx": [], "start_byte": [],
                 "n_bytes": [], "rms_proxy": [], "chunk_hash": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                n = min(max_chunks, max((len(b) + chunk_bytes - 1) // chunk_bytes, 1))
+                sr, channels, bits, data = _parse_wav(bytes(payload))
+                n_samples = len(data) // (channels * bits // 8)
+                duration_us = n_samples * 1_000_000 // sr
+                n = min(
+                    max_chunks,
+                    max((len(data) + chunk_bytes - 1) // chunk_bytes, 1),
+                )
                 for i in range(n):
-                    seg = b[i * chunk_bytes:(i + 1) * chunk_bytes]
+                    seg = data[i * chunk_bytes:(i + 1) * chunk_bytes]
                     rows["doc_id"].append(doc_id)
+                    rows["sample_rate"].append(sr)
+                    rows["n_samples"].append(n_samples)
+                    rows["duration_us"].append(duration_us)
                     rows["chunk_idx"].append(i)
                     rows["start_byte"].append(i * chunk_bytes)
                     rows["n_bytes"].append(len(seg))
@@ -186,3 +260,51 @@ def audio_chunks(
 
     audio = media.filter(F.col("kind") == "audio")
     return audio.mapInPandas(chunk, AUDIO_CHUNK_SCHEMA)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Keyframe sampling for Y4M payloads: parse the real YUV4MPEG2
+    header for geometry, walk the FRAME markers, pick n_frames evenly
+    spaced frames, and hash each sampled frame's real pixel bytes.
+    `offset` is the byte position of the frame's pixel data inside
+    the payload — what a real seek-based reader would use."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "src_frame": [],
+                "width": [], "height": [], "offset": [], "frame_hash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                nl = b.index(b"\n")
+                header = b[:nl].decode()
+                tokens = header.split(" ")
+                if tokens[0] != "YUV4MPEG2":
+                    raise ValueError(f"doc {doc_id}: not a Y4M payload")
+                params = {t[0]: t[1:] for t in tokens[1:]}
+                w, h = int(params["W"]), int(params["H"])
+                fsz = w * h * 3 // 2
+                total = (len(b) - (nl + 1)) // (6 + fsz)
+                for i in range(n_frames):
+                    src = i * total // n_frames
+                    off = (nl + 1) + src * (6 + fsz) + 6
+                    if b[off - 6:off] != b"FRAME\n":
+                        raise ValueError(
+                            f"doc {doc_id}: bad FRAME marker at {off - 6}"
+                        )
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["src_frame"].append(src)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["offset"].append(off)
+                    rows["frame_hash"].append(
+                        hashlib.md5(b[off:off + fsz]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    videos = media.filter(F.col("kind") == "video")
+    return videos.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)

@@ -1,6 +1,8 @@
-"""Multimodal plumbing: schema contract, Arrow batch shape,
-determinism of the stubbed decode."""
+"""Multimodal: real BMP/WAV/Y4M containers are synthesised per doc
+and the decoders parse the real headers back (struct.unpack), with
+features over the real pixel/sample bytes."""
 
+import hashlib
 import os
 
 import pytest
@@ -9,6 +11,10 @@ from pyspark.sql import functions as F
 from ci_log_processing_spark.operators import multimodal as mm
 
 SF = "/root/testdata/sf0.001"
+
+
+def _cycle(s: bytes, n: int) -> bytes:
+    return (s * (n // len(s) + 1))[:n]
 
 
 @pytest.fixture(scope="module")
@@ -23,19 +29,53 @@ def test_media_schema(media):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_image_features_deterministic(spark, media):
-    a = {r["doc_id"]: r for r in mm.decode_image_features(media).collect()}
-    b = {r["doc_id"]: r for r in mm.decode_image_features(media).collect()}
-    assert a.keys() == b.keys() and len(a) > 0
-    for k in a:
-        assert a[k] == b[k]
-        assert a[k]["n_pixels"] == a[k]["width"] * a[k]["height"] * 3
+def test_payloads_are_real_containers(media):
+    rows = media.select("kind", "payload").collect()
+    magics = {"image": b"BM", "audio": b"RIFF", "video": b"YUV4MPEG2"}
+    assert len(rows) > 0
+    for r in rows:
+        assert bytes(r["payload"]).startswith(magics[r["kind"]])
 
 
-def test_real_decode_is_gated(spark, media):
+def test_image_features_match_geometry(spark, media):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            os.path.join(SF, "documents.parquet")
+        ).collect()
+    }
+    feats = mm.decode_image_features(media).collect()
+    assert len(feats) > 0
+    for r in feats:
+        text = docs[r["doc_id"]]
+        w, h = mm._bmp_geometry(len(text))
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["n_pixels"] == w * h * 3
+        assert r["payload_len"] == 54 + w * h * 3
+        # phash is over the REAL pixel bytes the decoder read back
+        # from the container, which are the text bytes cycled
+        exp = hashlib.md5(_cycle(text.encode(), w * h * 3)).hexdigest()
+        assert r["phash"] == exp
+
+
+def test_corrupt_payload_raises(spark):
+    # a WAV payload labelled "image" must fail the BMP magic check,
+    # never be silently decoded
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(mm._make_wav(b"hello")), ("s", 5))],
+        mm.MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception) as exc:
-        mm.decode_image_features(media, use_real_decode=True).collect()
-    assert "NotImplementedError" in str(exc.value) or "decode" in str(exc.value)
+        mm.decode_image_features(bad).collect()
+    assert "not a BMP" in str(exc.value)
+
+
+def test_wav_roundtrip():
+    text = b"pcm sample payload text" * 3
+    sr, ns = mm._wav_geometry(len(text))
+    got_sr, channels, bits, data = mm._parse_wav(mm._make_wav(text))
+    assert (got_sr, channels, bits) == (sr, 1, 16)
+    assert data == _cycle(text, 2 * ns)
 
 
 def test_frame_sample_shape(spark, media):
@@ -47,31 +87,52 @@ def test_frame_sample_shape(spark, media):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
     for doc_rows in by_doc.values():
-        offs = [r["offset"] for r in sorted(doc_rows, key=lambda r: r["frame_idx"])]
+        srt = sorted(doc_rows, key=lambda r: r["frame_idx"])
+        offs = [r["offset"] for r in srt]
         assert offs == sorted(offs)
+        # geometry came from the real Y4M header
+        w, h = srt[0]["width"], srt[0]["height"]
+        assert w % 2 == 0 and h % 2 == 0 and 4 <= w <= 18 and 4 <= h <= 18
+
+
+def test_frame_hashes_match_pixel_stream(spark):
+    text = "video pixel stream source text!" * 4
+    docs = spark.createDataFrame(
+        [(2, text, "s")], "doc_id long, text string, source string"
+    )
+    rows = mm.frame_sample(mm.attach_media(docs), n_frames=4).collect()
+    w, h, total = mm._y4m_geometry(len(text))
+    fsz = w * h * 3 // 2
+    stream = _cycle(text.encode(), total * fsz)
+    assert len(rows) == 4
+    for r in sorted(rows, key=lambda r: r["frame_idx"]):
+        src = r["frame_idx"] * total // 4
+        assert r["src_frame"] == src
+        exp = hashlib.md5(stream[src * fsz:(src + 1) * fsz]).hexdigest()
+        assert r["frame_hash"] == exp
 
 
 def test_audio_chunks_contract(spark):
-    from ci_log_processing_spark.operators.multimodal import (
-        attach_media,
-        audio_chunks,
-    )
-    import hashlib
-
     docs = spark.createDataFrame(
         [(1, "a" * 100, "s"), (4, "xy", "s"), (7, "b" * 500, "s")],
         "doc_id long, text string, source string",
     )
-    out = audio_chunks(attach_media(docs)).collect()
+    out = mm.audio_chunks(mm.attach_media(docs)).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 1: 100 bytes -> 4 chunks of 32/32/32/4
+    # doc 1: L=100 -> sr 8000, ns 185, 370 data bytes -> capped at 8 chunks
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
-    assert [r["n_bytes"] for r in c1] == [32, 32, 32, 4]
+    assert c1[0]["sample_rate"] == 8000 and c1[0]["n_samples"] == 185
+    assert c1[0]["duration_us"] == 185 * 1_000_000 // 8000
+    assert [r["n_bytes"] for r in c1] == [32] * 8
     assert c1[0]["rms_proxy"] == float(ord("a"))
     assert c1[0]["chunk_hash"] == hashlib.md5(b"a" * 32).hexdigest()
-    # doc 4: tiny payload -> exactly one chunk
-    assert [r["n_bytes"] for r in by_doc[4]] == [2]
-    # doc 7: 500 bytes capped at max_chunks=8
-    assert len(by_doc[7]) == 8
+    # doc 4: L=2 -> sr 12000, ns 78, 156 bytes -> 5 chunks, 28-byte tail
+    c4 = sorted(by_doc[4], key=lambda r: r["chunk_idx"])
+    assert c4[0]["sample_rate"] == 12000 and c4[0]["n_samples"] == 78
+    assert [r["n_bytes"] for r in c4] == [32, 32, 32, 32, 28]
+    assert c4[0]["chunk_hash"] == hashlib.md5(b"xy" * 16).hexdigest()
+    # doc 7: L=500 -> ns 90, 180 bytes -> 6 chunks, 20-byte tail
+    c7 = sorted(by_doc[7], key=lambda r: r["chunk_idx"])
+    assert [r["n_bytes"] for r in c7] == [32] * 5 + [20]
