@@ -461,6 +461,17 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_pairs(load_corpus(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_simhash_pairs_capped(spark, sf_dir):
+    # cap=16 bites at test scale (mass-duplicate groups concentrate
+    # fingerprints); oracle applies the identical sub-split rule
+    from ci_log_processing_spark.operators.dedup import simhash_pairs
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return simhash_pairs(
+        load_corpus(spark, sf_dir), max_hamming=3, bucket_cap=16
+    )
+
+
 def q_embed_near_dup(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -940,6 +951,7 @@ _VERIFY_FIRST = (
     "cur_full_curation",
     "src_jsonl_quarantine",
     "stream_watermark_agg",
+    "dedup_simhash_pairs_capped",
 )
 
 
@@ -987,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_simhash": q_dedup_simhash,
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
+            "dedup_simhash_pairs_capped": q_dedup_simhash_pairs_capped,
             "dedup_components": q_dedup_components,
             "dedup_components_star": q_dedup_components_star,
             "dedup_semantic_apply": q_dedup_semantic_apply,
@@ -1066,6 +1079,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_simhash": od.q_dedup_simhash(),
             "dedup_simhash_pairs": od.q_dedup_simhash_pairs(3),
+            "dedup_simhash_pairs_capped": od.q_dedup_simhash_pairs(
+                3, bucket_cap=16
+            ),
             "dedup_components": od.q_dedup_components(0.6),
             "dedup_components_star": od.q_dedup_components(0.6),
             "dedup_semantic_apply": od.q_dedup_semantic_apply(0.30),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---- shared primitives ------------------------------------------------
 
@@ -271,6 +272,7 @@ def minhash_lsh_pairs(
     spark: SparkSession,
     threshold: float = 0.6,
     k: int = 5,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified by true Jaccard.
 
@@ -278,6 +280,21 @@ def minhash_lsh_pairs(
     candidate. Candidates are then exact-verified (the standard
     LSH-then-verify contract), so output == jaccard >= threshold
     among banded candidates.
+
+    `bucket_cap` is the MEGA-BUCKET guard (same deterministic rule as
+    similarity.embedding_near_dup_pairs_capped): a (band, key) bucket
+    of n docs otherwise emits n(n-1)/2 candidate rows, and a bucket
+    of near-identical boilerplate — exactly the LSH workload — makes
+    that quadratic. Buckets larger than the cap are split into
+    ceil(n / cap) sub-buckets by hashing doc_id, and pairs are only
+    generated inside a sub-bucket: expected per-cell cost ~cap^2
+    regardless of skew. Recall trade, stated plainly: pairs straddling
+    two sub-buckets of one bucket are dropped IN THAT BAND — they stay
+    candidates wherever any of the other bands agrees, and LSH recall
+    is probabilistic to begin with. The DuckDB oracle implements the
+    identical rule so the loss is measured, not hidden. Pass None to
+    disable (exact round-2 behavior); buckets at or under the cap are
+    unaffected either way.
     """
     # One corpus scan: shingle arrays persist and feed BOTH the
     # signature/band path and the verify path (the naive self-join
@@ -322,8 +339,25 @@ def minhash_lsh_pairs(
     # (band, key) bucket and emit intra-bucket pairs from the sorted
     # doc list — one shuffle on the band key, signature lineage
     # evaluated exactly once (a self-join would evaluate it twice).
+    if bucket_cap is not None:
+        # bucket size via a window over (band, key), then the group
+        # key grows to (band, key, sub). The window's hash exchange
+        # on (band, key) already co-locates every (band, key, sub)
+        # group, so the groupBy below adds NO second exchange
+        # (ClusteredDistribution satisfied by the prefix partitioning)
+        # — capping costs zero extra shuffles.
+        wn = Window.partitionBy("band", "key")
+        nsub = F.ceil(
+            F.count(F.lit(1)).over(wn) / F.lit(float(bucket_cap))
+        ).cast("long")
+        bands = bands.withColumn(
+            "sub", F.pmod(h32(F.col("doc_id").cast("string")), nsub)
+        )
+        group_keys = ["band", "key", "sub"]
+    else:
+        group_keys = ["band", "key"]
     buckets = (
-        bands.groupBy("band", "key")
+        bands.groupBy(*group_keys)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -770,6 +804,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 32,
     n_bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, found WITHOUT an
     all-pairs comparison.
@@ -782,6 +817,15 @@ def simhash_pairs(
     density, never |docs|^2. Candidates are then verified with
     bit_count(xor) <= max_hamming (exact, no false positives;
     recall is total for max_hamming <= n_bands - 1).
+
+    `bucket_cap` (default None = off) applies the same deterministic
+    mega-bucket sub-split as minhash_lsh_pairs to each (band, key)
+    bucket. It is OPT-IN here because it trades away the total-recall
+    pigeonhole guarantee this operator otherwise carries: a pair whose
+    agreeing band lands its two docs in different sub-buckets is lost
+    unless another band also agrees. Turn it on for corpora where one
+    fingerprint value concentrates (all-identical boilerplate), where
+    the uncapped join cell is quadratic.
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -813,15 +857,29 @@ def simhash_pairs(
             )
         ).alias("band", "key"),
     )
+    join_keys = [
+        F.col("a.band") == F.col("b.band"),
+        F.col("a.key") == F.col("b.key"),
+    ]
+    if bucket_cap is not None:
+        # same zero-extra-exchange shape as minhash_lsh_pairs: the
+        # window's (band, key) hash exchange co-locates (band, key,
+        # sub) for the equi-join below
+        wn = Window.partitionBy("band", "key")
+        nsub = F.ceil(
+            F.count(F.lit(1)).over(wn) / F.lit(float(bucket_cap))
+        ).cast("long")
+        bands = bands.withColumn(
+            "sub", F.pmod(h32(F.col("doc_id").cast("string")), nsub)
+        )
+        join_keys.append(F.col("a.sub") == F.col("b.sub"))
     a = bands.alias("a")
     b = bands.alias("b")
+    cond = join_keys[0]
+    for jk in join_keys[1:]:
+        cond = cond & jk
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

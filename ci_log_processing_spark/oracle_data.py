@@ -111,10 +111,29 @@ inter AS (
     )
 
 
-def q_dedup_minhash_lsh(threshold: float = 0.6) -> str:
+def q_dedup_minhash_lsh(
+    threshold: float = 0.6, bucket_cap: int | None = 64
+) -> str:
+    """Twin of operators.dedup.minhash_lsh_pairs, including its
+    default mega-bucket guard: (band, key) buckets larger than
+    bucket_cap split into ceil(n / cap) sub-buckets by the same
+    deterministic doc_id hash, pairs only inside a sub-bucket."""
     perm_rows = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
     )
+    if bucket_cap is not None:
+        sub_h = _H32.format(x="CAST(bands.doc_id AS VARCHAR)")
+        band_ctes = f"""
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
+bsub AS (
+  SELECT bands.doc_id, bands.band, bands.key,
+         {sub_h} % CAST(ceil(n / {bucket_cap}.0) AS BIGINT) AS sub
+  FROM bands JOIN bsz USING (band, key)
+),"""
+        pair_src, sub_eq = "bsub", " AND x.sub = y.sub"
+    else:
+        band_ctes = ""
+        pair_src, sub_eq = "bands", ""
     return (
         _shingle_ctes()
         + f""",
@@ -133,11 +152,11 @@ bands AS (
            list_slice(sig, b.band * {ROWS_PER_BAND} + 1,
                       b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ',')) AS key
   FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
-),
+),{band_ctes}
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+  FROM {pair_src} x JOIN {pair_src} y
+    ON x.band = y.band AND x.key = y.key{sub_eq} AND x.doc_id < y.doc_id
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -168,9 +187,12 @@ SELECT doc_id, {bit_terms} AS simhash FROM th GROUP BY doc_id
 """
 
 
-def q_dedup_simhash_pairs(max_hamming: int = 3, bits: int = 32) -> str:
+def q_dedup_simhash_pairs(
+    max_hamming: int = 3, bits: int = 32, bucket_cap: int | None = None
+) -> str:
     """Banded Hamming-pair oracle: same pigeonhole rule as
-    operators.dedup.simhash_pairs (4 bands of bits/4 bits each)."""
+    operators.dedup.simhash_pairs (4 bands of bits/4 bits each);
+    bucket_cap mirrors its opt-in mega-bucket sub-split."""
     h = _H32.format(x="tok")
     bit_terms = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
@@ -179,6 +201,19 @@ def q_dedup_simhash_pairs(max_hamming: int = 3, bits: int = 32) -> str:
     )
     band_w = bits // 4
     mask = (1 << band_w) - 1
+    if bucket_cap is not None:
+        sub_h = _H32.format(x="CAST(bands.doc_id AS VARCHAR)")
+        band_ctes = f""",
+bsz AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
+bsub AS (
+  SELECT bands.doc_id, bands.simhash, bands.band, bands.key,
+         {sub_h} % CAST(ceil(n / {bucket_cap}.0) AS BIGINT) AS sub
+  FROM bands JOIN bsz USING (band, key)
+)"""
+        pair_src, sub_eq = "bsub", " AND x.sub = y.sub"
+    else:
+        band_ctes = ""
+        pair_src, sub_eq = "bands", ""
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
 tok AS (
@@ -190,12 +225,12 @@ bands AS (
   SELECT doc_id, simhash, b.band,
          (simhash >> (b.band * {band_w})) & {mask} AS key
   FROM sims, (SELECT unnest(range(4)) AS band) b
-),
+){band_ctes},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          x.simhash AS sa, y.simhash AS sb
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+  FROM {pair_src} x JOIN {pair_src} y
+    ON x.band = y.band AND x.key = y.key{sub_eq} AND x.doc_id < y.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}

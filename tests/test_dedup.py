@@ -124,6 +124,57 @@ def test_ngram_df_cut_bounds_candidates(spark):
     assert len(no_cut) == 40 * 39 / 2
 
 
+def _py_h32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _capped_pair_count(n_docs: int, cap: int) -> int:
+    # identical docs -> every band has ONE bucket of n_docs; the sub
+    # assignment (hash(doc_id) % ceil(n/cap)) is the same in every
+    # band, so the distinct pair set is one band's within-sub pairs
+    import math
+
+    nsub = math.ceil(n_docs / cap)
+    counts = {}
+    for i in range(n_docs):
+        s = _py_h32(str(i)) % nsub
+        counts[s] = counts.get(s, 0) + 1
+    return sum(c * (c - 1) // 2 for c in counts.values())
+
+
+def test_lsh_mega_bucket_is_capped(spark):
+    # 1000 identical docs: one LSH bucket of 1000 in every band.
+    # Uncapped that is 499,500 candidate rows; the default cap (64)
+    # must bound it to the deterministic sub-bucket pair count.
+    n = 1000
+    text = "mega bucket boilerplate duplicate document text payload"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    got = minhash_lsh_pairs(docs, spark, threshold=0.6).count()
+    expected = _capped_pair_count(n, 64)
+    assert got == expected
+    assert got < n * (n - 1) // 2 / 4  # far below the quadratic count
+
+
+def test_simhash_mega_bucket_cap_opt_in(spark):
+    from ci_log_processing_spark.operators.dedup import simhash_pairs
+
+    n = 400
+    text = "mega bucket boilerplate duplicate document text payload"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    capped = simhash_pairs(docs, max_hamming=3, bucket_cap=16).count()
+    assert capped == _capped_pair_count(n, 16)
+    assert capped < n * (n - 1) // 2 / 4
+    # default stays uncapped: total pigeonhole recall preserved
+    uncapped = simhash_pairs(docs, max_hamming=3).count()
+    assert uncapped == n * (n - 1) // 2
+
+
 def test_incremental_dedup_against_index(spark):
     from pyspark.sql import functions as F
 
