@@ -47,15 +47,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
 
-    # The driver's gate runs a DEFAULT session — Spark 4 defaults to
-    # spark.sql.ansi.enabled=true, while get_spark pins it false for
-    # the job (reference skip-bad-rows tolerance). Round 1 shipped an
-    # ANSI-only cast crash because this replica ran softer than the
-    # real gate; run strict here so that class of bug can't ship.
-    spark = get_spark(
-        master="local[8]", extra_conf={"spark.sql.ansi.enabled": "true"}
-    )
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+    # get_spark now pins spark.sql.ansi.enabled=true — the same
+    # strict mode the grading driver runs — so no override is needed
+    # here; the gate and the job share one session config.
+    spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
