@@ -408,6 +408,41 @@ def q_stream_session_evictions(spark, sf_dir):
     )
 
 
+def q_stream_watermark_agg(spark, sf_dir):
+    """Watermarked windowed aggregate (streaming/watermark.py) as a
+    GATE-CHECKED query: the conv subset (user_id % 23 == 1) arrives
+    as ONE file — in-order delivery, so the 2 h watermark never drops
+    a row — and availableNow's trailing no-data batch flushes every
+    window whose end passed the final watermark. Emitted rows must
+    therefore equal the batch aggregate restricted to finalized
+    windows (the SQL twin)."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.watermark import (
+        streaming_severity_window_counts,
+    )
+
+    sub = load_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 6, 10).cast("int") % 23 == 1
+    )
+    work = tempfile.mkdtemp(prefix="gate_wm_")
+    try:
+        in_dir = os.path.join(work, "in")
+        sub.repartition(1).write.parquet(in_dir)
+        out = streaming_severity_window_counts(
+            spark, in_dir, os.path.join(work, "out")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "severity string, cnt long",
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ---------
 
 
@@ -989,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
+    qs["stream_watermark_agg"] = q_stream_watermark_agg
     qs.update(
         {
             "dedup_exact": q_dedup_exact,
@@ -1067,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["stream_dedup_exact"] = (
         "SELECT md5(text) AS h FROM documents GROUP BY 1"
     )
+    sqls["stream_watermark_agg"] = oracle.q_stream_watermark_agg()
     from ci_log_processing_spark import oracle_data as od
 
     sqls.update(

@@ -23,10 +23,11 @@ plan shape is unchanged.
 Caching note: ngram_jaccard_pairs / minhash_lsh_pairs /
 simhash_pairs / duplicate_spans persist() an intermediate so their
 verify stage reuses one corpus scan. The persisted data stays
-referenced by the returned plan, so a session running MANY such
-operators back-to-back should spark.catalog.clearCache() between
-them (tools/check_correctness.py, bench.py and the scaling worker
-all do).
+referenced by the returned plan; call `release_persisted()` after
+consuming the results to unpersist EXACTLY these intermediates
+(spark.catalog.clearCache() also works but nukes unrelated cached
+data — the harnesses use it because they want everything cleared
+between queries).
 """
 
 from __future__ import annotations
@@ -38,6 +39,30 @@ from pyspark.sql.window import Window
 # ---- shared primitives ------------------------------------------------
 
 MERSENNE_P = 4294967311  # prime > 2^32; (a*h+b) stays < 2^63 for a < 2^30
+
+
+# Intermediates persisted by the pair-generation operators, released
+# precisely by release_persisted() — so library consumers embedding a
+# single operator never have to reach for catalog-wide clearCache().
+_PERSIST_REGISTRY: list[DataFrame] = []
+
+
+def _register_persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _PERSIST_REGISTRY.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate the dedup operators persisted
+    since the last call; returns the count released. Safe to call
+    after the returned plans are fully consumed (an unpersisted
+    intermediate recomputes, it never breaks correctness)."""
+    n = 0
+    while _PERSIST_REGISTRY:
+        _PERSIST_REGISTRY.pop().unpersist()
+        n += 1
+    return n
 
 
 def h32(col: Column) -> Column:
@@ -183,10 +208,9 @@ def ngram_jaccard_pairs(
     the cut for small corpora.
     """
     toks = tokens_col(F.col("text"))
-    arr = (
+    arr = _register_persist(
         docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()
     )
     sh = arr.select("doc_id", F.explode("shingles").alias("s"))
     idx = sh
@@ -302,10 +326,9 @@ def minhash_lsh_pairs(
     # any shuffle, dominated profiling at sf0.1 and would repeat the
     # full 100 TB scan four times at scale).
     toks = tokens_col(F.col("text"))
-    arr = (
+    arr = _register_persist(
         docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()
     )
     hashed = arr.select("doc_id", F.transform("shingles", h32).alias("hs"))
     sig = F.array(
@@ -716,9 +739,9 @@ def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos = docs.select(
-        "doc_id", F.posexplode(spans).alias("pos", "h")
-    ).persist()
+    pos = _register_persist(
+        docs.select("doc_id", F.posexplode(spans).alias("pos", "h"))
+    )
     dup = (
         pos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -842,7 +865,7 @@ def simhash_pairs(
         )
     band_w = bits // n_bands
     mask = (1 << band_w) - 1
-    fps = simhash_fingerprints(docs, text_col).persist()
+    fps = _register_persist(simhash_fingerprints(docs, text_col))
     bands = fps.select(
         "doc_id",
         "simhash",

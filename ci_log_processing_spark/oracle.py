@@ -411,6 +411,26 @@ def q_stream_session_evictions() -> str:
     )
 
 
+def q_stream_watermark_agg() -> str:
+    """Watermarked append-mode hourly severity counts (streaming/
+    watermark.py) over the conv subset user_id % 23 == 1: the gate
+    query streams the subset as ONE file, so no row is ever late and
+    the final watermark is max(ts) - 2 h — the emitted set is exactly
+    the finalized windows (window_end <= watermark) of the batch
+    aggregate, which is what this SQL computes."""
+    return pipeline_cte() + (
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "severity, count(*) AS cnt "
+        "FROM parsed2 "
+        "WHERE CAST(substr(conv_id, 6) AS INT) % 23 = 1 "
+        "AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= ("
+        "  SELECT max(ts) - INTERVAL 2 HOUR FROM transcripts"
+        "  WHERE CAST(substr(conv_id, 6) AS INT) % 23 = 1) "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 def q_file_tags() -> str:
     """J1 ordered suffix-match lookup oracle (get_file_info parity,
     logsender.py:375-381) — same CASE chain, DuckDB dialect."""

@@ -124,6 +124,19 @@ def test_ngram_df_cut_bounds_candidates(spark):
     assert len(no_cut) == 40 * 39 / 2
 
 
+def test_release_persisted_frees_registry(spark, corpus):
+    from ci_log_processing_spark.operators.dedup import (
+        release_persisted,
+        simhash_pairs,
+    )
+
+    release_persisted()  # clean slate (other tests may have piled up)
+    simhash_pairs(corpus, max_hamming=3).count()
+    n = release_persisted()
+    assert n == 1  # exactly the fingerprint intermediate, nothing else
+    assert release_persisted() == 0
+
+
 def _py_h32(s: str) -> int:
     import hashlib
 
