@@ -482,7 +482,10 @@ def _release(fresh) -> None:
 
 
 def duplicate_components(
-    pairs: DataFrame, nodes: DataFrame, max_iter: int = 25
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair edge list — the
     step that turns pairwise dedup output (exact / minhash / simhash
@@ -519,8 +522,16 @@ def duplicate_components(
     storage grows by O(|nodes|) per round. Only the final round's
     blocks remain, released when the returned DataFrame is GC'd.
 
+    `round_stats`, when given a list, receives one dict per
+    propagation round: {"round", "seconds"} — wall time of the
+    round's full propagate + checkpoint + convergence-probe cycle
+    (tools/run_components_scale.py uses it for the round-time
+    breakdown at multi-million-node sizes).
+
     Returns (doc_id, component, is_keeper).
     """
+    import time as _time
+
     edges0 = pairs.select("doc_a", "doc_b")
     edges = (
         edges0.select(
@@ -544,7 +555,8 @@ def duplicate_components(
     lbl_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(lbl_sum).collect()[0][0]
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        t0 = _time.time()
         nb = edges.join(labels, edges["dst"] == labels["node"]).select(
             edges["src"].alias("node"), "label"
         )
@@ -556,6 +568,10 @@ def duplicate_components(
         new_sum = new_labels.agg(lbl_sum).collect()[0][0]
         _release(labels_rdds)
         labels, labels_rdds = new_labels, new_rdds
+        if round_stats is not None:
+            round_stats.append(
+                {"round": rnd, "seconds": round(_time.time() - t0, 3)}
+            )
         if new_sum == prev_sum:
             converged = True
             break
