@@ -799,6 +799,32 @@ def q_stratified_downsample(spark, sf_dir):
     )
 
 
+def q_source_caps(spark, sf_dir):
+    """Per-group (domain-cap analog) document cap in deterministic
+    pseudo-random md5 order (operators/curation.py cap_per_group)."""
+    from ci_log_processing_spark.operators.curation import cap_per_group
+
+    return cap_per_group(_docs(spark, sf_dir), "source", cap=40).select(
+        "doc_id", "source"
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Nearest-rank per-source token-length quantiles
+    (operators/curation.py length_quantiles) — integer rank math, so
+    exact cross-engine parity, unlike interpolating percentiles."""
+    from ci_log_processing_spark.operators.curation import length_quantiles
+
+    q = length_quantiles(_docs(spark, sf_dir), "source")
+    return q.select(
+        "source",
+        F.col("p50_tokens").cast("long").alias("p50_tokens"),
+        F.col("p90_tokens").cast("long").alias("p90_tokens"),
+        F.col("p99_tokens").cast("long").alias("p99_tokens"),
+        "n_docs",
+    )
+
+
 def q_token_histogram(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import (
         token_length_histogram,
@@ -817,6 +843,12 @@ def q_quality(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import quality_scores
 
     return quality_scores(_docs(spark, sf_dir))
+
+
+def q_model_quality(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import model_quality_scores
+
+    return model_quality_scores(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):
@@ -961,6 +993,47 @@ def q_file_tags(spark, sf_dir):
     )
 
 
+def q_asof_state(spark, sf_dir):
+    """As-of join (operators/asof.py): each turn picks up the latest
+    config state flipped at-or-before its ts within the conversation
+    (union + one keyed window — never a range join)."""
+    from ci_log_processing_spark.operators.asof import asof_join
+    from ci_log_processing_spark.sources.derived import config_updates_sql
+
+    t = load_transcripts(spark, sf_dir)  # registers the events view
+    cfg = spark.sql(config_updates_sql("spark", "events"))
+    out = asof_join(
+        t.select("conv_id", "turn_idx", "ts"),
+        cfg.withColumnRenamed("cfg_ts", "ts"),
+        on=["conv_id"],
+        value_cols=["cfg_state"],
+        seq_col="cfg_seq",
+    )
+    return out.select(
+        "conv_id", "turn_idx", F.coalesce("cfg_state", F.lit("")).alias("cfg_state")
+    )
+
+
+def q_range_join_incidents(spark, sf_dir):
+    """Binned range join (operators/rangejoin.py): turns x 12 h
+    incident windows on the same conversation — equi-join on
+    (conv_id, 6 h time bin) + exact containment re-check, never a
+    BroadcastNestedLoopJoin."""
+    from ci_log_processing_spark.operators.rangejoin import range_join_binned
+    from ci_log_processing_spark.sources.derived import incident_windows_sql
+
+    t = load_transcripts(spark, sf_dir)
+    inc = spark.sql(incident_windows_sql("spark", "events"))
+    out = range_join_binned(
+        t.select("conv_id", "turn_idx", "ts"),
+        inc,
+        keys=["conv_id"],
+        point_ts="ts",
+        bin_sec=21600,
+    )
+    return out.select("conv_id", "turn_idx", "incident_id")
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -987,6 +1060,12 @@ _VERIFY_FIRST = (
     "src_jsonl_quarantine",
     "stream_watermark_agg",
     "dedup_simhash_pairs_capped",
+    # round-3 additions
+    "op_asof_state",
+    "op_range_join_incidents",
+    "text_model_quality",
+    "cur_source_caps",
+    "cur_length_quantiles",
 )
 
 
@@ -1021,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
+    qs["op_asof_state"] = q_asof_state
+    qs["op_range_join_incidents"] = q_range_join_incidents
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
@@ -1047,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_decontaminate": q_decontaminate,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
+            "cur_source_caps": q_source_caps,
+            "cur_length_quantiles": q_length_quantiles,
             "cur_token_histogram": q_token_histogram,
             "cur_pack_sequences": q_pack_sequences,
             "cur_top_ngrams": q_top_ngrams,
@@ -1058,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_pii_scrub": q_pii_scrub,
             "text_repetition": q_repetition,
             "text_quality": q_quality,
+            "text_model_quality": q_model_quality,
             "text_lang_id": q_lang_id,
             "text_fingerprint": q_fingerprint,
             "mm_image_features": q_mm_image_features,
@@ -1097,6 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
     # streaming twins: identical semantics to the batch pipeline on
     # the same deterministic conv subsets
+    sqls["op_asof_state"] = oracle.q_asof_state()
+    sqls["op_range_join_incidents"] = oracle.q_range_join_incidents()
     sqls["stream_follow_route"] = oracle.q_stream_follow()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
     # order-insensitive survivor set: one row per distinct text hash
@@ -1132,6 +1218,8 @@ def oracle_sql() -> dict[str, str]:
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
+            "cur_source_caps": od.q_source_caps(40),
+            "cur_length_quantiles": od.q_length_quantiles(),
             "cur_token_histogram": od.q_token_histogram(16),
             "cur_pack_sequences": od.q_pack_sequences(256),
             "cur_top_ngrams": od.q_top_ngrams(20),
@@ -1149,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
             "text_pii_scrub": od.q_pii_scrub(),
             "text_repetition": od.q_repetition(),
             "text_quality": od.q_quality(),
+            "text_model_quality": od.q_model_quality(),
             "text_lang_id": od.q_lang_id(),
             "text_fingerprint": od.q_fingerprint(),
             "mm_image_features": MM_IMAGE_ORACLE,

@@ -163,6 +163,13 @@ def main():
         "dedup_minhash_lsh", "ann_brute_force_topk", "text_quality",
     ]
     r1_subtotal = round(sum(timings[q] for q in R1_QUERIES), 3)
+    # the round-2 suite added these four; freeze that subtotal too so
+    # round-3+ growth keeps cross-round comparisons apples-to-apples
+    R2_QUERIES = R1_QUERIES + [
+        "text_pii_scrub", "text_repetition", "cur_pack_sequences",
+        "dedup_components",
+    ]
+    r2_subtotal = round(sum(timings[q] for q in R2_QUERIES), 3)
     out = {
         "metric": "headline suite wall time, steady-state (parse+route pipeline, aggs, dedup, ANN, text)",
         "value": total,
@@ -172,6 +179,7 @@ def main():
         "n_turns": n_turns,
         "cpus": cpus,
         "value_round1_subset": r1_subtotal,
+        "value_round2_subset": r2_subtotal,
         "cold_first_run_sec": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
         **extras,

@@ -316,3 +316,75 @@ def token_length_histogram(
             F.sum("n").alias("total_tokens"),
         )
     )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap — the per-domain cap web curation
+    applies so one hot domain cannot dominate the training mix
+    (RefinedWeb-style); here keyed on `group_col`.
+
+    Survivors are chosen in deterministic PSEUDO-RANDOM order
+    (md5 of the id, then the id as tie-break), not ingestion order,
+    so the kept subset is an unbiased sample of each group and any
+    re-run / the oracle reproduces it exactly.
+
+    One row_number window = one hash shuffle on the group key; AQE
+    splits a skewed group. The md5 rank key is computed per-row
+    before the exchange — nothing but the window crosses the wire.
+    """
+    if cap < 1:
+        raise ValueError("cap_per_group: cap must be >= 1")
+    rank_key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(rank_key, id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-length p50/p90/p99 by the NEAREST-RANK rule
+    (value at rank ceil(q*n) of the sorted lengths) — integer
+    arithmetic end-to-end, so unlike interpolating percentiles the
+    result is engine-exact and oracle-checkable. The corpus-health
+    dashboard query every curation run wants.
+
+    ceil(q*n) is computed as (q_num*n + q_den - 1) DIV q_den in
+    integers — never float-multiplied, so ceil(0.9*50) cannot float
+    to 46.
+
+    One window + one aggregate on the same group key = ONE hash
+    exchange (the aggregate reuses the window's partitioning).
+    """
+    n_tok = F.size(F.split(F.lower(F.col(text_col)), " "))
+    w = Window.partitionBy(group_col).orderBy("_len", "doc_id")
+    ranked = docs.select(
+        group_col, "doc_id", n_tok.alias("_len")
+    ).withColumn("_rn", F.row_number().over(w))
+
+    def _at(q_num: int, q_den: int, name: str) -> Column:
+        # _n is constant within the group, so the target rank is a
+        # plain per-row expression — nesting max(_n) inside the
+        # aggregate would be an illegal nested aggregate
+        r = F.expr(f"({q_num} * _n + {q_den - 1}) div {q_den}")
+        return F.max(F.when(F.col("_rn") == r, F.col("_len"))).alias(name)
+
+    counted = ranked.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    return counted.groupBy(group_col).agg(
+        _at(1, 2, "p50_tokens"),
+        _at(9, 10, "p90_tokens"),
+        _at(99, 100, "p99_tokens"),
+        F.max(F.col("_n")).cast("long").alias("n_docs"),
+    )

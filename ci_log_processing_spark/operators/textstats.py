@@ -315,3 +315,54 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(canon.cast("binary")).alias("fingerprint"),
     )
+
+
+def model_quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Linear bag-of-hashed-ngrams quality classifier — the fastText
+    architecture (Joulin et al. 2016) every big curation pipeline
+    (CCNet, RefinedWeb) uses for model-based quality filtering,
+    with DETERMINISTIC md5-derived weights standing in for trained
+    ones (no model artifact exists in this sandbox; swapping in a
+    trained weight table is a broadcast-join away).
+
+    Features: word unigrams + adjacent-word bigrams. Weight(f) =
+    (md5_32(f) % 2001) - 1000, an integer in [-1000, 1000]; the
+    logit is sum(weights) / (1000 * n_features). All feature math is
+    INTEGER until the single final division, so the double result is
+    bit-identical across engines (the DuckDB oracle recomputes it
+    from scratch).
+
+    Plan: per-row higher-order functions (transform/zip_with/
+    aggregate) — zero shuffles, whole-stage codegen, scan-bound like
+    the rest of the text tier; nothing leaves the row.
+    """
+    toks = tokens(F.col(text_col))
+
+    def w(c: Column) -> Column:
+        h = F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        return h % 2001 - 1000
+
+    uni = F.aggregate(
+        F.transform(toks, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    bi_pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: w(F.concat(a, F.lit(" "), b)),
+    )
+    bi = F.aggregate(bi_pairs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_feat = n + F.greatest(n - 1, F.lit(0))
+    logit = (uni + bi) / (n_feat.cast("double") * F.lit(1000.0))
+    return docs.select(
+        "doc_id",
+        *keep_cols,
+        logit.alias("model_logit"),
+        (logit > 0).alias("model_keep"),
+    )

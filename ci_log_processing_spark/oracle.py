@@ -462,3 +462,41 @@ SELECT conv_id, turn_idx, fname AS file_name,
 FROM named
 """
     )
+
+
+def q_asof_state() -> str:
+    """As-of join twin — DuckDB's NATIVE `ASOF LEFT JOIN` (backward,
+    exact matches included), so the union+window plan in
+    operators/asof.py is checked against an entirely different
+    evaluation strategy. Same deterministic max-seq pre-dedup of
+    right rows sharing (conv_id, ts)."""
+    from .sources.derived import config_updates_sql
+
+    return f"""
+WITH t AS ({transcripts_sql('duckdb', 'events')}),
+cfg0 AS ({config_updates_sql('duckdb', 'events')}),
+cfg AS (
+  SELECT conv_id, cfg_ts, arg_max(cfg_state, cfg_seq) AS cfg_state
+  FROM cfg0 GROUP BY conv_id, cfg_ts
+)
+SELECT t.conv_id, t.turn_idx,
+       coalesce(cfg.cfg_state, '') AS cfg_state
+FROM t ASOF LEFT JOIN cfg
+  ON t.conv_id = cfg.conv_id AND t.ts >= cfg.cfg_ts
+"""
+
+
+def q_range_join_incidents() -> str:
+    """Range join twin — the plain inequality join DuckDB can afford
+    at oracle scale; the Spark side must produce the identical match
+    set through the binned equi-join plan."""
+    from .sources.derived import incident_windows_sql
+
+    return f"""
+WITH t AS ({transcripts_sql('duckdb', 'events')}),
+inc AS ({incident_windows_sql('duckdb', 'events')})
+SELECT t.conv_id, t.turn_idx, inc.incident_id
+FROM t JOIN inc
+  ON t.conv_id = inc.conv_id
+ AND t.ts >= inc.start_ts AND t.ts <= inc.end_ts
+"""

@@ -911,3 +911,67 @@ SELECT doc_id,
          AS fingerprint
 FROM documents
 """
+
+
+def q_model_quality() -> str:
+    """Independent recompute of the hashed-ngram linear scorer
+    (operators/textstats.py model_quality_scores): integer weight
+    sums, one final double division — bit-identical across engines."""
+    w_uni = f"({_H32.format(x='t')} % 2001) - 1000"
+    bigram = "toks[i] || ' ' || toks[i+1]"
+    w_bi = f"({_H32.format(x=bigram)} % 2001) - 1000"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id,
+    coalesce(list_sum(list_transform(toks, t -> {w_uni})), 0) AS uni,
+    coalesce(list_sum(list_transform(range(1, len(toks)),
+                                     i -> {w_bi})), 0) AS bi,
+    len(toks) + greatest(len(toks) - 1, 0) AS n_feat
+  FROM base
+)
+SELECT doc_id,
+       (uni + bi) / (CAST(n_feat AS DOUBLE) * 1000.0) AS model_logit,
+       ((uni + bi) / (CAST(n_feat AS DOUBLE) * 1000.0)) > 0 AS model_keep
+FROM f
+"""
+
+
+def q_source_caps(cap: int) -> str:
+    """cap_per_group twin: same md5-of-id pseudo-random survivor
+    order, plain window SQL."""
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {cap}
+"""
+
+
+def q_length_quantiles() -> str:
+    """length_quantiles twin: nearest-rank ceil(q*n) via integer
+    (q_num*n + q_den - 1) // q_den — the same arithmetic the Spark
+    side runs, no float quantile anywhere."""
+    return f"""
+WITH l AS (
+  SELECT source, doc_id, len({_TOKS}) AS tok_len FROM documents
+),
+r AS (
+  SELECT source, tok_len,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tok_len, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM l
+)
+SELECT source,
+  max(CASE WHEN rn = (n + 1) // 2 THEN tok_len END) AS p50_tokens,
+  max(CASE WHEN rn = (9 * n + 9) // 10 THEN tok_len END) AS p90_tokens,
+  max(CASE WHEN rn = (99 * n + 99) // 100 THEN tok_len END) AS p99_tokens,
+  CAST(max(n) AS BIGINT) AS n_docs
+FROM r GROUP BY source
+"""

@@ -113,3 +113,39 @@ SELECT concat('conv-', lpad({uid}, 4, '0')) AS conv_id,
 FROM {events_rel}
 WHERE event_id % 25 = 0
 """
+
+
+def config_updates_sql(dialect: str, events_rel: str = "events") -> str:
+    """Sparse per-conversation config/state stream for the as-of join
+    gate query (operators/asof.py): every 25th event flips the
+    conversation's live config to that event's type. `event_id` is
+    the deterministic tie-breaker among same-ts updates."""
+    uid = _s(dialect, "user_id")
+    return f"""
+SELECT concat('conv-', lpad({uid}, 4, '0')) AS conv_id,
+       ts AS cfg_ts,
+       event_type AS cfg_state,
+       event_id AS cfg_seq
+FROM {events_rel}
+WHERE event_id % 25 = 0
+"""
+
+
+def incident_windows_sql(dialect: str, events_rel: str = "events") -> str:
+    """Per-conversation 12 h incident windows for the binned range
+    join gate query (operators/rangejoin.py): every 40th event opens
+    a window [ts, ts + 12 h] tagged with a deterministic incident id."""
+    uid = _s(dialect, "user_id")
+    eid = _s(dialect, "event_id")
+    if dialect == "spark":
+        end_expr = "timestampadd(HOUR, 12, ts)"
+    else:
+        end_expr = "ts + INTERVAL 12 HOUR"
+    return f"""
+SELECT concat('conv-', lpad({uid}, 4, '0')) AS conv_id,
+       concat('inc-', {eid}) AS incident_id,
+       ts AS start_ts,
+       {end_expr} AS end_ts
+FROM {events_rel}
+WHERE event_id % 40 = 0
+"""
