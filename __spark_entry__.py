@@ -118,6 +118,34 @@ def q_conv_severity(spark, sf_dir):
     return conv_severity_counts(_routed(spark, sf_dir))
 
 
+def q_agg_rollup(spark, sf_dir):
+    """Multi-grain ROLLUP aggregate (operators/aggregate.py
+    rollup_hourly) — detail + subtotals + grand total in one pass."""
+    from ci_log_processing_spark.operators.aggregate import rollup_hourly
+
+    return rollup_hourly(_routed(spark, sf_dir))
+
+
+def q_pivot_severity(spark, sf_dir):
+    """Hour x severity wide pivot (operators/aggregate.py
+    severity_pivot_hourly) — explicit value list, fixed schema."""
+    from ci_log_processing_spark.operators.aggregate import (
+        severity_pivot_hourly,
+    )
+
+    return severity_pivot_hourly(_routed(spark, sf_dir))
+
+
+def q_session_window(spark, sf_dir):
+    """Event-time session windows (operators/aggregate.py
+    session_window_agg) — native F.session_window, gap 1800 s."""
+    from ci_log_processing_spark.operators.aggregate import (
+        session_window_agg,
+    )
+
+    return session_window_agg(_routed(spark, sf_dir))
+
+
 def q_checkpoint_antijoin(spark, sf_dir):
     routed = _routed(spark, sf_dir)
     processed = (
@@ -851,6 +879,12 @@ def q_model_quality(spark, sf_dir):
     return model_quality_scores(_docs(spark, sf_dir))
 
 
+def q_tfidf(spark, sf_dir):
+    from ci_log_processing_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_lang_id(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import lang_id
 
@@ -1066,6 +1100,10 @@ _VERIFY_FIRST = (
     "text_model_quality",
     "cur_source_caps",
     "cur_length_quantiles",
+    "pipe_agg_rollup",
+    "pipe_pivot_severity",
+    "pipe_session_window",
+    "text_tfidf",
 )
 
 
@@ -1084,6 +1122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_route": q_route,
         "pipe_sink_counts": q_sink_counts,
         "pipe_agg_hourly": q_agg_hourly,
+        "pipe_agg_rollup": q_agg_rollup,
+        "pipe_pivot_severity": q_pivot_severity,
+        "pipe_session_window": q_session_window,
         "pipe_conv_severity": q_conv_severity,
         "pipe_checkpoint_antijoin": q_checkpoint_antijoin,
         "pipe_jobs_semijoin": q_jobs_semijoin,
@@ -1142,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_repetition": q_repetition,
             "text_quality": q_quality,
             "text_model_quality": q_model_quality,
+            "text_tfidf": q_tfidf,
             "text_lang_id": q_lang_id,
             "text_fingerprint": q_fingerprint,
             "mm_image_features": q_mm_image_features,
@@ -1161,6 +1203,9 @@ def oracle_sql() -> dict[str, str]:
         "pipe_route": oracle.q_route(),
         "pipe_sink_counts": oracle.q_sink_counts(),
         "pipe_agg_hourly": oracle.q_agg_hourly(),
+        "pipe_agg_rollup": oracle.q_agg_rollup(),
+        "pipe_pivot_severity": oracle.q_pivot_severity(),
+        "pipe_session_window": oracle.q_session_window(),
         "pipe_conv_severity": oracle.q_conv_severity(),
         "pipe_checkpoint_antijoin": oracle.q_checkpoint_antijoin(),
         "pipe_jobs_semijoin": oracle.q_jobs_semijoin(),
@@ -1238,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
             "text_repetition": od.q_repetition(),
             "text_quality": od.q_quality(),
             "text_model_quality": od.q_model_quality(),
+            "text_tfidf": od.q_tfidf_top_terms(3),
             "text_lang_id": od.q_lang_id(),
             "text_fingerprint": od.q_fingerprint(),
             "mm_image_features": MM_IMAGE_ORACLE,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny per-language stopword marker lists (n-gram heuristic tier;
 # a production lang-id swaps in fastText — same plan shape, the
@@ -314,6 +315,59 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(canon.cast("binary")).alias("fingerprint"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k salient terms per document — the corpus-keyword /
+    topic-tagging pass curation pipelines run after cleaning.
+
+    Ranking is the DETERMINISTIC integer order (tf DESC, df ASC,
+    term ASC): highest in-document frequency first, rarest-in-corpus
+    breaking ties — a salience order both engines reproduce exactly.
+    The float `tfidf` score (tf * ln(N/df)) is exposed alongside for
+    consumers; it is NOT the sort key, so a last-ulp libm divergence
+    can never reorder rows.
+
+    Plan: explode -> (doc, term) partial+final count (hot terms
+    collapse map-side) -> df per term from the COUNTED rows (vocab-
+    sized, not corpus-sized) -> join back (AQE broadcasts the vocab
+    side while it fits; past that it is an equi-join AQE skew-split
+    handles — pair it with a stopword df-cut like ngram_jaccard's
+    when the vocabulary itself is web-scale) -> one doc-keyed window
+    for the top-k. N is one scalar count action at plan-build time
+    (the same pattern as dedup's convergence check).
+    """
+    if k < 1:
+        raise ValueError("tfidf_top_terms: k must be >= 1")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df_docs"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            "term_rank",
+            (
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df_docs"))
+            ).alias("tfidf"),
+        )
     )
 
 

@@ -203,6 +203,34 @@ def q_agg_hourly() -> str:
     )
 
 
+def q_agg_rollup() -> str:
+    """rollup_hourly twin — DuckDB's own GROUP BY ROLLUP +
+    GROUPING_ID (same bit order: leftmost column = highest bit)."""
+    h = "date_trunc('hour', filled_ts)"
+    return pipeline_cte() + (
+        f"SELECT sink, severity, {h} AS window_start, "
+        "count(*) AS cnt, "
+        f"GROUPING_ID(sink, severity, {h}) AS grain "
+        f"FROM routed GROUP BY ROLLUP(sink, severity, {h})"
+    )
+
+
+def q_pivot_severity() -> str:
+    """severity_pivot_hourly twin — explicit FILTER counts, one per
+    taxonomy value (the wide shape Spark's pivot emits)."""
+    from .functions.grok import SEVERITIES
+
+    cols = ", ".join(
+        "count(*) FILTER (coalesce(severity, 'NONE') = "
+        f"'{v}') AS n_{v.lower()}"
+        for v in (*SEVERITIES, "NONE")
+    )
+    return pipeline_cte() + (
+        "SELECT date_trunc('hour', filled_ts) AS window_start, "
+        f"{cols} FROM routed GROUP BY 1"
+    )
+
+
 def q_conv_severity() -> str:
     return pipeline_cte() + (
         "SELECT conv_id, severity, count(*) AS cnt "
@@ -252,6 +280,36 @@ def q_sessionize() -> str:
         "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
         "  FROM filled) GROUP BY 1, 2"
     )
+
+
+def q_session_window() -> str:
+    """session_window_agg twin — classic gaps-and-islands: a new
+    island starts when the gap to the previous event is STRICTLY
+    greater than gap_sec (Spark merges an event landing exactly at
+    the window end, verified empirically); session_end = last + gap."""
+    gap = 1800
+    return pipeline_cte() + f"""
+, seq AS (
+  SELECT conv_id, turn_idx, filled_ts,
+         CASE WHEN filled_ts - lag(filled_ts) OVER w > INTERVAL {gap} SECOND
+              THEN 1 ELSE 0 END AS new_sess
+  FROM filled WHERE filled_ts IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY filled_ts, turn_idx)
+),
+isl AS (
+  SELECT conv_id, turn_idx, filled_ts,
+         sum(new_sess) OVER (PARTITION BY conv_id ORDER BY filled_ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT conv_id,
+       min(filled_ts) AS session_start,
+       max(filled_ts) + INTERVAL {gap} SECOND AS session_end,
+       count(*) AS n_turns,
+       min(turn_idx) AS first_turn,
+       max(turn_idx) AS last_turn
+FROM isl GROUP BY conv_id, sid
+"""
 
 
 def q_iso_format() -> str:

@@ -913,6 +913,38 @@ FROM documents
 """
 
 
+def q_tfidf_top_terms(k: int) -> str:
+    """tfidf_top_terms twin (operators/textstats.py): same integer
+    (tf DESC, df ASC, term ASC) ranking; the float tfidf column is
+    recomputed independently (ln over doubles — value-compared at
+    the gate's 6-decimal normalization, never used for ordering)."""
+    return f"""
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  ) WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+),
+dfr AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df_docs,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfr.df_docs ASC, tf.term ASC
+         ) AS term_rank,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfr.df_docs) AS tfidf
+  FROM tf JOIN dfr USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df_docs, term_rank, tfidf
+FROM ranked WHERE term_rank <= {k}
+"""
+
+
 def q_model_quality() -> str:
     """Independent recompute of the hashed-ngram linear scorer
     (operators/textstats.py model_quality_scores): integer weight

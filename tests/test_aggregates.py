@@ -1,0 +1,125 @@
+"""rollup_hourly / severity_pivot_hourly (operators/aggregate.py) and
+tfidf_top_terms (operators/textstats.py): semantics vs hand-computed
+expectations."""
+
+import datetime as dt
+
+import pytest
+
+from ci_log_processing_spark.operators.aggregate import (
+    rollup_hourly,
+    severity_pivot_hourly,
+)
+from ci_log_processing_spark.operators.textstats import tfidf_top_terms
+
+T = dt.datetime
+
+
+@pytest.fixture()
+def routed(spark):
+    return spark.createDataFrame(
+        [
+            ("errors", "ERROR", "nova", T(2024, 1, 1, 0, 10)),
+            ("errors", "ERROR", "nova", T(2024, 1, 1, 0, 50)),
+            ("errors", "WARNING", "glance", T(2024, 1, 1, 1, 0)),
+            ("agent_turns", None, None, T(2024, 1, 1, 0, 30)),
+        ],
+        "sink string, severity string, subsystem string, filled_ts timestamp",
+    )
+
+
+def test_rollup_grains_and_null_disambiguation(routed):
+    rows = {
+        (r["sink"], r["severity"], r["window_start"], r["grain"]): r["cnt"]
+        for r in rollup_hourly(routed).collect()
+    }
+    h0, h1 = T(2024, 1, 1, 0), T(2024, 1, 1, 1)
+    # detail grain (grain=0): genuine NULL severity survives with grain 0
+    assert rows[("errors", "ERROR", h0, 0)] == 2
+    assert rows[("errors", "WARNING", h1, 0)] == 1
+    assert rows[("agent_turns", None, h0, 0)] == 1
+    # hour rolled up (bit 0 -> grain=1)
+    assert rows[("errors", "ERROR", None, 1)] == 2
+    # severity+hour rolled up (grain=3): subtotal NULL != data NULL
+    assert rows[("errors", None, None, 3)] == 3
+    assert rows[("agent_turns", None, None, 3)] == 1
+    # grand total (grain=7)
+    assert rows[(None, None, None, 7)] == 4
+    # one row per (grain, group): 3 detail + 3 hour + 2 sev+hour + 1
+    assert len(rows) == 9
+
+
+def test_pivot_wide_counts_and_zero_fill(routed):
+    out = {r["window_start"]: r.asDict() for r in severity_pivot_hourly(routed).collect()}
+    h0 = out[T(2024, 1, 1, 0)]
+    assert (h0["n_error"], h0["n_none"], h0["n_warning"]) == (2, 1, 0)
+    h1 = out[T(2024, 1, 1, 1)]
+    assert (h1["n_warning"], h1["n_error"]) == (1, 0)
+    # fixed schema: every taxonomy column present even when all-zero
+    assert {c for c in h0 if c.startswith("n_")} == {
+        "n_audit", "n_critical", "n_debug", "n_info", "n_trace",
+        "n_warning", "n_error", "n_none",
+    }
+
+
+def test_tfidf_ranking_and_score(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared"),
+            (3, "cherry cherry cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    got = {
+        (r["doc_id"], r["term_rank"]): (r["term"], r["tf"], r["df_docs"])
+        for r in out.collect()
+    }
+    # doc 1: apple tf=2 wins; banana (df=2) beats shared (df=3) on rarity
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("banana", 1, 2)
+    # doc 3: cherry tf=3 first, shared second
+    assert got[(3, 1)] == ("cherry", 3, 2)
+    assert got[(3, 2)] == ("shared", 1, 3)
+    # tie on tf=1 for doc 2: banana/cherry (df=2) beat shared (df=3),
+    # banana < cherry lexicographically
+    assert got[(2, 1)] == ("banana", 1, 2)
+    assert got[(2, 2)] == ("cherry", 1, 2)
+    # score: tf * ln(N/df)
+    import math
+
+    scores = {r["term"]: r["tfidf"] for r in out.filter("doc_id = 1").collect()}
+    assert scores["apple"] == pytest.approx(2 * math.log(3 / 1))
+
+
+def test_tfidf_k_validation(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_top_terms(docs, k=0)
+
+
+def test_session_window_gap_semantics(spark):
+    from ci_log_processing_spark.operators.aggregate import (
+        session_window_agg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, T(2024, 1, 1, 0, 0)),
+            ("c", 1, T(2024, 1, 1, 0, 30)),   # exactly gap -> merges
+            ("c", 2, T(2024, 1, 1, 1, 0, 1)), # 1 s past end -> new
+            ("d", 0, None),                    # null ts dropped
+        ],
+        "conv_id string, turn_idx int, filled_ts timestamp",
+    )
+    rows = {
+        (r["conv_id"], r["session_start"]): (
+            r["session_end"], r["n_turns"], r["first_turn"], r["last_turn"]
+        )
+        for r in session_window_agg(df, gap_sec=1800).collect()
+    }
+    assert rows == {
+        ("c", T(2024, 1, 1, 0, 0)): (T(2024, 1, 1, 1, 0), 2, 0, 1),
+        ("c", T(2024, 1, 1, 1, 0, 1)): (T(2024, 1, 1, 1, 30, 1), 1, 2, 2),
+    }
