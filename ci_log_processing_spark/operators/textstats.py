@@ -339,16 +339,25 @@ def tfidf_top_terms(
     side while it fits; past that it is an equi-join AQE skew-split
     handles — pair it with a stopword df-cut like ngram_jaccard's
     when the vocabulary itself is web-scale) -> one doc-keyed window
-    for the top-k. N is one scalar count action at plan-build time
-    (the same pattern as dedup's convergence check).
+    for the top-k. The tf table feeds BOTH the df aggregate and the
+    join, and Catalyst does not reuse the exchange across the
+    self-referencing branches (measured: the corpus explode ran
+    twice) — so tf is persisted via the dedup registry; release with
+    dedup.release_persisted() after consuming. N is one scalar count
+    action at plan-build time (same pattern as dedup's convergence
+    check).
     """
+    from .dedup import _register_persist
+
     if k < 1:
         raise ValueError("tfidf_top_terms: k must be >= 1")
     n_docs = docs.count()
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _register_persist(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df_docs"), F.asc("term")
