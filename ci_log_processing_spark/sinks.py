@@ -129,3 +129,42 @@ class IcebergTableSink(TableSink):
 
     def append(self, df: DataFrame) -> None:
         df.writeTo(self.table).append()
+
+
+class BucketedTableSink(TableSink):
+    """Warehouse table BUCKETED (and sorted) by a join key — the
+    storage-side answer to the repeated large×large joins of the
+    dedup/enrichment tier (documents ⋈ embeddings on doc_id, batch ⋈
+    hash-index on content_hash): two tables co-bucketed on the same
+    key with the same bucket count join bucket-to-bucket with ZERO
+    exchange on either side, so ONE shuffle paid at write time is
+    amortized across every subsequent join. sortBy additionally lets
+    a single-file-per-bucket scan skip the sort-merge sort.
+
+    Iceberg analog: `bucket(N, col)` partition transform +
+    storage-partitioned joins; the sandbox implementation is a Spark
+    datasource-parquet bucketed table (no Hive required). Create the
+    owning database with an explicit LOCATION to keep warehouses out
+    of the repo root.
+    """
+
+    def __init__(self, table: str, bucket_col: str, n_buckets: int = 64):
+        if n_buckets < 1:
+            raise ValueError("BucketedTableSink: n_buckets must be >= 1")
+        self.table = table
+        self.bucket_col = bucket_col
+        self.n_buckets = n_buckets
+
+    def ensure(self, spark: SparkSession) -> None:
+        db, _, _ = self.table.rpartition(".")
+        if db:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+    def append(self, df: DataFrame) -> None:
+        (
+            df.write.mode("append")
+            .format("parquet")
+            .bucketBy(self.n_buckets, self.bucket_col)
+            .sortBy(self.bucket_col)
+            .saveAsTable(self.table)
+        )
