@@ -26,8 +26,10 @@ from ci_log_processing_spark.session import get_spark  # noqa: E402
 
 
 def checksum(df, cols):
+    # bit_xor, not sum: summing xxhash64 values overflows long and
+    # raises under the strict-ANSI session default
     return df.select(
-        F.sum(F.xxhash64(*[F.col(c) for c in cols])).alias("chk")
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("chk")
     ).collect()[0]["chk"]
 
 
@@ -154,6 +156,37 @@ def main():
         return duplicate_components(pairs, corpus.select("doc_id")).count()
 
     bench("dedup_components", _components)
+
+    # round-3 additions: the as-of join (union + one keyed window over
+    # |L|+|R| rows) and TF-IDF (corpus explode -> cached tf -> vocab
+    # agg -> join -> doc-keyed top-k window)
+    from ci_log_processing_spark.operators.asof import asof_join
+    from ci_log_processing_spark.operators.textstats import tfidf_top_terms
+    from ci_log_processing_spark.sources.derived import config_updates_sql
+
+    cfg = spark.sql(config_updates_sql("spark", "events")).withColumnRenamed(
+        "cfg_ts", "ts"
+    )
+    bench(
+        "op_asof_join",
+        lambda: checksum(
+            asof_join(
+                transcripts.select("conv_id", "turn_idx", "ts"),
+                cfg,
+                on=["conv_id"],
+                value_cols=["cfg_state"],
+                seq_col="cfg_seq",
+            ).withColumn("cfg_state", F.coalesce("cfg_state", F.lit(""))),
+            ["conv_id", "turn_idx", "cfg_state"],
+        ),
+    )
+    bench(
+        "text_tfidf",
+        lambda: checksum(
+            tfidf_top_terms(docs, k=3),
+            ["doc_id", "term", "tf", "df_docs", "term_rank"],
+        ),
+    )
 
     total = round(sum(timings.values()), 3)
     # the round-1 suite was these six queries; keep their subtotal so
