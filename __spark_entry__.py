@@ -146,6 +146,16 @@ def q_session_window(spark, sf_dir):
     return session_window_agg(_routed(spark, sf_dir))
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (operators/aggregate.py
+    sliding_window_agg) — 1 h windows, 30 min slide."""
+    from ci_log_processing_spark.operators.aggregate import (
+        sliding_window_agg,
+    )
+
+    return sliding_window_agg(_routed(spark, sf_dir))
+
+
 def q_checkpoint_antijoin(spark, sf_dir):
     routed = _routed(spark, sf_dir)
     processed = (
@@ -468,6 +478,41 @@ def q_stream_watermark_agg(spark, sf_dir):
         rows,
         "window_start timestamp, window_end timestamp, "
         "severity string, cnt long",
+    )
+
+
+def q_stream_session_window(spark, sf_dir):
+    """Watermarked streaming SESSION windows (streaming/watermark.py
+    streaming_session_counts) over the conv subset user_id % 23 == 2,
+    streamed as ONE file: the final watermark is max(ts) - 2 h, and a
+    session is emitted iff its end (last event + gap) <= watermark —
+    verified empirically at the exact boundary. The twin computes the
+    same gaps-and-islands sessions in SQL and applies that filter."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.watermark import (
+        streaming_session_counts,
+    )
+
+    sub = load_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 6, 10).cast("int") % 23 == 2
+    )
+    work = tempfile.mkdtemp(prefix="gate_sess_")
+    try:
+        in_dir = os.path.join(work, "in")
+        sub.repartition(1).write.parquet(in_dir)
+        out = streaming_session_counts(
+            spark, in_dir, os.path.join(work, "out")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, session_start timestamp, "
+        "session_end timestamp, n_turns long, "
+        "first_turn int, last_turn int",
     )
 
 
@@ -1093,6 +1138,7 @@ _VERIFY_FIRST = (
     "cur_full_curation",
     "src_jsonl_quarantine",
     "stream_watermark_agg",
+    "stream_session_window",
     "dedup_simhash_pairs_capped",
     # round-3 additions
     "op_asof_state",
@@ -1103,6 +1149,7 @@ _VERIFY_FIRST = (
     "pipe_agg_rollup",
     "pipe_pivot_severity",
     "pipe_session_window",
+    "pipe_sliding_window",
     "text_tfidf",
 )
 
@@ -1125,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_agg_rollup": q_agg_rollup,
         "pipe_pivot_severity": q_pivot_severity,
         "pipe_session_window": q_session_window,
+        "pipe_sliding_window": q_sliding_window,
         "pipe_conv_severity": q_conv_severity,
         "pipe_checkpoint_antijoin": q_checkpoint_antijoin,
         "pipe_jobs_semijoin": q_jobs_semijoin,
@@ -1146,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
+    qs["stream_session_window"] = q_stream_session_window
     qs["stream_watermark_agg"] = q_stream_watermark_agg
     qs.update(
         {
@@ -1206,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_agg_rollup": oracle.q_agg_rollup(),
         "pipe_pivot_severity": oracle.q_pivot_severity(),
         "pipe_session_window": oracle.q_session_window(),
+        "pipe_sliding_window": oracle.q_sliding_window(),
         "pipe_conv_severity": oracle.q_conv_severity(),
         "pipe_checkpoint_antijoin": oracle.q_checkpoint_antijoin(),
         "pipe_jobs_semijoin": oracle.q_jobs_semijoin(),
@@ -1229,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["op_asof_state"] = oracle.q_asof_state()
     sqls["op_range_join_incidents"] = oracle.q_range_join_incidents()
     sqls["stream_follow_route"] = oracle.q_stream_follow()
+    sqls["stream_session_window"] = oracle.q_stream_session_window()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
     # order-insensitive survivor set: one row per distinct text hash
     sqls["stream_dedup_exact"] = (

@@ -101,6 +101,42 @@ def session_window_agg(
     )
 
 
+def sliding_window_agg(
+    df: DataFrame,
+    window_sec: int = 3600,
+    slide_sec: int = 1800,
+    ts_col: str = "filled_ts",
+) -> DataFrame:
+    """Overlapping (sliding) event-time windows — the smoothed
+    rate/error-budget series a monitoring dashboard draws. Each event
+    lands in window_sec/slide_sec windows (2 here); F.window expands
+    them BEFORE the partial aggregate, so the exchange carries
+    groups x overlap rows, the same Expand-then-combine shape as the
+    rollup. window_sec must be a multiple of slide_sec so the window
+    set is exactly the aligned grid both engines can enumerate.
+    """
+    if window_sec % slide_sec != 0:
+        raise ValueError(
+            "sliding_window_agg: window_sec must be a multiple of slide_sec"
+        )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            "sink",
+            F.window(
+                F.col(ts_col), f"{window_sec} seconds", f"{slide_sec} seconds"
+            ).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "sink",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cnt",
+        )
+    )
+
+
 def severity_pivot_hourly(df: DataFrame, ts_col: str = "filled_ts") -> DataFrame:
     """Hour x severity WIDE counts — pivot with an EXPLICIT value
     list (the full grok taxonomy + NONE for unparsed lines), so no

@@ -282,6 +282,30 @@ def q_sessionize() -> str:
     )
 
 
+def q_sliding_window() -> str:
+    """sliding_window_agg twin — every event is enumerated into its
+    window/slide = 2 overlapping windows on the epoch-aligned slide
+    grid (the same grid F.window uses), then plain grouped counts."""
+    win, slide = 3600, 1800
+    n_overlap = win // slide
+    return pipeline_cte() + f"""
+, expanded AS (
+  SELECT sink,
+         (CAST(floor(epoch(filled_ts) / {slide}) AS BIGINT) - off.o)
+           * {slide} AS start_e
+  FROM routed, (SELECT unnest(range({n_overlap})) AS o) off
+  WHERE filled_ts IS NOT NULL
+)
+SELECT sink,
+       TIMESTAMP '1970-01-01 00:00:00' + to_seconds(start_e)
+         AS window_start,
+       TIMESTAMP '1970-01-01 00:00:00' + to_seconds(start_e + {win})
+         AS window_end,
+       count(*) AS cnt
+FROM expanded GROUP BY 1, 2, 3
+"""
+
+
 def q_session_window() -> str:
     """session_window_agg twin — classic gaps-and-islands: a new
     island starts when the gap to the previous event is STRICTLY
@@ -487,6 +511,45 @@ def q_stream_watermark_agg() -> str:
         "  WHERE CAST(substr(conv_id, 6) AS INT) % 23 = 1) "
         "GROUP BY 1, 2, 3"
     )
+
+
+def q_stream_session_window() -> str:
+    """streaming_session_counts twin — gaps-and-islands sessions over
+    the RAW transcript ts of the conv subset user_id % 23 == 2,
+    keeping only sessions finalized by the final watermark
+    (session_end <= max(ts) - 2 h; boundary inclusive, verified
+    empirically against F.session_window's append-mode emission)."""
+    gap = 1800
+    return pipeline_cte() + """
+, sub AS (
+  SELECT conv_id, turn_idx, ts FROM transcripts
+  WHERE CAST(substr(conv_id, 6) AS INT) % 23 = 2
+),
+seq AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL {gap} SECOND
+              THEN 1 ELSE 0 END AS new_sess
+  FROM sub
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+isl AS (
+  SELECT conv_id, turn_idx, ts,
+         sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+),
+sess AS (
+  SELECT conv_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL {gap} SECOND AS session_end,
+         count(*) AS n_turns,
+         min(turn_idx) AS first_turn,
+         max(turn_idx) AS last_turn
+  FROM isl GROUP BY conv_id, sid
+)
+SELECT * FROM sess
+WHERE session_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM sub)
+""".replace("{gap}", str(gap))
 
 
 def q_file_tags() -> str:

@@ -81,3 +81,65 @@ def streaming_severity_window_counts(
             "window_start timestamp, window_end timestamp, "
             "severity string, cnt long",
         )
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    transcripts_dir: str,
+    output_dir: str,
+    gap_sec: int = 1800,
+    delay: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Watermarked SESSION windows over the raw transcript stream —
+    the same F.session_window operator as the batch
+    session_window_agg (operators/aggregate.py), so batch and
+    streaming share one session definition. Append mode: a session
+    is emitted exactly once, when the watermark passes its end (no
+    in-watermark event can extend it past that point); state per
+    conversation is bounded by sessions still mergeable.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(transcripts_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_sec} seconds").alias("w"),
+            "conv_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+    sink = os.path.join(output_dir, "sessions")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(output_dir, "_sess_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start(sink)
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(sink)
+    except Exception:  # no session finalized -> no files written
+        return spark.createDataFrame(
+            [],
+            "conv_id string, session_start timestamp, "
+            "session_end timestamp, n_turns long, "
+            "first_turn int, last_turn int",
+        )

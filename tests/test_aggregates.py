@@ -123,3 +123,27 @@ def test_session_window_gap_semantics(spark):
         ("c", T(2024, 1, 1, 0, 0)): (T(2024, 1, 1, 1, 0), 2, 0, 1),
         ("c", T(2024, 1, 1, 1, 0, 1)): (T(2024, 1, 1, 1, 30, 1), 1, 2, 2),
     }
+
+
+def test_sliding_window_overlap(spark):
+    from ci_log_processing_spark.operators.aggregate import (
+        sliding_window_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("errors", T(2024, 1, 1, 0, 45))],
+        "sink string, filled_ts timestamp",
+    )
+    rows = {
+        (r["window_start"], r["window_end"]): r["cnt"]
+        for r in sliding_window_agg(df, 3600, 1800).collect()
+    }
+    # one event -> exactly the two 1 h windows on the 30 min grid
+    assert rows == {
+        (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 1, 0)): 1,
+        (T(2024, 1, 1, 0, 30), T(2024, 1, 1, 1, 30)): 1,
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="multiple"):
+        sliding_window_agg(df, 3600, 1700)

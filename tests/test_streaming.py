@@ -203,3 +203,35 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         .count()
     )
     assert len(out) == batch
+
+
+def test_streaming_session_window_boundary(spark, tmp_path):
+    """A session whose end (last event + gap) equals the final
+    watermark exactly IS emitted; a later unfinalized session is
+    not (streaming/watermark.py streaming_session_counts)."""
+    import datetime as dt
+
+    from ci_log_processing_spark.streaming.watermark import (
+        streaming_session_counts,
+    )
+
+    T = dt.datetime
+    rows = [
+        ("a", 0, "u", "x", "t", T(2024, 1, 1, 10, 0)),
+        # watermark driver: max ts 12:30 - 2 h delay -> wm = 10:30,
+        # exactly session a's end; b's own session (ends 13:00) is
+        # past the watermark and must NOT be emitted
+        ("b", 0, "u", "x", "t", T(2024, 1, 1, 12, 30)),
+    ]
+    in_dir = str(tmp_path / "sess_in")
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).coalesce(1).write.parquet(in_dir)
+    out = streaming_session_counts(
+        spark, in_dir, str(tmp_path / "sess_out")
+    ).collect()
+    assert [(r["conv_id"], r["session_start"], r["session_end"], r["n_turns"]) for r in out] == [
+        ("a", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 30), 1)
+    ]
