@@ -343,15 +343,15 @@ def tfidf_top_terms(
     join, and Catalyst does not reuse the exchange across the
     self-referencing branches (measured: the corpus explode ran
     twice) — so tf is persisted via the dedup registry; release with
-    dedup.release_persisted() after consuming. N is one scalar count
-    action at plan-build time (same pattern as dedup's convergence
-    check).
+    dedup.release_persisted() after consuming. N rides the plan as a
+    broadcast 1-row count aggregate (no eager .count() action — the
+    function stays lazy and costs no extra corpus scan).
     """
     from .dedup import _register_persist
 
     if k < 1:
         raise ValueError("tfidf_top_terms: k must be >= 1")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
@@ -364,6 +364,7 @@ def tfidf_top_terms(
     )
     return (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select(
@@ -374,7 +375,9 @@ def tfidf_top_terms(
             "term_rank",
             (
                 F.col("tf")
-                * F.log(F.lit(float(n_docs)) / F.col("df_docs"))
+                * F.log(
+                    F.col("_n_docs").cast("double") / F.col("df_docs")
+                )
             ).alias("tfidf"),
         )
     )

@@ -148,17 +148,27 @@ class BucketedTableSink(TableSink):
     of the repo root.
     """
 
-    def __init__(self, table: str, bucket_col: str, n_buckets: int = 64):
+    def __init__(
+        self,
+        table: str,
+        bucket_col: str,
+        n_buckets: int = 64,
+        db_location: str | None = None,
+    ):
         if n_buckets < 1:
             raise ValueError("BucketedTableSink: n_buckets must be >= 1")
         self.table = table
         self.bucket_col = bucket_col
         self.n_buckets = n_buckets
+        self.db_location = db_location
 
     def ensure(self, spark: SparkSession) -> None:
         db, _, _ = self.table.rpartition(".")
         if db:
-            spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+            loc = (
+                f" LOCATION '{self.db_location}'" if self.db_location else ""
+            )
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
 
     def append(self, df: DataFrame) -> None:
         (

@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..plans.pipeline import parse_transcripts
 from .follow import TRANSCRIPT_SCHEMA
@@ -75,7 +76,7 @@ def streaming_severity_window_counts(
     q.awaitTermination()
     try:
         return spark.read.parquet(sink)
-    except Exception:  # no window finalized -> no files written
+    except AnalysisException:  # no window finalized -> sink path absent
         return spark.createDataFrame(
             [],
             "window_start timestamp, window_end timestamp, "
@@ -136,7 +137,7 @@ def streaming_session_counts(
     q.awaitTermination()
     try:
         return spark.read.parquet(sink)
-    except Exception:  # no session finalized -> no files written
+    except AnalysisException:  # no session finalized -> sink path absent
         return spark.createDataFrame(
             [],
             "conv_id string, session_start timestamp, "

@@ -85,7 +85,7 @@ def main():
         out[f"join_{label}_exchanges"] = plan.count(
             "Exchange hashpartitioning"
         )
-        out["checksum"] = int(r)
+        out[f"join_{label}_checksum"] = int(r)
 
     bench(
         "plain",
@@ -94,6 +94,11 @@ def main():
     )
     bench("bucketed", spark.table("bkt.payload_b"), spark.table("bkt.vals_b"))
 
+    if out["join_plain_checksum"] != out["join_bucketed_checksum"]:
+        raise SystemExit(
+            "bucket study: layouts computed DIFFERENT answers — "
+            f"{out['join_plain_checksum']} vs {out['join_bucketed_checksum']}"
+        )
     out["speedup"] = round(out["join_plain_sec"] / out["join_bucketed_sec"], 2)
     print(json.dumps(out))
 
