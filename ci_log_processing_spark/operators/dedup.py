@@ -362,28 +362,39 @@ def minhash_lsh_pairs(
     # (band, key) bucket and emit intra-bucket pairs from the sorted
     # doc list — one shuffle on the band key, signature lineage
     # evaluated exactly once (a self-join would evaluate it twice).
-    if bucket_cap is not None:
-        # bucket size via a window over (band, key), then the group
-        # key grows to (band, key, sub). The window's hash exchange
-        # on (band, key) already co-locates every (band, key, sub)
-        # group, so the groupBy below adds NO second exchange
-        # (ClusteredDistribution satisfied by the prefix partitioning)
-        # — capping costs zero extra shuffles.
-        wn = Window.partitionBy("band", "key")
-        nsub = F.ceil(
-            F.count(F.lit(1)).over(wn) / F.lit(float(bucket_cap))
-        ).cast("long")
-        bands = bands.withColumn(
-            "sub", F.pmod(h32(F.col("doc_id").cast("string")), nsub)
-        )
-        group_keys = ["band", "key", "sub"]
-    else:
-        group_keys = ["band", "key"]
     buckets = (
-        bands.groupBy(*group_keys)
+        bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if bucket_cap is not None:
+        # Split oversize buckets AFTER the aggregate with pure array
+        # ops on the (bucket-count-sized) rows: nsub = ceil(n/cap),
+        # member d goes to sub-bucket h32(d) % nsub — the exact rule
+        # the oracle implements. Doing it post-collect (rather than a
+        # pre-aggregation count window) keeps the groupBy's map-side
+        # partial collect_list and adds no window sort: measured ~2x
+        # on the sf0.1 bench when the window variant forced the full
+        # bands exchange first. Per-row memory stays O(bucket), the
+        # same bound the uncapped collect already had; the explode
+        # then bounds PAIR count at ~cap^2 per sub-bucket.
+        nsub = F.ceil(F.size("ds") / F.lit(float(bucket_cap))).cast(
+            "long"
+        )
+        subs = F.when(
+            F.size("ds") <= bucket_cap, F.array(F.col("ds"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), nsub - 1),
+                lambda s: F.filter(
+                    F.col("ds"),
+                    lambda d: F.pmod(h32(d.cast("string")), nsub) == s,
+                ),
+            )
+        )
+        buckets = buckets.select(
+            "band", "key", F.explode(subs).alias("ds")
+        ).filter(F.size("ds") > 1)
     # Pair expansion in two explode steps so no single row ever holds
     # more than O(bucket) values: first posexplode the bucket into one
     # row per ANCHOR doc (carrying the bucket array), then explode each
