@@ -516,6 +516,49 @@ def q_stream_session_window(spark, sf_dir):
     )
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/
+    stream_join.py) over the conv subset user_id % 23 == 3 on BOTH
+    sides, each streamed as one in-order file: inner-join matches are
+    emitted as both sides arrive, so the emitted set equals the batch
+    join of the same inputs — the SQL twin."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.sources.derived import config_updates_sql
+    from ci_log_processing_spark.streaming.stream_join import (
+        streaming_interval_join,
+    )
+
+    sub = load_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 6, 10).cast("int") % 23 == 3
+    )
+    cfg = (
+        spark.sql(config_updates_sql("spark", "events"))
+        .withColumnRenamed("conv_id", "cfg_conv_id")
+        .filter(F.substring("cfg_conv_id", 6, 10).cast("int") % 23 == 3)
+    )
+    work = tempfile.mkdtemp(prefix="gate_ssj_")
+    try:
+        l_dir = os.path.join(work, "l")
+        r_dir = os.path.join(work, "r")
+        sub.repartition(1).write.parquet(l_dir)
+        cfg.select("cfg_conv_id", "cfg_ts", "cfg_state", "cfg_seq").repartition(
+            1
+        ).write.parquet(r_dir)
+        out = streaming_interval_join(
+            spark, l_dir, r_dir, os.path.join(work, "out"),
+            lookback_sec=21600,
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, cfg_seq long, cfg_state string",
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ---------
 
 
@@ -1139,6 +1182,7 @@ _VERIFY_FIRST = (
     "src_jsonl_quarantine",
     "stream_watermark_agg",
     "stream_session_window",
+    "stream_interval_join",
     "dedup_simhash_pairs_capped",
     # round-3 additions
     "op_asof_state",
@@ -1195,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
     qs["stream_session_window"] = q_stream_session_window
+    qs["stream_interval_join"] = q_stream_interval_join
     qs["stream_watermark_agg"] = q_stream_watermark_agg
     qs.update(
         {
@@ -1280,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["op_range_join_incidents"] = oracle.q_range_join_incidents()
     sqls["stream_follow_route"] = oracle.q_stream_follow()
     sqls["stream_session_window"] = oracle.q_stream_session_window()
+    sqls["stream_interval_join"] = oracle.q_stream_interval_join()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
     # order-insensitive survivor set: one row per distinct text hash
     sqls["stream_dedup_exact"] = (

@@ -621,3 +621,21 @@ FROM t JOIN inc
   ON t.conv_id = inc.conv_id
  AND t.ts >= inc.start_ts AND t.ts <= inc.end_ts
 """
+
+
+def q_stream_interval_join() -> str:
+    """streaming_interval_join twin — the plain batch interval join
+    of the same two conv subsets (inner stream-stream matches are
+    emitted unconditionally with in-order single-file delivery)."""
+    from .sources.derived import config_updates_sql
+
+    return f"""
+WITH t AS ({transcripts_sql('duckdb', 'events')}),
+cfg AS ({config_updates_sql('duckdb', 'events')})
+SELECT t.conv_id, t.turn_idx, cfg.cfg_seq, cfg.cfg_state
+FROM t JOIN cfg
+  ON t.conv_id = cfg.conv_id
+ AND cfg.cfg_ts >= t.ts - INTERVAL 21600 SECOND
+ AND cfg.cfg_ts <= t.ts
+WHERE CAST(substr(t.conv_id, 6) AS INT) % 23 = 3
+"""

@@ -147,3 +147,20 @@ def test_sliding_window_overlap(spark):
 
     with _pt.raises(ValueError, match="multiple"):
         sliding_window_agg(df, 3600, 1700)
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """Sketch tier sanity: HLL++ approx distinct lands within 3x the
+    requested rsd of the exact count on the documents table (the
+    cardinality-estimate shape a 100 TB profiler uses instead of an
+    exact distinct shuffle)."""
+    import pyspark.sql.functions as Fn
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rsd = 0.05
+    row = docs.agg(
+        Fn.approx_count_distinct("text", rsd).alias("approx"),
+        Fn.countDistinct("text").alias("exact"),
+    ).collect()[0]
+    assert row["exact"] > 0
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 3 * rsd

@@ -235,3 +235,36 @@ def test_streaming_session_window_boundary(spark, tmp_path):
     assert [(r["conv_id"], r["session_start"], r["session_end"], r["n_turns"]) for r in out] == [
         ("a", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 30), 1)
     ]
+
+
+def test_streaming_interval_join_bounds(spark, tmp_path):
+    """Inclusive [ts - lookback, ts] bounds, per-conversation
+    isolation (streaming/stream_join.py)."""
+    import datetime as dt
+
+    from ci_log_processing_spark.streaming.stream_join import (
+        streaming_interval_join,
+    )
+
+    T = dt.datetime
+    turns = [("a", 0, "u", "x", "t", T(2024, 1, 1, 12, 0))]
+    cfgs = [
+        ("a", T(2024, 1, 1, 11, 0), "s_lo", 1),   # == ts - lookback
+        ("a", T(2024, 1, 1, 12, 0), "s_eq", 2),   # == ts
+        ("a", T(2024, 1, 1, 10, 59, 59), "s_old", 3),  # 1 s too old
+        ("a", T(2024, 1, 1, 12, 0, 1), "s_fut", 4),    # in the future
+        ("b", T(2024, 1, 1, 11, 30), "s_otherconv", 5),
+    ]
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        turns,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).coalesce(1).write.parquet(l_dir)
+    spark.createDataFrame(
+        cfgs, "cfg_conv_id string, cfg_ts timestamp, cfg_state string, cfg_seq long"
+    ).coalesce(1).write.parquet(r_dir)
+    out = streaming_interval_join(
+        spark, l_dir, r_dir, str(tmp_path / "out"), lookback_sec=3600
+    )
+    assert sorted(r["cfg_state"] for r in out.collect()) == ["s_eq", "s_lo"]
