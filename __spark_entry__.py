@@ -657,6 +657,15 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_kmeans_fit(spark, sf_dir):
+    """Deterministic k-medians fit (operators/similarity.py
+    kmeans_fit) — the IVF coarse-quantizer training loop, fully
+    oracle-replayable (seed draw + 3 unrolled Lloyd iterations)."""
+    from ci_log_processing_spark.operators.similarity import kmeans_fit
+
+    return kmeans_fit(_emb(spark, sf_dir), k=8, n_iter=3)
+
+
 def q_ann_ivf_multiprobe(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import (
         ivf_multiprobe_topk,
@@ -1183,6 +1192,7 @@ _VERIFY_FIRST = (
     "stream_watermark_agg",
     "stream_session_window",
     "stream_interval_join",
+    "sim_kmeans_fit",
     "dedup_simhash_pairs_capped",
     # round-3 additions
     "op_asof_state",
@@ -1260,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+            "sim_kmeans_fit": q_kmeans_fit,
             "cur_decontaminate": q_decontaminate,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
@@ -1357,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
+            "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),

@@ -291,3 +291,109 @@ def embedding_near_dup_pairs(
         F.col(bucket_col).alias("bkt"), "vec_id", "embedding"
     )
     return _bucket_pair_join(keyed, ["bkt"], threshold)
+
+
+def _sqdist_to_lit(vec: Column, cent: list[float]) -> Column:
+    """Squared euclidean distance from an array column to a Python
+    centroid, rounded to 5 decimals (same cross-engine FP discipline
+    as cosine_col — both engines fold the same values in the same
+    order, the rounding absorbs any last-ulp libm divergence)."""
+    lit = F.array(*[F.lit(float(v)) for v in cent])
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec,
+                lit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        5,
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic K-MEDIANS (Lloyd) fit — the "train the coarse
+    quantizer" step a real IVF index build runs before
+    ivf_multiprobe_topk can probe it (the stored `label` column
+    stands in for this in the synthetic data).
+
+    Fully deterministic, so the DuckDB oracle replays it exactly:
+      * init: the k vectors with smallest (md5(id), id) — a
+        reproducible pseudo-random seed draw;
+      * assign: argmin of round(squared_distance, 5) with centroid
+        INDEX as tie-break;
+      * update: element-wise MEDIAN per cluster (order-independent,
+        unlike a mean's float sum — same argument as
+        bucket_centroids); empty clusters keep their previous
+        centroid.
+
+    Scale shape per iteration: centroids are k x dim driver-side
+    literals (the quantizer is TINY by design — collecting it is the
+    point), assignment is a per-row codegen expression (zero
+    shuffle), the median update is one posexplode + (cluster, pos)
+    aggregate — the same partial+final shape as bucket_centroids.
+    Total: n_iter scans, n_iter aggregates, no joins.
+
+    Returns the final assignment: (id_col, bkt, dist).
+    """
+    if k < 1 or n_iter < 0:
+        raise ValueError("kmeans_fit: k >= 1 and n_iter >= 0 required")
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")),
+            F.col(id_col),
+        )
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r[vec_col]) for r in seeds]
+
+    def assign(df: DataFrame) -> DataFrame:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdist_to_lit(F.col(vec_col), c).alias("d"),
+                        F.lit(j).alias("b"),
+                    )
+                    for j, c in enumerate(cents)
+                ]
+            )
+        )
+        return df.select(
+            id_col,
+            vec_col,
+            best["b"].alias("bkt"),
+            best["d"].alias("dist"),
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(emb)
+        med = (
+            assigned.select(
+                "bkt", F.posexplode(vec_col).alias("pos", "v")
+            )
+            .groupBy("bkt", "pos")
+            .agg(F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("cv"))
+            .groupBy("bkt")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda x: x["cv"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {r["bkt"]: list(r["centroid"]) for r in med}
+        cents = [new.get(j, cents[j]) for j in range(k)]
+
+    return assign(emb).drop(vec_col)

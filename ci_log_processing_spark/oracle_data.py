@@ -1007,3 +1007,58 @@ SELECT source,
   CAST(max(n) AS BIGINT) AS n_docs
 FROM r GROUP BY source
 """
+
+
+def q_kmeans_fit(k: int = 8, n_iter: int = 3) -> str:
+    """kmeans_fit twin (operators/similarity.py): the SAME
+    deterministic k-medians run, UNROLLED into one SQL chain — seed
+    draw by (md5(id), id), argmin of round(sqdist, 5) with bucket
+    index tie-break, element-wise median update, empty clusters keep
+    the previous centroid. Iterative-but-deterministic algorithms
+    stay fully oracle-checkable this way."""
+    dist = (
+        "round(list_sum(list_transform(range(1, len(e.emb) + 1), "
+        "i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]))), 5)"
+    )
+
+    def assign(cent_rel: str, name: str) -> str:
+        return f"""
+{name}_all AS (
+  SELECT e.vec_id, e.emb, c.bkt, {dist} AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dist} ASC, c.bkt ASC) AS rnk
+  FROM e, {cent_rel} c
+),
+{name} AS (SELECT vec_id, emb, bkt, dist FROM {name}_all WHERE rnk = 1)"""
+
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent_0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+           AS bkt,
+         emb AS centroid
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append("," + assign(f"cent_{i - 1}", f"a_{i}"))
+        parts.append(f""",
+med_{i} AS (
+  SELECT bkt, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT bkt, pos, median(v) AS cv FROM (
+      SELECT bkt, unnest(generate_series(1, len(emb))) AS pos,
+             unnest(emb) AS v
+      FROM a_{i}
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+cent_{i} AS (
+  SELECT p.bkt, coalesce(n.centroid, p.centroid) AS centroid
+  FROM cent_{i - 1} p LEFT JOIN med_{i} n USING (bkt)
+)""")
+    parts.append("," + assign(f"cent_{n_iter}", "final"))
+    parts.append("\nSELECT vec_id, bkt, dist FROM final")
+    return "".join(parts)

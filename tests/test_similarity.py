@@ -140,3 +140,29 @@ def test_capped_near_dup_bounds_hot_bucket(spark):
     # the hot bucket was split ~8 ways: the capped pair count must be
     # an order of magnitude below the uncapped quadratic blow-up
     assert len(capped) < len(full) / 3
+
+
+def test_kmeans_fit_deterministic_and_separates(spark):
+    """kmeans_fit: clear cluster structure recovered, deterministic
+    across invocations, empty-cluster arg validation."""
+    import pytest as _pt
+
+    from ci_log_processing_spark.operators.similarity import kmeans_fit
+
+    # two tight blobs far apart, 64-d analog in 4-d
+    rows = []
+    for i in range(10):
+        rows.append((i, [0.0 + i * 0.01, 0.0, 0.0, 0.0]))
+        rows.append((100 + i, [10.0 + i * 0.01, 10.0, 10.0, 10.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["bkt"] for r in kmeans_fit(emb, k=2, n_iter=3).collect()}
+    lo = {out[i] for i in range(10)}
+    hi = {out[100 + i] for i in range(10)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    # deterministic: second run identical
+    out2 = {r["vec_id"]: r["bkt"] for r in kmeans_fit(emb, k=2, n_iter=3).collect()}
+    assert out == out2
+    with _pt.raises(ValueError, match="k >= 1"):
+        kmeans_fit(emb, k=0)
