@@ -78,7 +78,9 @@ def main():
     n_docs = int(sys.argv[1])
     summary = sys.argv[2]
     spark = SparkSession.builder.getOrCreate()
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # strict ANSI, same as the unified session default (session.py) —
+    # the scaling evidence measures the mode the engine actually runs
+    spark.conf.set("spark.sql.ansi.enabled", "true")
 
     from ci_log_processing_spark.operators.curation import (
         pack_sequences,
@@ -89,7 +91,10 @@ def main():
         duplicate_components,
     )
     from ci_log_processing_spark.operators.pii import pii_scrub
-    from ci_log_processing_spark.operators.textstats import repetition_stats
+    from ci_log_processing_spark.operators.textstats import (
+        repetition_stats,
+        tfidf_top_terms,
+    )
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     work = tempfile.mkdtemp(prefix="corpus_scale_", dir=shm)
@@ -113,7 +118,7 @@ def main():
         t(
             "pii_scrub",
             lambda: pii_scrub(corpus, text_col="text")
-            .select(F.sum(F.xxhash64("doc_id", "n_pii", "redacted")))
+            .select(F.bit_xor(F.xxhash64("doc_id", "n_pii", "redacted")))
             .collect(),
             warmup=True,
         )
@@ -133,17 +138,29 @@ def main():
         t(
             "top_ngrams",
             lambda: top_ngrams(corpus, n=2, k=20)
-            .select(F.sum(F.xxhash64("ngram", "occurrences")))
+            .select(F.bit_xor(F.xxhash64("ngram", "occurrences")))
             .collect(),
             warmup=True,
         )
         t(
             "pack_sequences",
             lambda: pack_sequences(corpus, capacity=256)
-            .select(F.sum(F.xxhash64("doc_id", "bin_idx")))
+            .select(F.bit_xor(F.xxhash64("doc_id", "bin_idx")))
             .collect(),
             warmup=True,
         )
+        from ci_log_processing_spark.operators import dedup as _dedup
+
+        def _tfidf():
+            r = (
+                tfidf_top_terms(corpus, k=3)
+                .select(F.bit_xor(F.xxhash64("doc_id", "term", "tf")))
+                .collect()
+            )
+            _dedup.release_persisted()  # free the tf cache per run
+            return r
+
+        t("tfidf", _tfidf, warmup=True)
         # shuffle/iteration tier: materializing `pairs` IS the LSH
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds

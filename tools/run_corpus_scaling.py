@@ -88,8 +88,19 @@ def main():
         "speedup": round(tot8 / tot32, 2),
         "efficiency_N_to_4N": round(tot8 / (4 * tot32), 3),
     }
-    with open(os.path.join(REPO, "CORPUS_SCALING.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # merge-preserve: other tools (run_components_scale.py) keep
+    # their own keys (components_large*) in the same artifact
+    cache = os.path.join(REPO, "CORPUS_SCALING.json")
+    merged = {}
+    if os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(out)
+    with open(cache, "w") as f:
+        json.dump(merged, f, indent=1)
     print(json.dumps(out))
 
 
