@@ -126,7 +126,7 @@ def main():
             "repetition",
             lambda: repetition_stats(corpus, text_col="text")
             .select(
-                F.sum(
+                F.bit_xor(
                     F.xxhash64(
                         "doc_id", "dup_line_frac", "top_bigram_frac"
                     )
