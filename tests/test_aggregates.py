@@ -164,3 +164,47 @@ def test_approx_count_distinct_within_rsd(spark):
     ).collect()[0]
     assert row["exact"] > 0
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 3 * rsd
+
+
+def test_session_window_fuzz_vs_islands(spark):
+    """Randomized parity: session_window_agg vs an independent
+    pandas gaps-and-islands implementation (rule: diff > gap starts
+    a new session)."""
+    import numpy as np
+    import pandas as pd
+
+    from ci_log_processing_spark.operators.aggregate import (
+        session_window_agg,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(400):
+        conv = f"c{int(rng.integers(0, 12))}"
+        ts = T(2024, 1, 1) + dt.timedelta(seconds=int(rng.integers(0, 43200)))
+        rows.append((conv, i, ts))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, filled_ts timestamp"
+    )
+    gap = 900
+    got = {
+        (r["conv_id"], r["session_start"]): (
+            r["session_end"], r["n_turns"], r["first_turn"], r["last_turn"]
+        )
+        for r in session_window_agg(df, gap_sec=gap).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"]).sort_values(
+        ["conv_id", "ts", "turn_idx"], kind="stable"
+    )
+    exp = {}
+    for conv, g in pdf.groupby("conv_id"):
+        sid = (g["ts"].diff().dt.total_seconds() > gap).cumsum()
+        for _, s in g.groupby(sid):
+            exp[(conv, s["ts"].iloc[0].to_pydatetime())] = (
+                s["ts"].iloc[-1].to_pydatetime() + dt.timedelta(seconds=gap),
+                len(s),
+                int(s["turn_idx"].min()),
+                int(s["turn_idx"].max()),
+            )
+    assert got == exp

@@ -102,3 +102,51 @@ def test_scan_prunes_columns(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "role" not in scan and "tool" not in scan, scan
+
+
+def test_asof_join_single_operator_exchange(spark):
+    """as-of join (operators/asof.py): ONE hash exchange total over
+    pre-partitioned inputs — union + running window, never a join."""
+    import datetime as dt
+
+    from ci_log_processing_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [("a", T(2024, 1, 1), 1)], "k string, ts timestamp, i int"
+    )
+    right = spark.createDataFrame(
+        [("a", T(2024, 1, 1), "s")], "k string, ts timestamp, v string"
+    )
+    plan = (
+        asof_join(left, right, on=["k"], value_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # union + window, no join operator
+
+
+def test_session_window_rides_existing_partitioning(spark, tmp_path):
+    """session_window_agg adds ZERO exchanges on a conv-partitioned
+    input (the aggregate's ClusteredDistribution(conv_id) is
+    satisfied by the pipeline's existing repartition)."""
+    import pyspark.sql.functions as Fn
+
+    from ci_log_processing_spark.operators.aggregate import (
+        session_window_agg,
+    )
+
+    t = _materialized(spark, tmp_path).select(
+        "conv_id", "turn_idx", Fn.col("ts").alias("filled_ts")
+    ).repartition("conv_id")
+    plan = (
+        session_window_agg(t)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # only the explicit repartition itself; the session aggregate
+    # introduces no ENSURE_REQUIREMENTS exchange on top
+    assert plan.count("Exchange hashpartitioning") == 1
