@@ -887,6 +887,52 @@ def q_full_curation(spark, sf_dir):
     )
 
 
+def q_full_curation_v2(spark, sf_dir):
+    """Round-3 flagship composition: C4 clean -> heuristic quality
+    gate -> exact dedup keep-first -> MODEL-quality gate (hashed-
+    ngram linear scorer, zero shuffle) -> per-source cap (RefinedWeb
+    domain-cap analog) -> next-fit packing. The cap's source-keyed
+    window pre-partitions exactly what pack's applyInPandas needs
+    and the model gate is per-row, so SIX composed stages still cost
+    exactly TWO exchanges (dedup's md5 window + the shared source
+    partitioning) — plan-asserted in tests/test_plan_shape.py."""
+    from ci_log_processing_spark.operators.curation import (
+        cap_per_group,
+        pack_sequences,
+    )
+    from ci_log_processing_spark.operators.dedup import (
+        exact_dedup_keep_first,
+    )
+    from ci_log_processing_spark.operators.textstats import (
+        attach_c4_lines,
+        c4_line_filter,
+        model_quality_scores,
+        quality_scores,
+    )
+
+    cleaned = c4_line_filter(
+        attach_c4_lines(_docs(spark, sf_dir)), keep_cols=("source",)
+    ).filter("doc_kept")
+    scored = quality_scores(
+        cleaned, text_col="cleaned", keep_cols=("source", "cleaned")
+    )
+    survivors = scored.filter(F.col("quality") >= 0.45)
+    deduped = exact_dedup_keep_first(
+        survivors, text_col="cleaned", keep_cols=("source", "cleaned")
+    )
+    modeled = (
+        model_quality_scores(
+            deduped, text_col="cleaned", keep_cols=("source", "cleaned")
+        )
+        .filter("model_keep")
+        .select("doc_id", "source", "cleaned")
+    )
+    capped = cap_per_group(modeled, "source", cap=20)
+    return pack_sequences(
+        capped, capacity=128, group_col="source", text_col="cleaned"
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import (
         attach_c4_lines,
@@ -1193,6 +1239,7 @@ _VERIFY_FIRST = (
     "stream_session_window",
     "stream_interval_join",
     "sim_kmeans_fit",
+    "cur_full_curation_v2",
     "dedup_simhash_pairs_capped",
     # round-3 additions
     "op_asof_state",
@@ -1281,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_top_ngrams": q_top_ngrams,
             "cur_chunk_documents": q_chunk_documents,
             "cur_full_curation": q_full_curation,
+            "cur_full_curation_v2": q_full_curation_v2,
             "src_jsonl_quarantine": q_jsonl_quarantine,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
@@ -1379,6 +1427,9 @@ def oracle_sql() -> dict[str, str]:
             "cur_top_ngrams": od.q_top_ngrams(20),
             "cur_chunk_documents": od.q_chunk_documents(64, 16),
             "cur_full_curation": od.q_full_curation(0.45, 128),
+            "cur_full_curation_v2": od.q_full_curation(
+                0.45, 128, model_gate=True, source_cap=20
+            ),
             "src_jsonl_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "

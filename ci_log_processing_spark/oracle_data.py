@@ -765,10 +765,13 @@ def q_full_curation(
     min_quality: float = 0.45,
     capacity: int = 128,
     min_words: int = 5,
+    model_gate: bool = False,
+    source_cap: int | None = None,
 ) -> str:
     """Composed curation pipeline oracle: C4 clean -> quality gate ->
-    exact dedup keep-first -> next-fit pack, all over `cleaned`
-    text. Each stage mirrors its standalone oracle exactly."""
+    exact dedup keep-first -> [optional model-quality gate ->
+    per-source cap ->] next-fit pack, all over `cleaned` text. Each
+    stage mirrors its standalone oracle exactly."""
     from .operators.textstats import C4_BLOCKLIST
 
     blocked = " AND ".join(
@@ -778,6 +781,38 @@ def q_full_curation(
     stop_filter = (
         f"len(list_filter({ctoks}, x -> {_in_list('x', STOPWORDS)}))"
     )
+    extra_ctes = ""
+    pack_src = "dd"
+    if model_gate:
+        w_uni = f"({_H32.format(x='t')} % 2001) - 1000"
+        bigram = "ctk[i] || ' ' || ctk[i+1]"
+        w_bi = f"({_H32.format(x=bigram)} % 2001) - 1000"
+        extra_ctes += f"""
+mqf AS (
+  SELECT doc_id, source, cleaned,
+    coalesce(list_sum(list_transform(ctk, t -> {w_uni})), 0) AS uni,
+    coalesce(list_sum(list_transform(range(1, len(ctk)),
+                                     i -> {w_bi})), 0) AS bi,
+    len(ctk) + greatest(len(ctk) - 1, 0) AS n_feat
+  FROM (SELECT doc_id, source, cleaned, {ctoks} AS ctk FROM dd)
+),
+mq AS (
+  SELECT doc_id, source, cleaned FROM mqf
+  WHERE (uni + bi) / (CAST(n_feat AS DOUBLE) * 1000.0) > 0
+),"""
+        pack_src = "mq"
+    if source_cap is not None:
+        extra_ctes += f"""
+cap AS (
+  SELECT doc_id, source, cleaned FROM (
+    SELECT doc_id, source, cleaned,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn
+    FROM {pack_src}
+  ) WHERE crn <= {source_cap}
+),"""
+        pack_src = "cap"
     return f"""
 WITH lined AS (
   SELECT doc_id, source,
@@ -823,12 +858,12 @@ dd AS (
                               ORDER BY doc_id) AS rn
     FROM surv
   ) WHERE rn = 1
-),
+),{extra_ctes}
 pbase AS (
   SELECT source, doc_id,
          CAST(len({ctoks}) AS BIGINT) AS nt,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-  FROM dd
+  FROM {pack_src}
 ),
 pk AS (
   WITH RECURSIVE p(source, rn, doc_id, nt, bin, used) AS (

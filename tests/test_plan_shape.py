@@ -150,3 +150,15 @@ def test_session_window_rides_existing_partitioning(spark, tmp_path):
     # only the explicit repartition itself; the session aggregate
     # introduces no ENSURE_REQUIREMENTS exchange on top
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_full_curation_v2_still_two_exchanges(spark):
+    # v2 adds a model-quality gate (per-row) and a per-source cap
+    # (window on source) — the cap's exchange is REUSED by pack's
+    # applyInPandas grouping, so six stages still shuffle twice
+    import __spark_entry__ as entry
+
+    q = entry.q_full_curation_v2(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "FlatMapGroupsInPandas" in plan
