@@ -666,6 +666,51 @@ def q_kmeans_fit(spark, sf_dir):
     return kmeans_fit(_emb(spark, sf_dir), k=8, n_iter=3)
 
 
+def q_semantic_cluster_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-then-dedup (operators/similarity.py
+    semantic_cluster_dedup): deterministic k-medians clustering as
+    the blocking step, keep-lowest-id within cosine threshold."""
+    from ci_log_processing_spark.operators.similarity import (
+        semantic_cluster_dedup,
+    )
+
+    return semantic_cluster_dedup(
+        _emb(spark, sf_dir), k=8, n_iter=2, threshold=0.30
+    )
+
+
+# per-source keep rates for the mixture gate query: exercises full
+# keep, fractional keeps, full drop, and the default fallback
+MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.0}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic per-source mixture sampling
+    (operators/curation.py mixture_sample)."""
+    from ci_log_processing_spark.operators.curation import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), MIX_RATES, default_rate=0.6)
+
+
+def q_shuffle_index(spark, sf_dir):
+    """Global deterministic training-order shuffle without a global
+    window (operators/curation.py shuffle_index)."""
+    from ci_log_processing_spark.operators.curation import shuffle_index
+
+    return shuffle_index(_docs(spark, sf_dir), shard_size=100)
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide repeated-line removal over planted boilerplate
+    (operators/textstats.py line_dedup)."""
+    from ci_log_processing_spark.operators.textstats import (
+        attach_boilerplate,
+        line_dedup,
+    )
+
+    return line_dedup(attach_boilerplate(_docs(spark, sf_dir)), min_count=3)
+
+
 def q_ann_ivf_multiprobe(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import (
         ivf_multiprobe_topk,
@@ -1252,6 +1297,10 @@ _VERIFY_FIRST = (
     "pipe_session_window",
     "pipe_sliding_window",
     "text_tfidf",
+    "dedup_semantic_cluster",
+    "cur_mixture_sample",
+    "cur_shuffle_index",
+    "text_line_dedup",
 )
 
 
@@ -1318,6 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
             "sim_kmeans_fit": q_kmeans_fit,
+            "dedup_semantic_cluster": q_semantic_cluster_dedup,
+            "cur_mixture_sample": q_mixture_sample,
+            "cur_shuffle_index": q_shuffle_index,
+            "text_line_dedup": q_line_dedup,
             "cur_decontaminate": q_decontaminate,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
@@ -1417,6 +1470,14 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
+            "dedup_semantic_cluster": od.q_semantic_cluster_dedup(
+                8, 2, 0.30
+            ),
+            "cur_mixture_sample": od.q_mixture_sample(
+                MIX_RATES, default_rate=0.6
+            ),
+            "cur_shuffle_index": od.q_shuffle_index(100),
+            "text_line_dedup": od.q_line_dedup(3),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),

@@ -348,6 +348,121 @@ def cap_per_group(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix1",
+) -> DataFrame:
+    """Deterministic data-MIXTURE sampling: keep each document with a
+    per-source probability (`rates`, falling back to `default_rate`)
+    — the "weight the training mix by source" step every large-scale
+    pretraining pipeline runs after per-domain caps (cap_per_group
+    bounds the tail; this shapes the proportions).
+
+    Determinism instead of RNG: a document survives iff the 32-bit
+    md5 draw h32(seed || id) < rate * 2^32. The same (seed, id)
+    always draws the same uniform, so re-runs, the DuckDB oracle,
+    and an incremental re-ingest all make identical decisions —
+    sample()/sampleBy's per-partition RNG reproduces none of those.
+
+    Scale shape: the rate table is a LITERAL CASE chain (source
+    mixes are dozens of entries, never data-sized), the draw is one
+    codegen md5 per row — a pure narrow filter, ZERO shuffles, zero
+    joins at any corpus size.
+
+    Output: the surviving rows plus the draw (`u32`) so downstream
+    audits can re-check the decision.
+    """
+    from .dedup import h32
+
+    for src, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"mixture_sample: rate for {src!r} not in [0,1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("mixture_sample: default_rate not in [0,1]")
+
+    def _thresh(rate: float) -> Column:
+        # integer threshold — never a float compare the two engines
+        # could round differently
+        return F.lit(int(rate * 2**32)).cast("long")
+
+    cut: Column = _thresh(default_rate)
+    for src, r in rates.items():
+        cut = F.when(F.col(group_col) == src, _thresh(r)).otherwise(cut)
+    u32 = h32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return docs.withColumn("u32", u32).filter(F.col("u32") < cut)
+
+
+def shuffle_index(
+    docs: DataFrame,
+    shard_size: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "shuf1",
+) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle: assign every
+    document a dense permutation index 0..n-1 in md5(seed || id)
+    order, plus its output shard — the "shuffle the corpus once,
+    write fixed-size shards" step that fixes an epoch's data order.
+
+    The naive row_number() OVER (ORDER BY md5(...)) is a
+    single-partition global window — the exact driver-bottleneck
+    shape a 100 TB corpus cannot run. This computes the identical
+    permutation distributed, in two levels:
+
+      * bucket = first byte of the md5 key (256 buckets). The bucket
+        is a PREFIX of the sort key, so (bucket, key, id) order ==
+        (key, id) order — the two-level rank is exactly the global
+        rank.
+      * within-bucket row_number, partitioned on the bucket = one
+        hash exchange over 256 balanced groups (md5 prefixes are
+        uniform; for a wider cluster raise the prefix to 2 bytes =
+        65k buckets).
+      * bucket offsets: a 256-row count aggregate, cumulated with a
+        single-partition window over those 256 rows (tiny by
+        construction) and broadcast back.
+
+    Total: one data-sized exchange + one tiny agg/broadcast — the
+    same shape at 500 docs or 100 TB.
+
+    Output: (id_col, global_idx, shard), global_idx dense from 0.
+    """
+    if shard_size < 1:
+        raise ValueError("shuffle_index: shard_size must be >= 1")
+    key = F.md5(
+        F.concat(F.lit(seed), F.col(id_col).cast("string")).cast("binary")
+    )
+    keyed = docs.select(
+        id_col,
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("_key", id_col)
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_in))
+    # 256 rows max — the single-partition cumsum window is over the
+    # bucket-count table, never the data
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_bkt", "_off")
+    )
+    idx = F.col("_off") + F.col("_rn") - 1
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .select(
+            id_col,
+            idx.alias("global_idx"),
+            F.floor(idx / shard_size).cast("long").alias("shard"),
+        )
+    )
+
+
 def length_quantiles(
     docs: DataFrame,
     group_col: str = "source",

@@ -319,6 +319,7 @@ def kmeans_fit(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic K-MEDIANS (Lloyd) fit — the "train the coarse
     quantizer" step a real IVF index build runs before
@@ -396,4 +397,71 @@ def kmeans_fit(
         new = {r["bkt"]: list(r["centroid"]) for r in med}
         cents = [new.get(j, cents[j]) for j in range(k)]
 
-    return assign(emb).drop(vec_col)
+    out = assign(emb)
+    return out if keep_vec else out.drop(vec_col)
+
+
+def semantic_cluster_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus embeddings with the deterministic k-medians
+    fit, then drop every vector that has a LOWER-id near-duplicate
+    (cosine >= threshold) inside its own cluster. Near-dup search
+    never leaves a cluster — the clustering IS the blocking step
+    that makes embedding dedup sub-quadratic at corpus scale.
+
+    Keep rule, stated exactly: a vector survives iff no same-cluster
+    vector with a smaller id is within the cosine threshold.
+    Deterministic (no RNG anywhere: seeded k-medians + id
+    tie-breaks), so re-runs and the DuckDB oracle reproduce the
+    survivor set bit-for-bit.
+
+    Scale shape: kmeans_fit is n_iter scans + tiny aggregates
+    (centroids are k x dim driver literals by design); assignment is
+    per-row codegen; the pair step is the shared _bucket_pair_join
+    keyed on the cluster id — one hash exchange on `bkt`. With
+    `bucket_cap` set, a mega-cluster (boilerplate-heavy corpora
+    concentrate mass in one centroid) is deterministically sub-split
+    exactly like embedding_near_dup_pairs_capped, bounding per-cell
+    cost at ~cap^2. The loser set joins back on the id key — a hash
+    join AQE converts to broadcast when duplicates are rare.
+
+    Output: (id_col, bkt, dist, is_kept) — one row per input vector.
+    """
+    assigned = kmeans_fit(
+        emb, k, n_iter, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    # the shared pair tail expects (vec_id, embedding) names
+    keyed = assigned.select(
+        "bkt",
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    if bucket_cap is None:
+        pairs = _bucket_pair_join(keyed, ["bkt"], threshold)
+    else:
+        pairs = embedding_near_dup_pairs_capped(
+            keyed, threshold, bucket_col="bkt", bucket_cap=bucket_cap
+        )
+    losers = (
+        pairs.select(F.col("vec_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.drop(vec_col)
+        .join(losers, id_col, "left")
+        .select(
+            id_col,
+            "bkt",
+            "dist",
+            F.col("_dup").isNull().alias("is_kept"),
+        )
+    )

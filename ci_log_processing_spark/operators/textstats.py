@@ -117,6 +117,85 @@ def attach_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_boilerplate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant CROSS-document repeated lines for the corpus-wide line
+    dedup gate query (the synthetic docs are single-line and unique,
+    so shared boilerplate must be synthesized): most docs get one of
+    16 shared banner lines prepended, every doc_id % 5 == 0 a shared
+    footer appended, and every doc_id % 97 == 0 is REPLACED by the
+    bare footer (an all-boilerplate doc that line dedup must drop
+    entirely). Mirrored by oracle_data.q_line_dedup."""
+    t = F.col(text_col)
+    banner = F.concat(
+        F.lit("boilerplate banner "), (F.col("doc_id") % 16).cast("string")
+    )
+    footer = F.lit("boilerplate footer")
+    body = F.when(F.col("doc_id") % 3 != 0, F.concat(banner, F.lit("\n"), t)).otherwise(t)
+    body = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(body, F.lit("\n"), footer)
+    ).otherwise(body)
+    return docs.withColumn(
+        "btext",
+        F.when(F.col("doc_id") % 97 == 0, footer).otherwise(body),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_count: int = 3,
+    text_col: str = "btext",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide repeated-LINE removal (the RefinedWeb / CCNet
+    boilerplate pass): delete every line whose total occurrence
+    count across the corpus is >= min_count, rebuild each document
+    from its surviving lines in original order, and drop documents
+    left with no lines at all (C4 semantics for all-boilerplate
+    pages).
+
+    Scale shape: line occurrence counting is ONE partial-aggregated
+    shuffle on the md5 of the line (fixed-width key — the raw line
+    never crosses the wire as a shuffle key); the hot-line set is a
+    heavy-hitter table (small by construction — lines repeated >=
+    min_count times across a corpus are the boilerplate tail, not
+    the corpus) and is BROADCAST into a left-anti join; the rebuild
+    is one doc-keyed aggregate whose sort is a per-doc array_sort,
+    not a global order. Total: one line-hash exchange + one doc
+    exchange at any corpus size. If a corpus's hot set outgrows
+    broadcast, drop the hint and the same plan runs as a shuffle
+    anti-join co-partitioned on the line hash.
+
+    Output: (id_col, n_lines, n_kept, clean_text), only docs with
+    n_kept >= 1.
+    """
+    if min_count < 2:
+        raise ValueError("line_dedup: min_count must be >= 2")
+    split = F.split(F.col(text_col), "\n")
+    lines = docs.select(
+        id_col,
+        F.size(split).alias("n_lines"),
+        F.posexplode(split).alias("pos", "line"),
+    ).withColumn("_h", F.md5(F.col("line").cast("binary")))
+    hot = (
+        lines.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    kept = lines.join(F.broadcast(hot), "_h", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.max("n_lines").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "ltext") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, table A1):
     duplicate-line fraction, duplicate-line CHARACTER fraction, and

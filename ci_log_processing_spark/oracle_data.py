@@ -1051,6 +1051,13 @@ def q_kmeans_fit(k: int = 8, n_iter: int = 3) -> str:
     index tie-break, element-wise median update, empty clusters keep
     the previous centroid. Iterative-but-deterministic algorithms
     stay fully oracle-checkable this way."""
+    return _kmeans_ctes(k, n_iter) + "\nSELECT vec_id, bkt, dist FROM final"
+
+
+def _kmeans_ctes(k: int, n_iter: int) -> str:
+    """Shared unrolled k-medians CTE chain ending in `final`
+    (vec_id, emb, bkt, dist) — q_kmeans_fit returns it directly,
+    q_semantic_cluster_dedup appends the within-cluster pair step."""
     dist = (
         "round(list_sum(list_transform(range(1, len(e.emb) + 1), "
         "i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]))), 5)"
@@ -1095,5 +1102,109 @@ cent_{i} AS (
   FROM cent_{i - 1} p LEFT JOIN med_{i} n USING (bkt)
 )""")
     parts.append("," + assign(f"cent_{n_iter}", "final"))
-    parts.append("\nSELECT vec_id, bkt, dist FROM final")
     return "".join(parts)
+
+
+def q_semantic_cluster_dedup(
+    k: int = 8, n_iter: int = 2, threshold: float = 0.30
+) -> str:
+    """semantic_cluster_dedup twin (operators/similarity.py): the
+    same unrolled k-medians assignment, then a vector is kept iff no
+    same-cluster vector with a smaller id has cosine >= threshold
+    (SemDeDup keep-lowest-id rule)."""
+    cos = (
+        "round(list_dot_product(a.emb, b.emb) /"
+        " (sqrt(list_dot_product(a.emb, a.emb)) *"
+        " sqrt(list_dot_product(b.emb, b.emb))), 5)"
+    )
+    return f"""{_kmeans_ctes(k, n_iter)},
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM final a JOIN final b
+    ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT f.vec_id, f.bkt, f.dist,
+       (l.vec_id IS NULL) AS is_kept
+FROM final f LEFT JOIN losers l USING (vec_id)
+"""
+
+
+def q_mixture_sample(
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix1",
+) -> str:
+    """mixture_sample twin (operators/curation.py): identical
+    integer-threshold md5 draw — keep iff
+    h32(seed || id) < rate * 2^32."""
+    h = _H32.format(x=f"'{seed}' || CAST(doc_id AS VARCHAR)")
+    cut = str(int(default_rate * 2**32))
+    for src, r in rates.items():
+        cut = (
+            f"CASE WHEN source = '{src}' THEN {int(r * 2**32)} "
+            f"ELSE {cut} END"
+        )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars, {h} AS u32
+FROM documents
+WHERE {h} < ({cut})
+"""
+
+
+def q_shuffle_index(shard_size: int = 100, seed: str = "shuf1") -> str:
+    """shuffle_index twin (operators/curation.py): the Spark side
+    computes the permutation via two-level bucket ranks; the oracle
+    states the SAME order as one global window — the equivalence of
+    the two formulations is exactly what the hash check proves."""
+    key = f"md5('{seed}' || CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY {key}, doc_id) - 1 AS global_idx,
+       CAST(floor((row_number() OVER (ORDER BY {key}, doc_id) - 1)
+                  / {shard_size}) AS BIGINT) AS shard
+FROM documents
+"""
+
+
+def q_line_dedup(min_count: int = 3) -> str:
+    """line_dedup twin (operators/textstats.py): same planted
+    boilerplate (attach_boilerplate), same occurrence-count rule,
+    same in-order rebuild, all-hot docs dropped."""
+    return f"""
+WITH lined AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'boilerplate footer'
+    ELSE (
+      CASE WHEN doc_id % 5 = 0 THEN
+        CASE WHEN doc_id % 3 != 0
+             THEN 'boilerplate banner ' || CAST(doc_id % 16 AS VARCHAR)
+                  || chr(10) || text || chr(10) || 'boilerplate footer'
+             ELSE text || chr(10) || 'boilerplate footer' END
+      ELSE
+        CASE WHEN doc_id % 3 != 0
+             THEN 'boilerplate banner ' || CAST(doc_id % 16 AS VARCHAR)
+                  || chr(10) || text
+             ELSE text END
+      END
+    ) END AS btext
+  FROM documents
+),
+base AS (
+  SELECT doc_id, string_split(btext, chr(10)) AS ls FROM lined
+),
+flat AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         CAST(unnest(range(1, len(ls) + 1)) AS INT) AS pos, ls
+  FROM base
+),
+lines AS (SELECT doc_id, n_lines, pos, ls[pos] AS line FROM flat),
+hot AS (
+  SELECT line FROM lines GROUP BY 1 HAVING count(*) >= {min_count}
+)
+SELECT doc_id, max(n_lines) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+FROM lines ANTI JOIN hot USING (line)
+GROUP BY doc_id
+"""
