@@ -978,6 +978,61 @@ def q_full_curation_v2(spark, sf_dir):
     )
 
 
+def q_full_curation_v3(spark, sf_dir):
+    """Round-3 end-to-end composition: the v2 chain (C4 clean ->
+    quality -> exact dedup -> model gate) plus the three new
+    training-mix stages — MIXTURE sampling (per-row md5 threshold,
+    zero shuffle), per-source cap, next-fit pack, and a final GLOBAL
+    shuffle index over the packed samples (two-level bucket rank —
+    never a single-partition window). EIGHT composed stages, THREE
+    data-sized exchanges: dedup's md5 window, the shared source
+    partitioning (cap + pack), and the shuffle's 256-bucket window —
+    plan-asserted in tests/test_plan_shape.py."""
+    from ci_log_processing_spark.operators.curation import (
+        cap_per_group,
+        mixture_sample,
+        pack_sequences,
+        shuffle_index,
+    )
+    from ci_log_processing_spark.operators.dedup import (
+        exact_dedup_keep_first,
+    )
+    from ci_log_processing_spark.operators.textstats import (
+        attach_c4_lines,
+        c4_line_filter,
+        model_quality_scores,
+        quality_scores,
+    )
+
+    cleaned = c4_line_filter(
+        attach_c4_lines(_docs(spark, sf_dir)), keep_cols=("source",)
+    ).filter("doc_kept")
+    scored = quality_scores(
+        cleaned, text_col="cleaned", keep_cols=("source", "cleaned")
+    )
+    survivors = scored.filter(F.col("quality") >= 0.45)
+    deduped = exact_dedup_keep_first(
+        survivors, text_col="cleaned", keep_cols=("source", "cleaned")
+    )
+    modeled = (
+        model_quality_scores(
+            deduped, text_col="cleaned", keep_cols=("source", "cleaned")
+        )
+        .filter("model_keep")
+        .select("doc_id", "source", "cleaned")
+    )
+    mixed = mixture_sample(modeled, MIX_RATES, default_rate=0.6).drop("u32")
+    capped = cap_per_group(mixed, "source", cap=20)
+    packed = pack_sequences(
+        capped, capacity=128, group_col="source", text_col="cleaned"
+    )
+    return shuffle_index(
+        packed,
+        shard_size=8,
+        payload_cols=("source", "n_tokens", "bin_idx", "offset_in_bin"),
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import (
         attach_c4_lines,
@@ -1301,6 +1356,7 @@ _VERIFY_FIRST = (
     "cur_mixture_sample",
     "cur_shuffle_index",
     "text_line_dedup",
+    "cur_full_curation_v3",
 )
 
 
@@ -1382,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_chunk_documents": q_chunk_documents,
             "cur_full_curation": q_full_curation,
             "cur_full_curation_v2": q_full_curation_v2,
+            "cur_full_curation_v3": q_full_curation_v3,
             "src_jsonl_quarantine": q_jsonl_quarantine,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
@@ -1490,6 +1547,15 @@ def oracle_sql() -> dict[str, str]:
             "cur_full_curation": od.q_full_curation(0.45, 128),
             "cur_full_curation_v2": od.q_full_curation(
                 0.45, 128, model_gate=True, source_cap=20
+            ),
+            "cur_full_curation_v3": od.q_full_curation(
+                0.45,
+                128,
+                model_gate=True,
+                source_cap=20,
+                mixture=MIX_RATES,
+                mixture_default=0.6,
+                shuffle_shard=8,
             ),
             "src_jsonl_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "

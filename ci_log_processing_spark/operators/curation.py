@@ -401,6 +401,7 @@ def shuffle_index(
     shard_size: int = 100,
     id_col: str = "doc_id",
     seed: str = "shuf1",
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic GLOBAL training-order shuffle: assign every
     document a dense permutation index 0..n-1 in md5(seed || id)
@@ -436,19 +437,30 @@ def shuffle_index(
     )
     keyed = docs.select(
         id_col,
+        *payload_cols,
         key.alias("_key"),
         F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
     )
+    from .dedup import _register_persist
+
     w_in = Window.partitionBy("_bkt").orderBy("_key", id_col)
-    ranked = keyed.withColumn("_rn", F.row_number().over(w_in))
-    # 256 rows max — the single-partition cumsum window is over the
-    # bucket-count table, never the data
+    # ranked feeds BOTH the output join and the bucket-size aggregate;
+    # persist it (released via dedup.release_persisted, spills to disk
+    # past memory) so the second consumer reads the materialized rank,
+    # never re-executing the upstream plan — fatal when shuffle_index
+    # caps a long curation composition. Bucket sizes are max(_rn) over
+    # the ranked output, so no second scan of `keyed` exists at all.
+    ranked = _register_persist(
+        keyed.withColumn("_rn", F.row_number().over(w_in))
+    )
+    # the cumsum window is over the <=256-row bucket-count table,
+    # never the data
     w_off = Window.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        keyed.groupBy("_bkt")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        ranked.groupBy("_bkt")
+        .agg(F.max("_rn").alias("_n"))
         .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
         .select("_bkt", "_off")
     )
@@ -457,6 +469,7 @@ def shuffle_index(
         ranked.join(F.broadcast(offsets), "_bkt")
         .select(
             id_col,
+            *payload_cols,
             idx.alias("global_idx"),
             F.floor(idx / shard_size).cast("long").alias("shard"),
         )

@@ -767,11 +767,15 @@ def q_full_curation(
     min_words: int = 5,
     model_gate: bool = False,
     source_cap: int | None = None,
+    mixture: dict[str, float] | None = None,
+    mixture_default: float = 1.0,
+    shuffle_shard: int | None = None,
 ) -> str:
     """Composed curation pipeline oracle: C4 clean -> quality gate ->
     exact dedup keep-first -> [optional model-quality gate ->
-    per-source cap ->] next-fit pack, all over `cleaned` text. Each
-    stage mirrors its standalone oracle exactly."""
+    mixture sample -> per-source cap ->] next-fit pack [-> global
+    shuffle index], all over `cleaned` text. Each stage mirrors its
+    standalone oracle exactly."""
     from .operators.textstats import C4_BLOCKLIST
 
     blocked = " AND ".join(
@@ -801,6 +805,20 @@ mq AS (
   WHERE (uni + bi) / (CAST(n_feat AS DOUBLE) * 1000.0) > 0
 ),"""
         pack_src = "mq"
+    if mixture is not None:
+        h = _H32.format(x="'mix1' || CAST(doc_id AS VARCHAR)")
+        cut = str(int(mixture_default * 2**32))
+        for src, r in mixture.items():
+            cut = (
+                f"CASE WHEN source = '{src}' THEN {int(r * 2**32)} "
+                f"ELSE {cut} END"
+            )
+        extra_ctes += f"""
+mix AS (
+  SELECT doc_id, source, cleaned FROM {pack_src}
+  WHERE {h} < ({cut})
+),"""
+        pack_src = "mix"
     if source_cap is not None:
         extra_ctes += f"""
 cap AS (
@@ -813,6 +831,16 @@ cap AS (
   ) WHERE crn <= {source_cap}
 ),"""
         pack_src = "cap"
+    if shuffle_shard is not None:
+        skey = "md5('shuf1' || CAST(doc_id AS VARCHAR))"
+        srn = f"row_number() OVER (ORDER BY {skey}, doc_id) - 1"
+        shuffle_tail = (
+            f",\n       {srn} AS global_idx,"
+            f"\n       CAST(floor(({srn}) / {shuffle_shard}) AS BIGINT)"
+            " AS shard"
+        )
+    else:
+        shuffle_tail = ""
     return f"""
 WITH lined AS (
   SELECT doc_id, source,
@@ -879,7 +907,7 @@ pk AS (
   ) SELECT * FROM p
 )
 SELECT source, doc_id, nt AS n_tokens, bin AS bin_idx,
-       CAST(used - nt AS BIGINT) AS offset_in_bin
+       CAST(used - nt AS BIGINT) AS offset_in_bin{shuffle_tail}
 FROM pk
 """
 

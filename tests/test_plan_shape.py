@@ -162,3 +162,33 @@ def test_full_curation_v2_still_two_exchanges(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_full_curation_v3_plan_shape(spark):
+    # v3 adds mixture sampling (per-row filter — no new exchange) and
+    # the final global shuffle index. The ranked permutation is
+    # persisted and read by BOTH consumers (output join + bucket
+    # sizes), so the upstream 6-stage pipeline executes once; the
+    # offset cumsum is a SinglePartition exchange over <=256 count
+    # rows, never the data.
+    import re
+
+    import __spark_entry__ as entry
+    from ci_log_processing_spark.operators.dedup import release_persisted
+
+    q = entry.q_full_curation_v3(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # both branches read the shared materialized rank...
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # ...and no parquet scan exists outside the cached plan's print
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation")
+    # unique exchanges: dedup md5 window + shared source partitioning
+    # (cap/pack) + 256-bucket rank inside the cached plan, plus the
+    # post-cache partial-agg'd bucket-count hop = 4
+    ids = set(
+        re.findall(r"Exchange hashpartitioning\(.*?plan_id=(\d+)", plan)
+    )
+    assert len(ids) == 4, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    release_persisted()
