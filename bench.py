@@ -188,6 +188,39 @@ def main():
         ),
     )
 
+    # round-3 wave 2: corpus-wide line dedup, the distributed global
+    # shuffle, and SemDeDup cluster dedup
+    from ci_log_processing_spark.operators.curation import shuffle_index
+    from ci_log_processing_spark.operators.similarity import (
+        semantic_cluster_dedup,
+    )
+    from ci_log_processing_spark.operators.textstats import (
+        attach_boilerplate,
+        line_dedup,
+    )
+
+    bench(
+        "text_line_dedup",
+        lambda: checksum(
+            line_dedup(attach_boilerplate(docs), min_count=3),
+            ["doc_id", "n_lines", "n_kept", "clean_text"],
+        ),
+    )
+    bench(
+        "cur_shuffle_index",
+        lambda: checksum(
+            shuffle_index(docs, shard_size=1000),
+            ["doc_id", "global_idx", "shard"],
+        ),
+    )
+    bench(
+        "dedup_semantic_cluster",
+        lambda: checksum(
+            semantic_cluster_dedup(emb, k=8, n_iter=2, threshold=0.30),
+            ["vec_id", "bkt", "is_kept"],
+        ),
+    )
+
     total = round(sum(timings.values()), 3)
     # the round-1 suite was these six queries; keep their subtotal so
     # cross-round comparisons aren't skewed by the suite growing

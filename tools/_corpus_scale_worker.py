@@ -84,8 +84,10 @@ def main():
 
     from ci_log_processing_spark.operators.curation import (
         pack_sequences,
+        shuffle_index,
         top_ngrams,
     )
+    from ci_log_processing_spark.operators.textstats import line_dedup
     from ci_log_processing_spark.operators.dedup import (
         dedup_pair_edges,
         duplicate_components,
@@ -161,6 +163,30 @@ def main():
             return r
 
         t("tfidf", _tfidf, warmup=True)
+        from ci_log_processing_spark.operators import dedup as _d2
+
+        def _shuffle_index():
+            r = (
+                shuffle_index(corpus, shard_size=10_000)
+                .select(F.bit_xor(F.xxhash64("doc_id", "global_idx")))
+                .collect()
+            )
+            _d2.release_persisted()  # free the ranked cache per run
+            return r
+
+        t("shuffle_index", _shuffle_index, warmup=True)
+        # two-line docs: a 64-value header line (always corpus-hot)
+        # plus the body (hot only inside planted duplicate groups)
+        two_line = corpus.withColumn(
+            "btext", F.concat("source", F.lit("\n"), "text")
+        )
+        t(
+            "line_dedup",
+            lambda: line_dedup(two_line, min_count=3)
+            .select(F.bit_xor(F.xxhash64("doc_id", "n_kept")))
+            .collect(),
+            warmup=True,
+        )
         # shuffle/iteration tier: materializing `pairs` IS the LSH
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds
