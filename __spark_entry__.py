@@ -623,6 +623,16 @@ def q_dedup_simhash_pairs_capped(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Duplicate-component resolution keeping the highest-QUALITY
+    doc per cluster (operators/dedup.py dedup_keep_best) instead of
+    the lowest id."""
+    from ci_log_processing_spark.operators.dedup import dedup_keep_best
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return dedup_keep_best(load_corpus(spark, sf_dir), spark, threshold=0.6)
+
+
 def q_embed_near_dup(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -1357,6 +1367,7 @@ _VERIFY_FIRST = (
     "cur_shuffle_index",
     "text_line_dedup",
     "cur_full_curation_v3",
+    "dedup_keep_best",
 )
 
 
@@ -1417,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_components": q_dedup_components,
             "dedup_components_star": q_dedup_components_star,
             "dedup_semantic_apply": q_dedup_semantic_apply,
+            "dedup_keep_best": q_dedup_keep_best,
             "dedup_embedding_cosine": q_embed_near_dup,
             "dedup_embedding_cosine_capped": q_embed_near_dup_capped,
             "sim_ann_brute_force": q_ann_brute_force,
@@ -1519,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_components": od.q_dedup_components(0.6),
             "dedup_components_star": od.q_dedup_components(0.6),
             "dedup_semantic_apply": od.q_dedup_semantic_apply(0.30),
+            "dedup_keep_best": od.q_dedup_keep_best(0.6),
             "dedup_embedding_cosine": od.q_embed_near_dup(0.30),
             "dedup_embedding_cosine_capped": od.q_embed_near_dup_capped(
                 0.30, 20

@@ -620,6 +620,47 @@ def dedup_pair_edges(
     )
 
 
+def dedup_keep_best(
+    corpus: DataFrame,
+    spark: SparkSession,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Duplicate-cluster resolution keeping the BEST document per
+    component — highest heuristic quality score, doc_id tie-break —
+    instead of duplicate_components' lowest-id rule. This is the
+    selection real curation wants when near-duplicates differ in
+    quality (a page with boilerplate vs its clean twin score
+    differently; min-id picks arbitrarily).
+
+    Scale shape on top of the shared component machinery: quality is
+    a per-row expression (zero shuffle), joined to the component
+    labels on doc_id (hash join, same key space), then ONE
+    component-keyed row_number window picks the survivor. Adds one
+    join + one window exchange to the components cost — nothing
+    quadratic, nothing collected.
+
+    Output: (doc_id, component, quality, is_best).
+    """
+    from .textstats import quality_scores
+
+    pairs = dedup_pair_edges(corpus, spark, threshold=threshold)
+    comps = duplicate_components(pairs, corpus.select("doc_id"))
+    q = quality_scores(corpus).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comps.join(q, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (F.col("_rn") == 1).alias("is_best"),
+        )
+    )
+
+
 def duplicate_components_star(
     pairs: DataFrame, nodes: DataFrame, max_iter: int = 40
 ) -> DataFrame:

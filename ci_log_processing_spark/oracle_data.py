@@ -461,6 +461,36 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_keep_best(threshold: float = 0.6) -> str:
+    """dedup_keep_best twin: the components oracle wrapped as a CTE,
+    joined to the same per-doc quality formula as q_quality (computed
+    over the CORPUS, planted dups included), survivor = max quality
+    with doc_id tie-break."""
+    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    return f"""
+WITH comp AS ({q_dedup_components(threshold)}),
+corpq AS (
+  SELECT doc_id,
+    round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
+      AS quality
+  FROM (
+    SELECT doc_id,
+      round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
+        AS sr,
+      round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+            greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS pr,
+      round(least(len({_TOKS}) / 64.0, 1.0), 6) AS ls
+    FROM ({CORPUS_SQL})
+  )
+)
+SELECT c.doc_id, c.component, q.quality,
+       (row_number() OVER (
+          PARTITION BY c.component
+          ORDER BY q.quality DESC, c.doc_id) = 1) AS is_best
+FROM comp c JOIN corpq q USING (doc_id)
+"""
+
+
 def q_dedup_semantic_apply(threshold: float = 0.30) -> str:
     """SemDeDup-style apply: components over embedding-cosine
     near-dup pairs; every vector gets a cluster id + keeper flag."""

@@ -131,6 +131,38 @@ class IcebergTableSink(TableSink):
         df.writeTo(self.table).append()
 
 
+class TrainingShardSink(TableSink):
+    """Fixed-shard training-data export: writes the output of
+    curation (typically shuffle_index's (.., global_idx, shard)
+    rows) as ONE file per shard, hive-partitioned by `shard`, rows
+    inside each file in global_idx order — the layout a training
+    dataloader consumes directly (open shard k, read sequentially =
+    the epoch's data order).
+
+    Scale shape: repartition on the shard column (one exchange —
+    shard count is chosen as rows/shard_size, so partitions are
+    uniform by construction) + sortWithinPartitions(global_idx); a
+    1000-executor cluster writes all shards concurrently, one task
+    per shard, no small-file explosion and no driver-side loop.
+    """
+
+    def __init__(self, path: str, order_col: str = "global_idx"):
+        self.path = path
+        self.order_col = order_col
+
+    def ensure(self, spark: SparkSession) -> None:
+        return None  # directory sinks materialize on first write
+
+    def append(self, df: DataFrame) -> None:
+        (
+            df.repartition("shard")
+            .sortWithinPartitions("shard", self.order_col)
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(self.path)
+        )
+
+
 class BucketedTableSink(TableSink):
     """Warehouse table BUCKETED (and sorted) by a join key — the
     storage-side answer to the repeated large×large joins of the

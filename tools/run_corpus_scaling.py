@@ -63,6 +63,13 @@ def run(cores: int, n_docs: int) -> dict:
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    # measure THIS BOX's scaling ceiling the same day as the run —
+    # host memory-bandwidth headroom varies drastically between VM
+    # placements (observed membw ceiling 0.625 on one host, 0.207 on
+    # another), and raw 8->32 efficiency is meaningless without it
+    from run_scaling import hardware_ceiling
+
+    hw = hardware_ceiling()
     r8 = run(8, n_docs)
     r32 = run(32, n_docs)
     ops = sorted(r8["timings"])
@@ -70,15 +77,21 @@ def main():
         "n_docs": r8["n_docs"],
         "n_pairs": r8.get("n_pairs"),
         "n_keepers": r8.get("n_keepers"),
+        **hw,
         "per_op": {},
     }
+    membw = hw["hardware_ceiling_membw_8_to_32"]
     for op in ops:
         t8, t32 = r8["timings"][op], r32["timings"][op]
+        eff = round(t8 / (4 * t32), 3) if t32 else None
         out["per_op"][op] = {
             "local8_sec": t8,
             "local32_sec": t32,
             "speedup": round(t8 / t32, 2) if t32 else None,
-            "efficiency_N_to_4N": round(t8 / (4 * t32), 3) if t32 else None,
+            "efficiency_N_to_4N": eff,
+            "eff_vs_membw_ceiling": (
+                round(eff / membw, 2) if eff and membw else None
+            ),
         }
     tot8 = sum(r8["timings"].values())
     tot32 = sum(r32["timings"].values())
