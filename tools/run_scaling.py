@@ -258,6 +258,14 @@ def main():
             merged = prev if "impl" not in prev else {prev["impl"]: prev}
         except Exception:
             merged = {}
+    # keep the previous host's entry when the measured ceiling moved
+    # (different VM placement): host noise must not overwrite good
+    # engine evidence — both snapshots stay, each self-calibrated
+    prev_entry = merged.get(impl)
+    if prev_entry is not None and prev_entry.get(
+        "hardware_ceiling_membw_8_to_32"
+    ) != payload.get("hardware_ceiling_membw_8_to_32"):
+        merged.setdefault(f"{impl}_prev_host", prev_entry)
     merged[impl] = payload
     with open(cache, "w") as f:
         json.dump(merged, f)
