@@ -710,6 +710,45 @@ def q_shuffle_index(spark, sf_dir):
     return shuffle_index(_docs(spark, sf_dir), shard_size=100)
 
 
+LANG_RATES = {"en": 1.0, "zh": 0.5, "de": 0.25}
+
+
+def q_lang_mixture(spark, sf_dir):
+    """The same mixture operator keyed on LANGUAGE instead of source
+    (operators/curation.py mixture_sample, group_col='lang')."""
+    from ci_log_processing_spark.operators.curation import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir), LANG_RATES, default_rate=0.75, group_col="lang"
+    )
+
+
+def q_quality_top_frac(spark, sf_dir):
+    """Calibrated per-source quality gate: keep the top 2/5 by score
+    (operators/curation.py quality_top_fraction)."""
+    from ci_log_processing_spark.operators.curation import (
+        quality_top_fraction,
+    )
+    from ci_log_processing_spark.operators.textstats import quality_scores
+
+    q = quality_scores(_docs(spark, sf_dir), keep_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    return quality_top_fraction(q, 2, 5)
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-source token-budget sampling in deterministic md5 order
+    (operators/curation.py token_budget_sample)."""
+    from ci_log_processing_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    return token_budget_sample(_docs(spark, sf_dir), 4000).select(
+        "doc_id", "source", "n_tok", "cum_tok"
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide repeated-line removal over planted boilerplate
     (operators/textstats.py line_dedup)."""
@@ -1368,6 +1407,9 @@ _VERIFY_FIRST = (
     "text_line_dedup",
     "cur_full_curation_v3",
     "dedup_keep_best",
+    "cur_lang_mixture",
+    "cur_quality_top_frac",
+    "cur_token_budget",
 )
 
 
@@ -1437,6 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_kmeans_fit": q_kmeans_fit,
             "dedup_semantic_cluster": q_semantic_cluster_dedup,
             "cur_mixture_sample": q_mixture_sample,
+            "cur_lang_mixture": q_lang_mixture,
+            "cur_quality_top_frac": q_quality_top_frac,
+            "cur_token_budget": q_token_budget,
             "cur_shuffle_index": q_shuffle_index,
             "text_line_dedup": q_line_dedup,
             "cur_decontaminate": q_decontaminate,
@@ -1546,6 +1591,11 @@ def oracle_sql() -> dict[str, str]:
             "cur_mixture_sample": od.q_mixture_sample(
                 MIX_RATES, default_rate=0.6
             ),
+            "cur_lang_mixture": od.q_mixture_sample(
+                LANG_RATES, default_rate=0.75, group_col="lang"
+            ),
+            "cur_quality_top_frac": od.q_quality_top_frac(2, 5),
+            "cur_token_budget": od.q_token_budget(4000),
             "cur_shuffle_index": od.q_shuffle_index(100),
             "text_line_dedup": od.q_line_dedup(3),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),

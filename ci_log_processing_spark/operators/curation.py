@@ -476,6 +476,82 @@ def shuffle_index(
     )
 
 
+def quality_top_fraction(
+    docs: DataFrame,
+    frac_num: int,
+    frac_den: int,
+    group_col: str = "source",
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Calibrated quality gate: keep the TOP frac (num/den) of each
+    group by score — how real pipelines apply a quality classifier
+    ("keep the best 40% per source"), vs a fixed absolute threshold
+    that over-prunes clean sources and under-prunes noisy ones.
+
+    The fraction is integer (num/den), and the cut rank is
+    ceil(frac * n) in pure integer math — engine-exact, so the
+    oracle reproduces the survivor set bit-for-bit (the
+    length_quantiles nearest-rank discipline).
+
+    One rank window + one count window on the same group key = ONE
+    hash exchange; ties break by id so the cut is deterministic.
+    """
+    if not (0 < frac_num <= frac_den):
+        raise ValueError("quality_top_fraction: need 0 < num <= den")
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_n = Window.partitionBy(group_col)
+    keep_rank = F.expr(f"({frac_num} * _n + {frac_den - 1}) div {frac_den}")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .filter(F.col("_rn") <= keep_rank)
+        .drop("_rn", "_n")
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix1",
+) -> DataFrame:
+    """Token-BUDGET sampling: admit documents per group, in
+    deterministic pseudo-random (md5, id) order, until the group's
+    cumulative token count reaches `budget_tokens` — the "give me
+    ~1B tokens per source" request a training-mix spec actually
+    makes (document-count rates don't control token mass when
+    length distributions differ across sources).
+
+    A document is admitted iff the running token sum INCLUDING it is
+    <= budget, plus the first overshooting document when nothing
+    fit before it is NOT admitted — exactly: cumulative sum over the
+    (md5, id) window <= budget. Deterministic, oracle-replayable.
+
+    One running-sum window on the group key = ONE hash exchange.
+    """
+    if budget_tokens < 0:
+        raise ValueError("token_budget_sample: budget must be >= 0")
+    rank_key = F.md5(
+        F.concat(F.lit(seed), F.col(id_col).cast("string")).cast("binary")
+    )
+    n_tok = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(rank_key, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.withColumn("n_tok", n_tok)
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= budget_tokens)
+    )
+
+
 def length_quantiles(
     docs: DataFrame,
     group_col: str = "source",

@@ -1192,6 +1192,7 @@ def q_mixture_sample(
     rates: dict[str, float],
     default_rate: float = 1.0,
     seed: str = "mix1",
+    group_col: str = "source",
 ) -> str:
     """mixture_sample twin (operators/curation.py): identical
     integer-threshold md5 draw — keep iff
@@ -1200,13 +1201,62 @@ def q_mixture_sample(
     cut = str(int(default_rate * 2**32))
     for src, r in rates.items():
         cut = (
-            f"CASE WHEN source = '{src}' THEN {int(r * 2**32)} "
+            f"CASE WHEN {group_col} = '{src}' THEN {int(r * 2**32)} "
             f"ELSE {cut} END"
         )
     return f"""
 SELECT doc_id, text, lang, source, n_chars, {h} AS u32
 FROM documents
 WHERE {h} < ({cut})
+"""
+
+
+def q_quality_top_frac(frac_num: int, frac_den: int) -> str:
+    """quality_top_fraction twin: same quality formula as q_quality,
+    same integer ceil cut rank per source."""
+    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+    round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
+      AS sr,
+    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+          greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS pr,
+    round(least(len({_TOKS}) / 64.0, 1.0), 6) AS ls
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+    round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
+      AS quality
+  FROM base
+),
+r AS (
+  SELECT doc_id, source, quality,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM q
+)
+SELECT doc_id, source, quality FROM r
+WHERE rn <= ({frac_num} * n + {frac_den - 1}) // {frac_den}
+"""
+
+
+def q_token_budget(budget: int, seed: str = "mix1") -> str:
+    """token_budget_sample twin: cumulative token sum per source in
+    (md5, id) order, admit while cum <= budget."""
+    key = f"md5('{seed}' || CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT doc_id, source,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+    CAST(sum(CAST(len({_TOKS}) AS BIGINT)) OVER (
+      PARTITION BY source ORDER BY {key}, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM documents
+)
+WHERE cum_tok <= {budget}
 """
 
 

@@ -190,3 +190,45 @@ def test_semantic_cluster_dedup_capped_subsplit(spark):
     assert 1 <= out["is_kept"].sum() <= 6
     kept = out[out["is_kept"]]["vec_id"]
     assert 0 in set(kept)  # the global lowest id always survives
+
+
+def test_quality_top_fraction_integer_cut(spark):
+    from ci_log_processing_spark.operators.curation import (
+        quality_top_fraction,
+    )
+
+    rows = [(i, "g", float(i)) for i in range(10)] + [
+        (100 + i, "h", float(i % 3)) for i in range(7)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = quality_top_fraction(docs, 2, 5).toPandas()
+    g = out[out["source"] == "g"]
+    # ceil(2/5 * 10) = 4 survivors: the four highest scores
+    assert sorted(g["doc_id"]) == [6, 7, 8, 9]
+    h = out[out["source"] == "h"]
+    # qualities are [0,1,2,0,1,2,0]; ceil(2/5 * 7) = 3 keeps both
+    # 2.0s and ONE 1.0 — the tie at 1.0 breaks by doc_id ascending
+    assert len(h) == 3
+    assert sorted(h["doc_id"]) == [101, 102, 105]
+    with pytest.raises(ValueError):
+        quality_top_fraction(docs, 0, 5)
+
+
+def test_token_budget_sample_running_sum(spark):
+    from ci_log_processing_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", "tok " * 9 + "tok") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    # every doc is 10 tokens; budget 45 admits exactly 4 docs
+    out = token_budget_sample(docs, 45).toPandas()
+    assert len(out) == 4
+    assert list(sorted(out["cum_tok"])) == [10, 20, 30, 40]
+    # admitted set is the md5-order prefix — rerun reproduces it
+    again = token_budget_sample(docs, 45).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    # zero budget admits nothing
+    assert token_budget_sample(docs, 0).count() == 0
