@@ -807,6 +807,43 @@ def q_stream_dedup(spark, sf_dir):
     return spark.createDataFrame(rows, "h string")
 
 
+def q_stream_ingest_curation(spark, sf_dir):
+    """Composed STREAMING ingest->curate->append pipeline
+    (streaming/ingest_curate.py): per micro-batch quality gate +
+    dedup against the persisted content-hash index. Input: the
+    documents plus exact copies (doc_id % 10 == 0, +1000000 ids)
+    across files; survivors must be the quality-passing docs with
+    the ORIGINAL (lowest) ids, each text exactly once — which is
+    what the batch-SQL oracle states."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.ingest_curate import (
+        run_ingest_curation,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ts = F.timestamp_seconds(
+        F.lit(1709287200) + (F.col("doc_id") % 3600)
+    ).alias("event_ts")
+    base = docs.select("doc_id", "text", ts)
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", ts
+    )
+    work = tempfile.mkdtemp(prefix="gate_singest_")
+    try:
+        in_dir = os.path.join(work, "in")
+        base.coalesce(1).write.parquet(in_dir)
+        dups.coalesce(1).write.mode("append").parquet(in_dir)
+        out = run_ingest_curation(
+            spark, in_dir, os.path.join(work, "out"), min_quality=0.45
+        )
+        rows = out.select("doc_id", "h", "quality").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, h string, quality double")
+
+
 def q_incremental_dedup(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import incremental_dedup
     from ci_log_processing_spark.sources.corpus import load_corpus
@@ -1410,6 +1447,7 @@ _VERIFY_FIRST = (
     "cur_lang_mixture",
     "cur_quality_top_frac",
     "cur_token_budget",
+    "stream_ingest_curation",
 )
 
 
@@ -1456,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_session_window"] = q_stream_session_window
     qs["stream_interval_join"] = q_stream_interval_join
     qs["stream_watermark_agg"] = q_stream_watermark_agg
+    qs["stream_ingest_curation"] = q_stream_ingest_curation
     qs.update(
         {
             "dedup_exact": q_dedup_exact,
@@ -1558,6 +1597,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT md5(text) AS h FROM documents GROUP BY 1"
     )
     sqls["stream_watermark_agg"] = oracle.q_stream_watermark_agg()
+    from ci_log_processing_spark.oracle_data import (
+        q_stream_ingest_curation as _qsic,
+    )
+
+    sqls["stream_ingest_curation"] = _qsic(0.45)
     from ci_log_processing_spark import oracle_data as od
 
     sqls.update(

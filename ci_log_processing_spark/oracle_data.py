@@ -1243,6 +1243,33 @@ WHERE rn <= ({frac_num} * n + {frac_den - 1}) // {frac_den}
 """
 
 
+def q_stream_ingest_curation(min_quality: float = 0.45) -> str:
+    """Streaming ingest-curation twin: the stream's quality gate +
+    content-hash dedup over (documents + planted copies at higher
+    ids) reduces to plain batch SQL — quality-passing docs, original
+    ids, one row per distinct text (doc texts are unique, so the
+    planted copy always loses to its lower-id original regardless of
+    micro-batch arrival order)."""
+    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
+      AS sr,
+    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+          greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS pr,
+    round(least(len({_TOKS}) / 64.0, 1.0), 6) AS ls
+  FROM documents
+)
+SELECT doc_id, md5(text) AS h,
+       round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
+         AS quality
+FROM base
+WHERE round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
+      >= {min_quality}
+"""
+
+
 def q_token_budget(budget: int, seed: str = "mix1") -> str:
     """token_budget_sample twin: cumulative token sum per source in
     (md5, id) order, admit while cum <= budget."""

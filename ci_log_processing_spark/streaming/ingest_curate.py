@@ -1,0 +1,104 @@
+"""Streaming ingest -> curate -> append: the composed micro-batch
+pipeline a training corpus actually runs at the lakehouse edge —
+every arriving batch is quality-gated, deduplicated against the
+PERSISTED content-hash index (not just in-stream state), and
+appended to the curated corpus together with its new hashes.
+
+Why foreachBatch and not dropDuplicatesWithinWatermark
+(streaming/dedup_stream.py): the watermark variant bounds state by
+evicting old keys, so a duplicate arriving after the horizon is
+re-admitted. A TRAINING corpus cannot re-admit — seen-once is
+forever — so the dedup key set must live on disk, not in the state
+store. foreachBatch gives each micro-batch a plain DataFrame to run
+the batch-tier operators on (quality_scores + incremental_dedup),
+with the streaming engine still providing source tracking, trigger
+scheduling, and checkpointed progress.
+
+Failure semantics, stated exactly: foreachBatch is at-least-once —
+a batch may replay after a crash mid-write. The content-hash
+anti-join makes the corpus append IDEMPOTENT at the document level
+(a replayed doc hashes into the now-present index and drops); the
+worst case is a benign duplicate hash row in the index, which the
+anti-join semantics tolerate (membership, not counts).
+
+Scale shape per batch: quality gate is per-row (zero shuffle);
+incremental_dedup is one intra-batch window + one anti-join whose
+build side is the index scan — ONE column (the 32-hex h) read off
+disk, broadcast while small, hash-joined on h at scale. Nothing
+corpus-sized is held in executor state between batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+DOC_STREAM_SCHEMA = "doc_id long, text string, event_ts timestamp"
+
+_INDEX_SCHEMA = StructType([StructField("h", StringType())])
+
+
+def _known_hashes(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The persisted content-hash index; empty on first batch. The
+    existence probe goes through the Hadoop FS API so it works on
+    object stores, not just local paths (and avoids the noisy
+    AnalysisException a read-then-catch would log)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(conf)
+    if fs.exists(path):
+        return spark.read.schema(_INDEX_SCHEMA).parquet(index_dir)
+    return spark.createDataFrame([], _INDEX_SCHEMA)
+
+
+def run_ingest_curation(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    min_quality: float = 0.30,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain `docs_dir` with an availableNow trigger; per batch:
+    quality-gate, dedup against <out>/index, append survivors to
+    <out>/corpus and their hashes to <out>/index. Returns the
+    curated corpus read back."""
+    from ..operators.dedup import incremental_dedup
+    from ..operators.textstats import quality_scores
+
+    corpus_dir = os.path.join(out_dir, "corpus")
+    index_dir = os.path.join(out_dir, "index")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        scored = quality_scores(
+            batch, keep_cols=("text", "event_ts")
+        ).filter(F.col("quality") >= min_quality)
+        fresh = incremental_dedup(
+            scored.select("doc_id", "text", "event_ts", "quality"),
+            _known_hashes(batch.sparkSession, index_dir),
+        )
+        # persist ONCE so corpus and index appends share the compute;
+        # released before the batch returns
+        fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(corpus_dir)
+            fresh.select("h").write.mode("append").parquet(index_dir)
+        finally:
+            fresh.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(corpus_dir)

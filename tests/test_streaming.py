@@ -268,3 +268,64 @@ def test_streaming_interval_join_bounds(spark, tmp_path):
         spark, l_dir, r_dir, str(tmp_path / "out"), lookback_sec=3600
     )
     assert sorted(r["cfg_state"] for r in out.collect()) == ["s_eq", "s_lo"]
+
+
+def test_streaming_ingest_curation(spark, tmp_path):
+    # two waves with CROSS-BATCH duplicates and a junk doc; the
+    # curated corpus must hold each surviving text exactly once and
+    # the junk (pure punctuation -> quality ~0.3*punct penalty) none
+    import datetime as dt
+
+    from ci_log_processing_spark.streaming.ingest_curate import (
+        run_ingest_curation,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    docs_dir = tmp_path / "in"
+    docs_dir.mkdir()
+    wave1 = [(1, good + " one", ts), (2, good + " two", ts), (3, "!!! ??? ***", ts)]
+    wave2 = [(10, good + " one", ts), (11, good + " three", ts), (12, good + " two", ts)]
+    for i, wave in enumerate((wave1, wave2)):
+        spark.createDataFrame(
+            wave, "doc_id long, text string, event_ts timestamp"
+        ).coalesce(1).write.parquet(str(docs_dir / f"wave{i}"))
+    # register both waves as separate FILES under one stream dir
+    import shutil
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    n = 0
+    for i in (0, 1):
+        for f in sorted((docs_dir / f"wave{i}").glob("*.parquet")):
+            shutil.copy(f, stream_dir / f"w{i}_{n}.parquet")
+            n += 1
+    out = run_ingest_curation(
+        spark, str(stream_dir), str(tmp_path / "out"), min_quality=0.30
+    )
+    pdf = out.toPandas().sort_values("doc_id")
+    # one row per distinct surviving text; first arrival wins
+    assert sorted(pdf["text"]) == sorted(
+        [good + " one", good + " two", good + " three"]
+    )
+    assert set(pdf["doc_id"]) == {1, 2, 11}
+    # the hash index holds exactly the surviving hashes
+    idx = spark.read.parquet(str(tmp_path / "out" / "index")).toPandas()
+    assert sorted(idx["h"]) == sorted(pdf["h"])
+    # replaying the same input against the existing index admits
+    # nothing new (content-addressed idempotence)
+    out2 = run_ingest_curation(
+        spark,
+        str(stream_dir),
+        str(tmp_path / "out2"),
+        min_quality=0.30,
+    )
+    assert out2.count() == 3
+    from ci_log_processing_spark.operators.dedup import incremental_dedup
+
+    replay = spark.read.parquet(str(stream_dir))
+    survivors = incremental_dedup(
+        replay.select("doc_id", "text", "event_ts"),
+        spark.read.parquet(str(tmp_path / "out" / "index")),
+    )
+    assert survivors.filter("text like 'the quick%'").count() == 0
