@@ -221,6 +221,18 @@ def main():
         ),
     )
 
+    # the 8-stage composed curation pipeline (clean -> quality ->
+    # dedup -> model gate -> mixture -> cap -> pack -> shuffle)
+    import __spark_entry__ as entrymod
+
+    bench(
+        "cur_full_curation_v3",
+        lambda: checksum(
+            entrymod.q_full_curation_v3(spark, sf_dir),
+            ["source", "doc_id", "bin_idx", "global_idx", "shard"],
+        ),
+    )
+
     total = round(sum(timings.values()), 3)
     # the round-1 suite was these six queries; keep their subtotal so
     # cross-round comparisons aren't skewed by the suite growing

@@ -94,3 +94,77 @@ def test_pii_counts_match_python_re(spark, texts):
         for stem, rx, _ in PII_RULES:
             expect = len(re.findall(rx, t))
             assert got[i][f"n_{stem}"] == expect, (t, stem)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    shard=st.integers(min_value=1, max_value=64),
+    seed=st.sampled_from(["shuf1", "shuf2", "epoch3"]),
+)
+def test_shuffle_index_equals_global_window(spark, n, shard, seed):
+    """The two-level bucket rank must equal the single-partition
+    global window rank for ANY size, shard width, and seed."""
+    import hashlib
+
+    from ci_log_processing_spark.operators.curation import shuffle_index
+    from ci_log_processing_spark.operators.dedup import release_persisted
+
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    out = {
+        r["doc_id"]: (r["global_idx"], r["shard"])
+        for r in shuffle_index(docs, shard_size=shard, seed=seed).collect()
+    }
+    release_persisted()
+    ref = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(f"{seed}{i}".encode()).hexdigest(), i),
+    )
+    assert len(out) == n
+    for rank, doc in enumerate(ref):
+        assert out[doc] == (rank, rank // shard)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=30
+    ),
+    budget=st.integers(min_value=0, max_value=300),
+)
+def test_token_budget_prefix_property(spark, lens, budget):
+    """The admitted set is exactly the longest md5-order prefix whose
+    cumulative token count fits the budget — and is monotone in the
+    budget."""
+    import hashlib
+
+    from ci_log_processing_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "s", " ".join(["w"] * ln)) for i, ln in enumerate(lens)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = set(
+        r["doc_id"] for r in token_budget_sample(docs, budget).collect()
+    )
+    order = sorted(
+        range(len(lens)),
+        key=lambda i: (hashlib.md5(f"mix1{i}".encode()).hexdigest(), i),
+    )
+    expect, cum = set(), 0
+    for i in order:
+        cum += lens[i]
+        if cum > budget:
+            break
+        expect.add(i)
+    assert got == expect
