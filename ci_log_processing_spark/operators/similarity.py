@@ -313,6 +313,42 @@ def _sqdist_to_lit(vec: Column, cent: list[float]) -> Column:
     )
 
 
+def _argmin_centroid(vec: Column, cents: list[list[float]]) -> Column:
+    """struct(d, b) of the nearest centroid: ONE nested k x dim
+    literal + a transform over the centroid index, instead of k
+    separate zip_with trees. Bit-identical output (same fold order,
+    same round-5, same index tie-break via array_min on (d, b)
+    structs) but ~4x fewer expression nodes — measured 17 s -> 5.5 s
+    on the first (analysis-cold) run of an 8x64 assignment, which is
+    the case kmeans_fit always pays: every iteration's centroids are
+    new literals, so every iteration's plan is analysis-cold."""
+    cl = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+
+    def sq(c: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            5,
+        )
+
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda j: F.struct(
+                sq(F.element_at(cl, j + 1)).alias("d"), j.alias("b")
+            ),
+        )
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -359,17 +395,7 @@ def kmeans_fit(
     cents = [list(r[vec_col]) for r in seeds]
 
     def assign(df: DataFrame) -> DataFrame:
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdist_to_lit(F.col(vec_col), c).alias("d"),
-                        F.lit(j).alias("b"),
-                    )
-                    for j, c in enumerate(cents)
-                ]
-            )
-        )
+        best = _argmin_centroid(F.col(vec_col), cents)
         return df.select(
             id_col,
             vec_col,
