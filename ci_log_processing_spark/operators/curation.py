@@ -14,6 +14,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import tokens_col
+
+
+def _n_tokens(text_col: str) -> Column:
+    """Whitespace token count — ONE definition (dedup.tokens_col) so
+    the tokenization can never drift between the curation operators
+    and their DuckDB twins' shared `_TOKS`."""
+    return F.size(tokens_col(F.col(text_col)))
+
+
+def _seeded_key(seed: str, id_col: str) -> Column:
+    """The deterministic pseudo-random order key md5(seed || id),
+    shared by shuffle_index and token_budget_sample (and mirrored by
+    every oracle's md5('seed' || CAST(id AS VARCHAR)))."""
+    return F.md5(
+        F.concat(F.lit(seed), F.col(id_col).cast("string")).cast("binary")
+    )
+
 
 def decontaminate(
     docs: DataFrame,
@@ -306,7 +324,7 @@ def token_length_histogram(
     (bucket_lo, n_docs, total_tokens). Scan + one partial-aggregated
     shuffle on ~(max_len / bucket_size) groups — the canonical
     "what does my corpus look like" statistic."""
-    n_tok = F.size(F.split(F.col(text_col), " "))
+    n_tok = _n_tokens(text_col)
     lo = (F.floor(n_tok / bucket_size) * bucket_size).cast("long")
     return (
         docs.select(n_tok.alias("n"), lo.alias("bucket_lo"))
@@ -432,9 +450,7 @@ def shuffle_index(
     """
     if shard_size < 1:
         raise ValueError("shuffle_index: shard_size must be >= 1")
-    key = F.md5(
-        F.concat(F.lit(seed), F.col(id_col).cast("string")).cast("binary")
-    )
+    key = _seeded_key(seed, id_col)
     keyed = docs.select(
         id_col,
         *payload_cols,
@@ -536,10 +552,8 @@ def token_budget_sample(
     """
     if budget_tokens < 0:
         raise ValueError("token_budget_sample: budget must be >= 0")
-    rank_key = F.md5(
-        F.concat(F.lit(seed), F.col(id_col).cast("string")).cast("binary")
-    )
-    n_tok = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    rank_key = _seeded_key(seed, id_col)
+    n_tok = _n_tokens(text_col).cast("long")
     w = (
         Window.partitionBy(group_col)
         .orderBy(rank_key, id_col)
@@ -570,7 +584,7 @@ def length_quantiles(
     One window + one aggregate on the same group key = ONE hash
     exchange (the aggregate reuses the window's partitioning).
     """
-    n_tok = F.size(F.split(F.lower(F.col(text_col)), " "))
+    n_tok = _n_tokens(text_col)
     w = Window.partitionBy(group_col).orderBy("_len", "doc_id")
     ranked = docs.select(
         group_col, "doc_id", n_tok.alias("_len")

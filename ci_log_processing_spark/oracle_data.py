@@ -1246,10 +1246,12 @@ WHERE rn <= ({frac_num} * n + {frac_den - 1}) // {frac_den}
 def q_stream_ingest_curation(min_quality: float = 0.45) -> str:
     """Streaming ingest-curation twin: the stream's quality gate +
     content-hash dedup over (documents + planted copies at higher
-    ids) reduces to plain batch SQL — quality-passing docs, original
-    ids, one row per distinct text (doc texts are unique, so the
-    planted copy always loses to its lower-id original regardless of
-    micro-batch arrival order)."""
+    ids) reduces to plain batch SQL — one row per distinct
+    quality-passing text. Only the order-INDEPENDENT columns
+    (h, quality) are stated: which copy's doc_id survives depends on
+    micro-batch arrival order (file-source mtime ordering is not
+    guaranteed for same-millisecond files), and both copies share
+    h and quality."""
     stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
     return f"""
 WITH base AS (
@@ -1261,7 +1263,7 @@ WITH base AS (
     round(least(len({_TOKS}) / 64.0, 1.0), 6) AS ls
   FROM documents
 )
-SELECT doc_id, md5(text) AS h,
+SELECT md5(text) AS h,
        round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
          AS quality
 FROM base

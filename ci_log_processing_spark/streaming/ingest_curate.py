@@ -15,11 +15,19 @@ with the streaming engine still providing source tracking, trigger
 scheduling, and checkpointed progress.
 
 Failure semantics, stated exactly: foreachBatch is at-least-once —
-a batch may replay after a crash mid-write. The content-hash
-anti-join makes the corpus append IDEMPOTENT at the document level
-(a replayed doc hashes into the now-present index and drops); the
-worst case is a benign duplicate hash row in the index, which the
-anti-join semantics tolerate (membership, not counts).
+a batch may replay after a crash mid-write. Two independent appends
+(corpus, then index) would break under replay in BOTH orders: crash
+between them re-admits the batch's docs (duplicate corpus rows) or
+loses them (hashes committed, docs absent). So each batch writes to
+BATCH-SCOPED directories in OVERWRITE mode (`b<batch_id>/` under
+corpus and index): the file source replays a failed batch with the
+identical file set (its offsets are checkpointed before _process
+runs), the anti-join against the index — which by construction
+lacks exactly that batch's hashes — re-derives the identical
+survivor set, and the overwrite replaces any partial output instead
+of appending beside it. Batch-level idempotence from plain parquet,
+no transactional table needed (Iceberg/Delta would collapse this to
+a snapshot commit).
 
 Scale shape per batch: quality gate is per-row (zero shuffle);
 incremental_dedup is one intra-batch window + one anti-join whose
@@ -51,7 +59,11 @@ def _known_hashes(spark: SparkSession, index_dir: str) -> DataFrame:
     path = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = path.getFileSystem(conf)
     if fs.exists(path):
-        return spark.read.schema(_INDEX_SCHEMA).parquet(index_dir)
+        return (
+            spark.read.schema(_INDEX_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+        )
     return spark.createDataFrame([], _INDEX_SCHEMA)
 
 
@@ -80,12 +92,18 @@ def run_ingest_curation(
             scored.select("doc_id", "text", "event_ts", "quality"),
             _known_hashes(batch.sparkSession, index_dir),
         )
-        # persist ONCE so corpus and index appends share the compute;
-        # released before the batch returns
+        # persist ONCE so corpus and index writes share the compute;
+        # released before the batch returns. Batch-scoped OVERWRITE
+        # dirs make a replayed batch replace its own partial output
+        # (see module docstring) instead of appending duplicates.
         fresh.persist()
         try:
-            fresh.write.mode("append").parquet(corpus_dir)
-            fresh.select("h").write.mode("append").parquet(index_dir)
+            fresh.write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, f"b{batch_id}")
+            )
+            fresh.select("h").write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"b{batch_id}")
+            )
         finally:
             fresh.unpersist()
 
@@ -101,4 +119,7 @@ def run_ingest_curation(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(corpus_dir)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpus_dir)
+    )

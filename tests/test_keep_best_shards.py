@@ -40,11 +40,15 @@ def test_keep_best_prefers_quality_over_min_id(spark):
     assert bool(out.loc[0, "is_best"])
     assert not out.loc[1, "is_best"] and not out.loc[2, "is_best"]
     assert out.loc[0, "component"] == out.loc[1, "component"]
-    # near-dup cluster: higher-quality doc 11 beats lower-id doc 10
-    if out.loc[10, "component"] == out.loc[11, "component"]:
-        assert bool(out.loc[11, "is_best"])
-        assert not out.loc[10, "is_best"]
-        assert out.loc[11, "quality"] > out.loc[10, "quality"]
+    # near-dup cluster: the pair MUST link (identical 24-token prefix
+    # at threshold 0.2 — if this stops holding the test must fail,
+    # not silently skip the only assertion that distinguishes
+    # keep-best from min-id), and higher-quality doc 11 beats
+    # lower-id doc 10
+    assert out.loc[10, "component"] == out.loc[11, "component"]
+    assert bool(out.loc[11, "is_best"])
+    assert not out.loc[10, "is_best"]
+    assert out.loc[11, "quality"] > out.loc[10, "quality"]
     # singleton is its own best
     assert bool(out.loc[20, "is_best"])
     # exactly one best per component

@@ -49,7 +49,10 @@ def test_mixture_sample_rejects_bad_rate(docs):
 
 
 def test_shuffle_index_is_dense_global_permutation(docs):
+    from ci_log_processing_spark.operators.dedup import release_persisted
+
     out = shuffle_index(docs, shard_size=32).toPandas()
+    release_persisted()
     assert len(out) == 200
     assert sorted(out["global_idx"]) == list(range(200))
     # the two-level rank must equal the single-window global rank
@@ -72,12 +75,26 @@ def test_shuffle_index_is_dense_global_permutation(docs):
 
 
 def test_shuffle_index_no_global_window(docs, spark):
-    # the plan must never sort/window the data in ONE partition: every
-    # data-sized window is partitioned on the bucket key
-    plan = shuffle_index(docs, shard_size=32)._jdf.queryExecution().executedPlan().toString()
-    # the only single-partition exchange allowed is the tiny 256-row
-    # bucket-offset cumsum
-    assert "partitionBy [_bkt" in plan.replace("#", " #") or "_bkt" in plan
+    # the plan must never sort/window the DATA in one partition: the
+    # only SinglePartition exchange allowed is the <=256-row
+    # bucket-offset cumsum, and the data window is hash-partitioned
+    # on the bucket key
+    from ci_log_processing_spark.operators.dedup import release_persisted
+
+    release_persisted()  # hermetic: drop any cache an earlier test left
+    plan = (
+        shuffle_index(docs, shard_size=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_persisted()
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Exchange hashpartitioning(_bkt" in plan, plan
+    # the single-partition side carries only the bucket-count rows
+    # (grep its input columns: _bkt + the count, never _key/doc_id)
+    single = plan.split("Exchange SinglePartition")[1]
+    assert "_key" not in single.split("Exchange")[0]
 
 
 def test_line_dedup_removes_hot_lines_in_order(spark):

@@ -308,9 +308,19 @@ def test_streaming_ingest_curation(spark, tmp_path):
     assert sorted(pdf["text"]) == sorted(
         [good + " one", good + " two", good + " three"]
     )
-    assert set(pdf["doc_id"]) == {1, 2, 11}
+    # WHICH copy of each duplicate survives depends on micro-batch
+    # arrival order (file mtime ordering is not guaranteed for files
+    # copied in the same millisecond) — accept either, but exactly
+    # one per text
+    ids = set(pdf["doc_id"])
+    assert len(ids) == 3
+    assert ids & {1, 10} and ids & {2, 12} and 11 in ids
     # the hash index holds exactly the surviving hashes
-    idx = spark.read.parquet(str(tmp_path / "out" / "index")).toPandas()
+    idx = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "out" / "index"))
+        .toPandas()
+    )
     assert sorted(idx["h"]) == sorted(pdf["h"])
     # replaying the same input against the existing index admits
     # nothing new (content-addressed idempotence)
@@ -326,6 +336,8 @@ def test_streaming_ingest_curation(spark, tmp_path):
     replay = spark.read.parquet(str(stream_dir))
     survivors = incremental_dedup(
         replay.select("doc_id", "text", "event_ts"),
-        spark.read.parquet(str(tmp_path / "out" / "index")),
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            str(tmp_path / "out" / "index")
+        ),
     )
     assert survivors.filter("text like 'the quick%'").count() == 0

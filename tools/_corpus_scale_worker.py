@@ -163,7 +163,6 @@ def main():
             return r
 
         t("tfidf", _tfidf, warmup=True)
-        from ci_log_processing_spark.operators import dedup as _d2
 
         def _shuffle_index():
             r = (
@@ -171,7 +170,7 @@ def main():
                 .select(F.bit_xor(F.xxhash64("doc_id", "global_idx")))
                 .collect()
             )
-            _d2.release_persisted()  # free the ranked cache per run
+            _dedup.release_persisted()  # free the ranked cache per run
             return r
 
         t("shuffle_index", _shuffle_index, warmup=True)
