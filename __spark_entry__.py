@@ -931,6 +931,19 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(attach_lines(_docs(spark, sf_dir)))
 
 
+def q_repetition_arrow(spark, sf_dir):
+    """Arrow-batched mapInPandas variant of repetition_stats — same
+    output, measured ~6x less per-core compute than the Catalyst
+    higher-order fold (BASELINE.md repetition study); verified here
+    against the same oracle SQL as text_repetition."""
+    from ci_log_processing_spark.operators.textstats import (
+        attach_lines,
+        repetition_stats_arrow,
+    )
+
+    return repetition_stats_arrow(attach_lines(_docs(spark, sf_dir)))
+
+
 def q_pack_sequences(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import pack_sequences
 
@@ -1217,6 +1230,16 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_tfidf_pruned(spark, sf_dir):
+    """tfidf with the Zipf-head vocabulary cut (max_df_frac=0.5):
+    terms in more than half the corpus leave BOTH sides of the
+    tf ⋈ df join before it runs — the web-scale prune, oracle in
+    lockstep."""
+    from ci_log_processing_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3, max_df_frac=0.5)
+
+
 def q_lang_id(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import lang_id
 
@@ -1408,49 +1431,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_agg_hourly(spark, "/root/testdata/sf0.001")
 
 
-# Queries with no driver CORRECTNESS row through round 2 (the r2 driver
-# recorded 50 of 62) — ordered first so a truncating driver run reaches
-# them before the long-since-green majority.
+# Rotation for round 4 (the driver checks 50 queries per round): these
+# 38 queries' freshest driver CORRECTNESS row is round 2 (the set
+# CORRECTNESS_r02 − CORRECTNESS_r03) — ordered first so every one of
+# the 88 gate queries has a driver row dated r3 or r4.
 _VERIFY_FIRST = (
-    "text_c4_clean",
-    "text_token_counts",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "mm_image_features",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "cur_full_curation",
-    "src_jsonl_quarantine",
-    "stream_watermark_agg",
-    "stream_session_window",
-    "stream_interval_join",
-    "sim_kmeans_fit",
-    "cur_full_curation_v2",
-    "dedup_simhash_pairs_capped",
-    # round-3 additions
-    "op_asof_state",
-    "op_range_join_incidents",
-    "text_model_quality",
-    "cur_source_caps",
-    "cur_length_quantiles",
-    "pipe_agg_rollup",
-    "pipe_pivot_severity",
-    "pipe_session_window",
-    "pipe_sliding_window",
-    "text_tfidf",
-    "dedup_semantic_cluster",
-    "cur_mixture_sample",
-    "cur_shuffle_index",
-    "text_line_dedup",
-    "cur_full_curation_v3",
-    "dedup_keep_best",
-    "cur_lang_mixture",
-    "cur_quality_top_frac",
-    "cur_token_budget",
-    "stream_ingest_curation",
+    # round-4 additions (never had a driver row)
+    "text_repetition_arrow",
+    "text_tfidf_pruned",
+    "cur_chunk_documents",
+    "cur_decontaminate",
+    "cur_overlap_decontaminate",
+    "cur_pack_sequences",
+    "cur_stratified_downsample",
+    "cur_token_histogram",
+    "cur_top_ngrams",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_capped",
+    "dedup_exact",
+    "dedup_exact_apply",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_apply",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_substring_spans",
+    "pipe_file_tags",
+    "pipe_iso_format",
+    "pipe_meta_normalize",
+    "pipe_multiline",
+    "pipe_perf_flatten",
+    "pipe_sessionize",
+    "pipe_sink_agent_turns",
+    "pipe_sink_drop_queue",
+    "pipe_sink_errors",
+    "pipe_sink_tool_calls",
+    "pipe_subunit_binary",
+    "pipe_subunit_durations",
+    "sim_ann_brute_force",
+    "sim_ann_bucketed",
+    "sim_ann_ivf_multiprobe",
+    "stream_dedup_exact",
+    "stream_follow_route",
+    "stream_session_evictions",
 )
 
 
@@ -1543,9 +1569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
             "text_repetition": q_repetition,
+            "text_repetition_arrow": q_repetition_arrow,
             "text_quality": q_quality,
             "text_model_quality": q_model_quality,
             "text_tfidf": q_tfidf,
+            "text_tfidf_pruned": q_tfidf_pruned,
             "text_lang_id": q_lang_id,
             "text_fingerprint": q_fingerprint,
             "mm_image_features": q_mm_image_features,
@@ -1553,6 +1581,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_audio_chunks": q_mm_audio_chunks,
         }
     )
+
+    def _release_then(fn):
+        # Several operators persist() intermediates referenced by
+        # their returned plan (registered in dedup._PERSIST_REGISTRY).
+        # The driver runs all gate queries in ONE session; releasing
+        # the PREVIOUS query's persists at the start of the next
+        # (it has been fully consumed by then) keeps a 50-query run
+        # from accumulating cached DataFrames. Unpersisted plans
+        # recompute, so this is memory hygiene, never a wrong answer.
+        def wrapped(spark, sf_dir):
+            from ci_log_processing_spark.operators.dedup import (
+                release_persisted,
+            )
+
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", "gate_query")
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
+    qs = {k: _release_then(v) for k, v in qs.items()}
     return _never_verified_first(qs)
 
 
@@ -1678,9 +1728,11 @@ def oracle_sql() -> dict[str, str]:
             "text_token_counts": od.q_token_counts(),
             "text_pii_scrub": od.q_pii_scrub(),
             "text_repetition": od.q_repetition(),
+            "text_repetition_arrow": od.q_repetition(),
             "text_quality": od.q_quality(),
             "text_model_quality": od.q_model_quality(),
             "text_tfidf": od.q_tfidf_top_terms(3),
+            "text_tfidf_pruned": od.q_tfidf_top_terms(3, max_df_frac=0.5),
             "text_lang_id": od.q_lang_id(),
             "text_fingerprint": od.q_fingerprint(),
             "mm_image_features": MM_IMAGE_ORACLE,

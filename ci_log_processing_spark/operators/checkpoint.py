@@ -15,6 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _fs_rename(fs, src, dst) -> bool:
+    """Single rename seam — every rename in the expiry swap goes
+    through here so crash-injection tests can kill the process (by
+    raising) between any rename pair and assert recovery."""
+    return fs.rename(src, dst)
+
+
 def read_checkpoint(spark: SparkSession, ckpt_dir: str) -> DataFrame | None:
     """None when no manifest exists yet.
 
@@ -25,12 +32,25 @@ def read_checkpoint(spark: SparkSession, ckpt_dir: str) -> DataFrame | None:
     no-op — the same remote-FS trap expire_checkpoint's boolean
     checks guard against. The parquet-read fallback still catches a
     dir that exists but holds no readable footer (e.g. a run killed
-    mid-first-write)."""
+    mid-first-write).
+
+    Crash-window recovery: expire_checkpoint's swap renames the live
+    manifest to .expire_old before moving the rewritten one in. A
+    process killed between those renames leaves ckpt_dir ABSENT with
+    the complete pre-expiry manifest at .expire_old — without this
+    fallback the next run would read None, skip the anti-join, and
+    duplicate sink output. Restoring (rename old -> ckpt_dir) here
+    makes the swap recoverable at every kill point; the only cost is
+    that the expiry is redone (keep-set filtering is idempotent)."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(ckpt_dir)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
-        return None
+        old = jvm.org.apache.hadoop.fs.Path(
+            ckpt_dir.rstrip("/") + ".expire_old"
+        )
+        if not (fs.exists(old) and _fs_rename(fs, old, path)):
+            return None
     try:
         return spark.read.parquet(ckpt_dir)
     except Exception:
@@ -96,14 +116,14 @@ def expire_checkpoint(
     # sink output under the at-least-once contract.
     if fs.exists(old) and not fs.delete(old, True):
         raise IOError(f"checkpoint expiry: could not clear {old}")
-    if not fs.rename(path, old):
+    if not _fs_rename(fs, path, old):
         raise IOError(
             f"checkpoint expiry: rename {ckpt_dir} -> {old} failed; "
             f"manifest untouched"
         )
-    if not fs.rename(tmp, path):
+    if not _fs_rename(fs, tmp, path):
         # restore the original so the next run still has a manifest
-        fs.rename(old, path)
+        _fs_rename(fs, old, path)
         raise IOError(
             f"checkpoint expiry: rename {tmp_dir} -> {ckpt_dir} failed; "
             f"original manifest restored"

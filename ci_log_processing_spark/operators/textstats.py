@@ -317,6 +317,183 @@ def repetition_stats(docs: DataFrame, text_col: str = "ltext") -> DataFrame:
     )
 
 
+def repetition_stats_exploded(
+    docs: DataFrame, text_col: str = "ltext"
+) -> DataFrame:
+    """repetition_stats re-expressed in the hashed partial-agg shape
+    line_dedup uses, as the A/B alternative to the per-row
+    sort+fold: posexplode lines/bigrams, count with map-side partial
+    aggregation (a doc's rows stay in one input partition, so the
+    partial agg collapses each doc's duplicates before the
+    exchange), then one doc-keyed agg. Identical output schema and
+    values to repetition_stats — equality is pytest-asserted and the
+    winner is chosen by measurement (see BASELINE.md repetition
+    study).
+
+    Shape: two partial-agg exchanges (doc+line, doc+bigram) + one
+    doc-keyed join, versus the fold version's ZERO shuffles. The
+    trade: the fold pays per-row array_sort allocation inside
+    interpreted higher-order exprs (membw-bound); this pays shuffle
+    bytes but stays in hash-agg codegen.
+    """
+    split_l = F.split(F.col(text_col), "\n")
+    lines = docs.select(
+        "doc_id", F.posexplode(split_l).alias("pos", "line")
+    )
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("_n_lines"),
+            F.count(F.lit(1)).alias("_n_distinct"),
+            F.sum(
+                F.when(
+                    F.col("c") > 1, F.col("c") * F.length("line")
+                ).otherwise(F.lit(0))
+            ).alias("_dup_chars"),
+            F.sum(F.col("c") * F.length("line")).alias("_total_chars"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    bg = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    bgx = docs.select(
+        "doc_id", F.size(toks).alias("_n_toks"), F.explode(bg).alias("b")
+    )
+    # min over struct(-count, a, b) == max count with the same
+    # lexicographically-smallest-bigram tie-break the fold's sorted
+    # first-run-at-max rule produces
+    bg_best = (
+        bgx.groupBy("doc_id", "_n_toks", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "_n_toks")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("neg"),
+                    F.col("b.a").alias("a"),
+                    F.col("b.b").alias("b2"),
+                )
+            ).alias("w")
+        )
+    )
+    w = F.col("w")
+    nl = F.col("_n_lines")
+    return (
+        line_stats.join(bg_best, "doc_id", "left")
+        .select(
+            "doc_id",
+            nl.cast("int").alias("n_lines"),
+            F.round(
+                (nl - F.col("_n_distinct")) / nl.cast("double"), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.col("_dup_chars")
+                / F.greatest(F.col("_total_chars"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.when(
+                w.isNotNull(), F.concat(w["a"], F.lit(" "), w["b2"])
+            ).alias("top_bigram"),
+            F.coalesce(
+                F.round(
+                    (-w["neg"]) * F.lit(2.0) / F.col("_n_toks").cast("double"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_arrow(
+    docs: DataFrame, text_col: str = "ltext"
+) -> DataFrame:
+    """repetition_stats as one Arrow-batched mapInPandas pass: a
+    Counter per doc replaces the per-row array_sort+fold. Zero
+    shuffles like the fold version, but the per-doc work runs in
+    Python dict hashing instead of interpreted Catalyst higher-order
+    exprs — the A/B candidate that tests whether the fold's
+    allocation pressure, not the scan, is the bound. Rounding uses
+    Decimal HALF_UP on repr(x) to match Spark's BigDecimal.valueOf
+    semantics exactly (pytest-asserted equal to repetition_stats).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_lines", IntegerType()),
+            StructField("dup_line_frac", DoubleType()),
+            StructField("dup_line_char_frac", DoubleType()),
+            StructField("top_bigram", StringType()),
+            StructField("top_bigram_frac", DoubleType()),
+        ]
+    )
+
+    def _batches(it):
+        import decimal
+        from collections import Counter
+
+        import pandas as pd
+
+        def r6(x: float) -> float:
+            return float(
+                decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+
+        for pdf in it:
+            out = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                lns = txt.split("\n")
+                n = len(lns)
+                cnt = Counter(lns)
+                dup_chars = sum(
+                    c * len(ln) for ln, c in cnt.items() if c > 1
+                )
+                total_chars = sum(len(ln) for ln in lns)
+                toks = txt.lower().split(" ")
+                if len(toks) >= 2:
+                    bgc = Counter(zip(toks, toks[1:]))
+                    best = max(bgc.values())
+                    a, b = min(p for p, c in bgc.items() if c == best)
+                    top = a + " " + b
+                    frac = r6(best * 2.0 / len(toks))
+                else:
+                    top, frac = None, 0.0
+                out.append(
+                    (
+                        did,
+                        n,
+                        r6((n - len(cnt)) / n),
+                        r6(dup_chars / max(total_chars, 1)),
+                        top,
+                        frac,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in out_schema.fields]
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _batches, out_schema
+    )
+
+
 C4_BLOCKLIST = ["lorem ipsum", "javascript", "{"]
 
 
@@ -401,6 +578,7 @@ def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,
     text_col: str = "text",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k salient terms per document — the corpus-keyword /
     topic-tagging pass curation pipelines run after cleaning.
@@ -425,11 +603,22 @@ def tfidf_top_terms(
     dedup.release_persisted() after consuming. N rides the plan as a
     broadcast 1-row count aggregate (no eager .count() action — the
     function stays lazy and costs no extra corpus scan).
+
+    `max_df_frac` is the web-scale vocabulary prune: drop every term
+    whose document frequency exceeds max_df_frac * N BEFORE the
+    tf ⋈ df join. The Zipf head (stopwords and boilerplate tokens,
+    by far the largest share of tf ROWS since they appear in most
+    docs) leaves the join on both sides, shrinking the data-sized
+    join input by the head's row mass. This is a semantic cut —
+    head terms can no longer be ranked — so it is opt-in and the
+    oracle twin (oracle_data.q_tfidf) takes the identical cut.
     """
     from .dedup import _register_persist
 
     if k < 1:
         raise ValueError("tfidf_top_terms: k must be >= 1")
+    if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+        raise ValueError("tfidf_top_terms: max_df_frac must be in (0, 1]")
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
@@ -438,6 +627,18 @@ def tfidf_top_terms(
         terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    if max_df_frac is not None:
+        # vocab-sized filter against the lazy 1-row N broadcast; the
+        # inner tf ⋈ dfreq join below then drops the head terms' tf
+        # rows too — the join side shrinks on BOTH inputs
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("df_docs")
+                <= (F.lit(max_df_frac) * F.col("_n_docs"))
+            )
+            .drop("_n_docs")
+        )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df_docs"), F.asc("term")
     )

@@ -43,6 +43,14 @@ _SHINGLES = (
 _H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
+def _sql_str(s: str) -> str:
+    """Format a python string as a SQL string literal, doubling
+    single quotes — caller-supplied keys (source names, langs) must
+    not be able to break the oracle query the operator side handles
+    fine."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def q_dedup_exact() -> str:
     return f"""
 WITH corpus AS ({CORPUS_SQL})
@@ -840,7 +848,7 @@ mq AS (
         cut = str(int(mixture_default * 2**32))
         for src, r in mixture.items():
             cut = (
-                f"CASE WHEN source = '{src}' THEN {int(r * 2**32)} "
+                f"CASE WHEN source = {_sql_str(src)} THEN {int(r * 2**32)} "
                 f"ELSE {cut} END"
             )
         extra_ctes += f"""
@@ -1006,11 +1014,21 @@ FROM documents
 """
 
 
-def q_tfidf_top_terms(k: int) -> str:
+def q_tfidf_top_terms(k: int, max_df_frac: float | None = None) -> str:
     """tfidf_top_terms twin (operators/textstats.py): same integer
     (tf DESC, df ASC, term ASC) ranking; the float tfidf column is
     recomputed independently (ln over doubles — value-compared at
-    the gate's 6-decimal normalization, never used for ordering)."""
+    the gate's 6-decimal normalization, never used for ordering).
+    max_df_frac applies the IDENTICAL Zipf-head vocabulary cut the
+    operator takes (df_docs <= frac * N) before the tf ⋈ df join."""
+    df_cut = (
+        ""
+        if max_df_frac is None
+        else (
+            f" HAVING count(*) <= {max_df_frac!r}"
+            " * (SELECT count(*) FROM documents)"
+        )
+    )
     return f"""
 WITH terms AS (
   SELECT doc_id, term FROM (
@@ -1021,7 +1039,7 @@ tf AS (
   SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
 ),
 dfr AS (
-  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1{df_cut}
 ),
 n AS (SELECT count(*) AS n_docs FROM documents),
 ranked AS (
@@ -1164,7 +1182,7 @@ cent_{i} AS (
 
 
 def q_semantic_cluster_dedup(
-    k: int = 8, n_iter: int = 2, threshold: float = 0.30
+    k: int = 8, n_iter: int = 2, threshold: float = 0.95
 ) -> str:
     """semantic_cluster_dedup twin (operators/similarity.py): the
     same unrolled k-medians assignment, then a vector is kept iff no
@@ -1201,7 +1219,7 @@ def q_mixture_sample(
     cut = str(int(default_rate * 2**32))
     for src, r in rates.items():
         cut = (
-            f"CASE WHEN {group_col} = '{src}' THEN {int(r * 2**32)} "
+            f"CASE WHEN {group_col} = {_sql_str(src)} THEN {int(r * 2**32)} "
             f"ELSE {cut} END"
         )
     return f"""

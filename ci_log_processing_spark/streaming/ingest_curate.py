@@ -22,10 +22,13 @@ loses them (hashes committed, docs absent). So each batch writes to
 BATCH-SCOPED directories in OVERWRITE mode (`b<batch_id>/` under
 corpus and index): the file source replays a failed batch with the
 identical file set (its offsets are checkpointed before _process
-runs), the anti-join against the index — which by construction
-lacks exactly that batch's hashes — re-derives the identical
-survivor set, and the overwrite replaces any partial output instead
-of appending beside it. Batch-level idempotence from plain parquet,
+runs), the anti-join reads the index WITH the batch's own
+b<batch_id>/ subdirectory excluded (a failed attempt may have left
+its hashes there; including them would empty the survivor set and
+the overwrite would destroy the docs) — so the replay sees exactly
+the pre-batch index, re-derives the identical survivor set, and the
+overwrite replaces any partial output instead of appending beside
+it. Batch-level idempotence from plain parquet,
 no transactional table needed (Iceberg/Delta would collapse this to
 a snapshot commit).
 
@@ -49,22 +52,43 @@ DOC_STREAM_SCHEMA = "doc_id long, text string, event_ts timestamp"
 _INDEX_SCHEMA = StructType([StructField("h", StringType())])
 
 
-def _known_hashes(spark: SparkSession, index_dir: str) -> DataFrame:
+def _known_hashes(
+    spark: SparkSession, index_dir: str, batch_id: int
+) -> DataFrame:
     """The persisted content-hash index; empty on first batch. The
-    existence probe goes through the Hadoop FS API so it works on
+    directory listing goes through the Hadoop FS API so it works on
     object stores, not just local paths (and avoids the noisy
-    AnalysisException a read-then-catch would log)."""
+    AnalysisException a read-then-catch would log).
+
+    CRITICAL for replay correctness: the current batch's own
+    `b<batch_id>/` subdirectory is EXCLUDED. A crash after this
+    batch's index write but before the streaming commit leaves its
+    hashes on disk; on replay, reading them back would make the
+    anti-join treat the batch's own docs as already-known, empty the
+    survivor set, and let the corpus overwrite delete the
+    previously-written rows — permanent loss (hashes present, docs
+    absent). Excluding b<batch_id> makes the replay see exactly the
+    pre-batch index, re-derive the identical survivor set, and
+    overwrite the partial output with it."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = path.getFileSystem(conf)
-    if fs.exists(path):
-        return (
-            spark.read.schema(_INDEX_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(index_dir)
-        )
-    return spark.createDataFrame([], _INDEX_SCHEMA)
+    if not fs.exists(path):
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+    own = f"b{batch_id}"
+    prior = [
+        st.getPath().toString()
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName() != own
+    ]
+    if not prior:
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+    return (
+        spark.read.schema(_INDEX_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(*prior)
+    )
 
 
 def run_ingest_curation(
@@ -90,7 +114,7 @@ def run_ingest_curation(
         ).filter(F.col("quality") >= min_quality)
         fresh = incremental_dedup(
             scored.select("doc_id", "text", "event_ts", "quality"),
-            _known_hashes(batch.sparkSession, index_dir),
+            _known_hashes(batch.sparkSession, index_dir, batch_id),
         )
         # persist ONCE so corpus and index writes share the compute;
         # released before the batch returns. Batch-scoped OVERWRITE

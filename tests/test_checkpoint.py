@@ -117,3 +117,83 @@ def test_expire_checkpoint_is_distributed(spark, tmp_path):
     # swapped atomically: no temp dir left behind
     import os
     assert not os.path.exists(ckpt + ".expire_tmp")
+
+
+def test_expire_checkpoint_crash_windows(spark, tmp_path, monkeypatch):
+    """Kill the expiry swap at every rename boundary (injected via
+    the _fs_rename seam) and assert a COMPLETE manifest is readable
+    after each crash — the recoverable-swap contract. Windows:
+      A crash at rename 1 (manifest never moved)  -> original intact
+      B crash between renames (ckpt_dir absent,
+        manifest parked at .expire_old)           -> read_checkpoint
+        restores it (without this, the next run anti-joins nothing
+        and duplicates sink output)
+      C crash after rename 2, before delete(old)  -> new manifest
+        live, stale .expire_old cleared by the next expiry
+    After every window the expiry is re-run unpatched and must land
+    the exact keep-set."""
+    import os
+
+    from ci_log_processing_spark.operators import checkpoint as cp
+
+    all_convs = [("a", 1), ("b", 2), ("c", 3)]
+    keep = spark.createDataFrame([("a",), ("b",)], "conv_id string")
+    real_rename = cp._fs_rename
+
+    class Killed(RuntimeError):
+        pass
+
+    def setup(ckpt):
+        spark.createDataFrame(
+            all_convs, "conv_id string, rows long"
+        ).write.mode("overwrite").parquet(ckpt)
+
+    def crash_at(n_before, after_last=False):
+        # perform the first n_before renames, then die — either
+        # INSTEAD of the next rename, or (after_last) right after the
+        # n_before-th rename returns, i.e. before the following
+        # non-rename step (window C: before delete(.expire_old))
+        calls = {"n": 0}
+
+        def injected(fs, src, dst):
+            if calls["n"] == n_before and not after_last:
+                raise Killed(f"killed before rename {n_before + 1}")
+            calls["n"] += 1
+            ok = real_rename(fs, src, dst)
+            if after_last and calls["n"] == n_before:
+                raise Killed(f"killed after rename {n_before}")
+            return ok
+
+        return injected
+
+    def manifest_convs(ckpt):
+        df = cp.read_checkpoint(spark, ckpt)
+        assert df is not None, "manifest lost after crash"
+        return sorted(r["conv_id"] for r in df.select("conv_id").collect())
+
+    for window, inject in (
+        ("A", crash_at(0)),
+        ("B", crash_at(1)),
+        ("C", crash_at(2, after_last=True)),
+    ):
+        ckpt = str(tmp_path / f"ckpt_{window}")
+        setup(ckpt)
+        monkeypatch.setattr(cp, "_fs_rename", inject)
+        try:
+            cp.expire_checkpoint(spark, ckpt, keep)
+            raise AssertionError(f"window {window} must hit the injection")
+        except Killed:
+            pass
+        monkeypatch.setattr(cp, "_fs_rename", real_rename)
+        # a complete manifest survives the kill: pre-expiry for A/B,
+        # post-expiry for C (both renames landed; only delete(old)
+        # was lost — the stale .expire_old is inert)
+        if window == "C":
+            assert os.path.exists(ckpt + ".expire_old")
+        expect = ["a", "b"] if window == "C" else ["a", "b", "c"]
+        assert manifest_convs(ckpt) == expect, window
+        # recovery is idempotent: redo the expiry, keep-set lands
+        cp.expire_checkpoint(spark, ckpt, keep)
+        assert manifest_convs(ckpt) == ["a", "b"], window
+        assert not os.path.exists(ckpt + ".expire_tmp")
+        assert not os.path.exists(ckpt + ".expire_old")

@@ -107,3 +107,44 @@ def test_repetition_single_token_doc(spark):
     r = repetition_stats(docs).collect()[0]
     assert r["top_bigram"] is None
     assert r["top_bigram_frac"] == 0.0
+
+
+def test_repetition_variants_bit_equal(spark):
+    """The three repetition implementations — Catalyst sort+fold,
+    exploded hash-agg, Arrow Counter — must be bit-identical on an
+    adversarial mix: dup lines, all-unique, tie-broken bigrams,
+    single-token docs, rounding-sensitive fractions (1/3, 2/7),
+    and newline-carrying tokens from line-doubling."""
+    from ci_log_processing_spark.operators.textstats import (
+        repetition_stats,
+        repetition_stats_arrow,
+        repetition_stats_exploded,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd"),
+            (2, "x y z"),
+            (3, "go go go go"),
+            (4, "solo"),
+            (5, "x x\nx x"),             # token 'x\nx' after join
+            (6, "a b\nc d\na b\nc d\ne f\ng h\nii"),  # 4/7 dup lines
+            (7, "zz yy\nzz yy\nzz yy"),
+            (8, "B b\nb B"),              # case-sensitive lines, lower toks
+        ],
+        "doc_id long, ltext string",
+    ).repartition(3)
+    base = (
+        repetition_stats(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for fn in (repetition_stats_exploded, repetition_stats_arrow):
+        alt = (
+            fn(docs)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[base.columns]
+        )
+        assert base.equals(alt), (fn.__name__, base, alt)

@@ -341,3 +341,74 @@ def test_streaming_ingest_curation(spark, tmp_path):
         ),
     )
     assert survivors.filter("text like 'the quick%'").count() == 0
+
+def test_ingest_curation_replay_after_crash(spark, tmp_path):
+    # The at-least-once failure the module docstring promises to
+    # survive: a first attempt at batch 0 crashed AFTER its index
+    # write (and mid-corpus-write), BEFORE the streaming commit. On
+    # restart the engine replays batch 0 with the same batch_id and
+    # file set. The replay must see the PRE-batch index — if it read
+    # batch 0's own leftover index/b0 hashes, the anti-join would
+    # empty the survivor set and the corpus overwrite would destroy
+    # the docs (hashes present, docs gone — permanent loss). We
+    # build the crashed attempt's exact on-disk state by hand (b0
+    # dirs written, no streaming checkpoint), then run the stream.
+    import datetime as dt
+    import shutil
+
+    from ci_log_processing_spark.operators.dedup import incremental_dedup
+    from ci_log_processing_spark.operators.textstats import quality_scores
+    from ci_log_processing_spark.streaming.ingest_curate import (
+        run_ingest_curation,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    wave = [(1, good + " one", ts), (2, good + " two", ts), (3, good + " two", ts)]
+    tmp_in = tmp_path / "w"
+    spark.createDataFrame(
+        wave, "doc_id long, text string, event_ts timestamp"
+    ).coalesce(1).write.parquet(str(tmp_in))
+    # ONE input file => availableNow consumes everything as batch 0
+    pq = sorted(tmp_in.glob("*.parquet"))
+    assert len(pq) == 1
+    shutil.copy(pq[0], stream_dir / "w0.parquet")
+
+    out_dir = tmp_path / "out"
+    # --- crashed first attempt: same ops _process runs, writes to
+    # the b0 dirs, index write COMPLETE, corpus write PARTIAL (only
+    # doc 1 landed), no streaming commit recorded ---
+    batch = spark.createDataFrame(
+        wave, "doc_id long, text string, event_ts timestamp"
+    )
+    scored = batch.transform(
+        lambda d: quality_scores(d, keep_cols=("text", "event_ts"))
+    ).filter("quality >= 0.30")
+    fresh = incremental_dedup(
+        scored.select("doc_id", "text", "event_ts", "quality"),
+        spark.createDataFrame([], "h string"),
+    )
+    fresh.select("h").write.mode("overwrite").parquet(
+        str(out_dir / "index" / "b0")
+    )
+    fresh.filter("doc_id = 1").write.mode("overwrite").parquet(
+        str(out_dir / "corpus" / "b0")
+    )
+
+    # --- restart: the stream replays batch 0 over its own leftovers ---
+    out = run_ingest_curation(
+        spark, str(stream_dir), str(out_dir), min_quality=0.30
+    )
+    pdf = out.toPandas()
+    # full recovery: both distinct docs present (intra-batch dup of
+    # "two" collapsed), the partial corpus was overwritten, and the
+    # index matches the corpus exactly
+    assert sorted(pdf["text"]) == [good + " one", good + " two"]
+    idx = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(out_dir / "index"))
+        .toPandas()
+    )
+    assert sorted(idx["h"]) == sorted(pdf["h"])

@@ -10,7 +10,12 @@ is materialized to tmpfs parquet first, so generation cost never
 contaminates operator timings.
 
 Usage (via spark-submit):
-  _corpus_scale_worker.py <n_docs> <summary_json>
+  _corpus_scale_worker.py <n_docs> <summary_json> [ops_csv]
+
+ops_csv (optional) restricts the timed set — e.g.
+"line_dedup,shuffle_index" for the large-corpus runs where the
+LSH/components tier would dominate wall-clock without adding
+evidence.
 """
 
 from __future__ import annotations
@@ -77,6 +82,7 @@ def build_corpus(spark, n_docs: int, work: str) -> str:
 def main():
     n_docs = int(sys.argv[1])
     summary = sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = SparkSession.builder.getOrCreate()
     # strict ANSI, same as the unified session default (session.py) —
     # the scaling evidence measures the mode the engine actually runs
@@ -95,6 +101,7 @@ def main():
     from ci_log_processing_spark.operators.pii import pii_scrub
     from ci_log_processing_spark.operators.textstats import (
         repetition_stats,
+        repetition_stats_arrow,
         tfidf_top_terms,
     )
 
@@ -110,6 +117,8 @@ def main():
             # a 2-4 s Janino codegen compile would dominate their
             # ratio; warm those up and report steady-state (the
             # LSH/components tier runs long enough to amortize it)
+            if only is not None and name not in only:
+                return
             if warmup:
                 fn()
             t0 = time.time()
@@ -127,6 +136,19 @@ def main():
         t(
             "repetition",
             lambda: repetition_stats(corpus, text_col="text")
+            .select(
+                F.bit_xor(
+                    F.xxhash64(
+                        "doc_id", "dup_line_frac", "top_bigram_frac"
+                    )
+                )
+            )
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "repetition_arrow",
+            lambda: repetition_stats_arrow(corpus, text_col="text")
             .select(
                 F.bit_xor(
                     F.xxhash64(
@@ -190,18 +212,21 @@ def main():
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds
         stats: dict[str, int] = {}
-        pairs = dedup_pair_edges(corpus, spark, threshold=0.6).persist()
-        t("lsh_pairs", lambda: stats.update(n_pairs=pairs.count()))
-        t(
-            "components",
-            lambda: stats.update(
-                n_keepers=duplicate_components(
-                    pairs, corpus.select("doc_id")
-                )
-                .filter("is_keeper")
-                .count()
-            ),
-        )
+        if only is None or only & {"lsh_pairs", "components"}:
+            pairs = dedup_pair_edges(
+                corpus, spark, threshold=0.6
+            ).persist()
+            t("lsh_pairs", lambda: stats.update(n_pairs=pairs.count()))
+            t(
+                "components",
+                lambda: stats.update(
+                    n_keepers=duplicate_components(
+                        pairs, corpus.select("doc_id")
+                    )
+                    .filter("is_keeper")
+                    .count()
+                ),
+            )
         spark.catalog.clearCache()  # drop pairs + operator persists
         with open(summary, "w") as f:
             json.dump(
