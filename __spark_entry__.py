@@ -598,6 +598,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(load_corpus(spark, sf_dir), spark, threshold=0.6)
 
 
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Ingestion-time NEAR-dup gate: the planted exact/near copies
+    (doc_id >= 1000000 in the dedup corpus) arrive as a new batch
+    and are deduped against the original docs via the persisted-band
+    LSH index shape (operators/dedup.py incremental_minhash_dedup)."""
+    from ci_log_processing_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    batch = corpus.filter(F.col("doc_id") >= 1000000)
+    index_docs = corpus.filter(F.col("doc_id") < 1000000)
+    return incremental_minhash_dedup(
+        batch, index_docs, threshold=0.6, candidate_cap=64
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import simhash_fingerprints
     from ci_log_processing_spark.sources.corpus import load_corpus
@@ -1439,6 +1457,7 @@ _VERIFY_FIRST = (
     # round-4 additions (never had a driver row)
     "text_repetition_arrow",
     "text_tfidf_pruned",
+    "dedup_incremental_minhash",
     "cur_chunk_documents",
     "cur_decontaminate",
     "cur_overlap_decontaminate",
@@ -1530,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact_apply": q_dedup_exact_apply,
             "dedup_substring_spans": q_dedup_substring_spans,
             "dedup_incremental": q_incremental_dedup,
+            "dedup_incremental_minhash": q_incremental_minhash_dedup,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
             "dedup_simhash": q_dedup_simhash,
@@ -1663,6 +1683,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_exact_apply": od.q_dedup_exact_apply(),
             "dedup_substring_spans": od.q_dedup_substring_spans(20),
             "dedup_incremental": od.q_incremental_dedup(),
+            "dedup_incremental_minhash": od.q_incremental_minhash_dedup(
+                threshold=0.6, candidate_cap=64
+            ),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_simhash": od.q_dedup_simhash(),

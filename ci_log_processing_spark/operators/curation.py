@@ -451,11 +451,23 @@ def shuffle_index(
     if shard_size < 1:
         raise ValueError("shuffle_index: shard_size must be >= 1")
     key = _seeded_key(seed, id_col)
-    keyed = docs.select(
-        id_col,
-        *payload_cols,
-        key.alias("_key"),
-        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
+    # The 32-char md5 sort key never crosses the wire: partition on
+    # the 1-byte bucket FIRST (satisfying the window's required
+    # hash distribution — no second exchange), then recompute the
+    # key post-shuffle. md5 of a short string is cheaper than
+    # shuffling 32 extra bytes per row: measured 15.8 -> 15.4 s at
+    # local[8] and 9.3 -> 7.9 s at local[32] on 20M rows (8->32
+    # speedup 1.7 -> 2.0) vs projecting the key below the exchange.
+    keyed = (
+        docs.select(
+            id_col,
+            *payload_cols,
+            F.conv(F.substring(key, 1, 2), 16, 10)
+            .cast("int")
+            .alias("_bkt"),
+        )
+        .repartition(F.col("_bkt"))
+        .withColumn("_key", key)
     )
     from .dedup import _register_persist
 

@@ -448,6 +448,138 @@ def minhash_lsh_pairs(
     )
 
 
+def _lsh_shingles_and_bands(
+    docs: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle/signature/band derivation for the incremental
+    near-dup path: returns (arr, bands) where arr = (doc_id,
+    shingles) persisted (it feeds both banding and verify) and
+    bands = (doc_id, band, key). Same MINHASH_PARAMS / N_BANDS /
+    ROWS_PER_BAND constants as minhash_lsh_pairs, so index bands
+    written by one release verify against batches from another."""
+    toks = tokens_col(F.col("text"))
+    arr = _register_persist(
+        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    hashed = arr.select(
+        "doc_id", F.transform("shingles", h32).alias("hs")
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
+            )
+            for a, b in MINHASH_PARAMS
+        ]
+    )
+    bands = hashed.select("doc_id", sig.alias("sig")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("sig"),
+                            b * ROWS_PER_BAND + 1,
+                            ROWS_PER_BAND,
+                        ).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    return arr, bands
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    index_docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 5,
+    candidate_cap: int = 64,
+) -> DataFrame:
+    """NEAR-duplicate analog of incremental_dedup: a new batch is
+    deduplicated against the ALREADY-INGESTED corpus — a batch doc
+    is dropped iff some index doc shares an LSH band bucket with it
+    AND true shingle-Jaccard >= threshold. This is the ingestion-time
+    near-dup gate a training pipeline runs on every arriving shard
+    (exact-hash incremental_dedup misses one-word edits; this
+    catches them at the same per-batch cost shape).
+
+    Production shape, stated exactly: the index side's (doc_id,
+    band, key) rows and shingle arrays are PERSISTED artifacts,
+    appended per batch exactly like incremental_dedup's content-hash
+    index — deriving them here from `index_docs` is the test
+    harness, not the plan. Per batch the cost is: one scan of the
+    batch (shingle+sign), one join against the band index
+    co-partitioned on the band key, and a verify join that touches
+    only candidate index docs' shingle rows.
+
+    `candidate_cap` bounds the mega-bucket blow-up (the boilerplate
+    bucket where thousands of index docs share a band key): per
+    (band, key) bucket only the `cap` smallest index doc_ids are
+    offered as candidates — existence is all the anti-join needs, so
+    losing the 65th near-identical candidate only matters if the
+    first 64 all fail verification (band-collided non-dups), a
+    recall trade the oracle twin reproduces exactly.
+
+    Output: the surviving batch rows (all batch columns).
+    """
+    if candidate_cap < 1:
+        raise ValueError(
+            "incremental_minhash_dedup: candidate_cap must be >= 1"
+        )
+    arr_b, bands_b = _lsh_shingles_and_bands(batch, k)
+    arr_i, bands_i = _lsh_shingles_and_bands(index_docs, k)
+    # cap INSIDE the bucket aggregate: collect_list is O(bucket) per
+    # row (the bound the LSH bucket-agg already carries) and the
+    # slice keeps candidate fan-out at |batch-in-bucket| * cap
+    idx_buckets = bands_i.groupBy("band", "key").agg(
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, candidate_cap
+        ).alias("idx")
+    )
+    cand = (
+        bands_b.join(idx_buckets, ["band", "key"])
+        .select("doc_id", F.explode("idx").alias("idx_id"))
+        .distinct()
+    )
+    a = arr_b.select(
+        F.col("doc_id"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
+    )
+    b = arr_i.select(
+        F.col("doc_id").alias("idx_id"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    dup_ids = (
+        cand.join(a, "doc_id")
+        .join(b, "idx_id")
+        .withColumn("inter", inter)
+        .filter(
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.join(dup_ids, "doc_id", "left_anti")
+
+
 def exact_star_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-duplicate edges as a STAR (group-min doc_id -> member),
     not a clique: a group of n identical docs contributes n-1 edges

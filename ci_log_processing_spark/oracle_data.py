@@ -178,6 +178,74 @@ inter AS (
     )
 
 
+def q_incremental_minhash_dedup(
+    threshold: float = 0.6, candidate_cap: int = 64
+) -> str:
+    """Twin of operators.dedup.incremental_minhash_dedup over the
+    planted-dupes corpus split by id range: index = original docs
+    (doc_id < 1000000), batch = the planted exact/near copies
+    (doc_id >= 1000000). Same band derivation as q_dedup_minhash_lsh;
+    per (band, key) bucket only the candidate_cap smallest INDEX ids
+    are offered; a batch doc survives iff no offered candidate
+    verifies at shingle-Jaccard >= threshold."""
+    perm_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return (
+        _shingle_ctes()
+        + f""",
+perms AS (SELECT * FROM (VALUES {perm_rows}) p(j, a, b)),
+mins AS (
+  SELECT sh.doc_id, p.j,
+         min((p.a * {_H32.format(x='sh.s')} + p.b) % {MERSENNE_P}) AS mh
+  FROM sh, perms p GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY j) AS sig FROM mins GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(
+           list_slice(sig, b.band * {ROWS_PER_BAND} + 1,
+                      b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ',')) AS key
+  FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
+),
+bidx AS (
+  SELECT band, key, idx_id FROM (
+    SELECT band, key, doc_id AS idx_id,
+           row_number() OVER (PARTITION BY band, key
+                              ORDER BY doc_id) AS rn
+    FROM bands WHERE doc_id < 1000000
+  ) WHERE rn <= {candidate_cap}
+),
+cand AS (
+  SELECT DISTINCT y.doc_id, b.idx_id
+  FROM bands y JOIN bidx b USING (band, key)
+  WHERE y.doc_id >= 1000000
+),
+inter AS (
+  SELECT c.doc_id, c.idx_id, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.idx_id AND a.s = b.s
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT i.doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizes sb ON sb.doc_id = i.idx_id
+  WHERE round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6)
+        >= {threshold}
+)
+SELECT c.doc_id, c.text
+FROM corpus c
+WHERE c.doc_id >= 1000000
+  AND c.doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+    )
+
+
 def q_dedup_simhash(bits: int = 32) -> str:
     h = _H32.format(x="tok")
     bit_terms = " + ".join(

@@ -209,3 +209,70 @@ def test_incremental_dedup_against_index(spark):
         r["doc_id"] for r in incremental_dedup(incoming, known).collect()
     )
     assert out == [11, 13]
+
+
+def test_incremental_minhash_dedup(spark):
+    """Ingest-time near-dup gate: a batch doc is dropped iff a
+    verified near-dup exists in the index; edits below the Jaccard
+    threshold and brand-new docs survive; empty-shingle (short)
+    docs can never match and always survive."""
+    from ci_log_processing_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        release_persisted,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    index_docs = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus entry " * 4)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base),                          # exact dup -> drop
+            (101, base + " near duplicate tail"),  # near dup -> drop
+            (102, "fresh unseen content " * 6),    # new -> keep
+            (103, "tiny"),                         # no shingles -> keep
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, index_docs, threshold=0.6
+        ).collect()
+    )
+    assert out == [102, 103]
+    release_persisted()
+
+
+def test_incremental_minhash_candidate_cap(spark):
+    """candidate_cap=1 offers only the smallest index id per band
+    bucket; since all index docs are identical, that one candidate
+    verifies and the duplicate batch doc is still dropped (existence
+    is all the anti-join needs)."""
+    from ci_log_processing_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        release_persisted,
+    )
+
+    txt = "one two three four five six seven eight nine ten eleven"
+    index_docs = spark.createDataFrame(
+        [(i, txt) for i in range(1, 9)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, txt), (101, "unrelated new document body " * 5)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, index_docs, threshold=0.6, candidate_cap=1
+        ).collect()
+    )
+    assert out == [101]
+    with pytest.raises(ValueError):
+        incremental_minhash_dedup(batch, index_docs, candidate_cap=0)
+    release_persisted()
