@@ -949,6 +949,27 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(attach_lines(_docs(spark, sf_dir)))
 
 
+def q_token_entropy(spark, sf_dir):
+    """Unigram token entropy (operators/textstats.py token_entropy):
+    the low-entropy spam signal, deterministic sorted-fold float."""
+    from ci_log_processing_spark.operators.textstats import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + domain blocklist + URL-level keep-first
+    dedup (operators/urls.py) over the deterministic planted urls."""
+    from ci_log_processing_spark.operators.urls import (
+        attach_urls,
+        url_dedup,
+    )
+
+    return url_dedup(attach_urls(_docs(spark, sf_dir))).select(
+        "doc_id", "url", "url_norm", "domain"
+    )
+
+
 def q_repetition_arrow(spark, sf_dir):
     """Arrow-batched mapInPandas variant of repetition_stats — same
     output, measured ~6x less per-core compute than the Catalyst
@@ -1458,6 +1479,8 @@ _VERIFY_FIRST = (
     "text_repetition_arrow",
     "text_tfidf_pruned",
     "dedup_incremental_minhash",
+    "cur_url_dedup",
+    "text_entropy",
     "cur_chunk_documents",
     "cur_decontaminate",
     "cur_overlap_decontaminate",
@@ -1590,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_pii_scrub": q_pii_scrub,
             "text_repetition": q_repetition,
             "text_repetition_arrow": q_repetition_arrow,
+            "cur_url_dedup": q_url_dedup,
+            "text_entropy": q_token_entropy,
             "text_quality": q_quality,
             "text_model_quality": q_model_quality,
             "text_tfidf": q_tfidf,
@@ -1752,6 +1777,8 @@ def oracle_sql() -> dict[str, str]:
             "text_pii_scrub": od.q_pii_scrub(),
             "text_repetition": od.q_repetition(),
             "text_repetition_arrow": od.q_repetition(),
+            "cur_url_dedup": od.q_url_dedup(),
+            "text_entropy": od.q_token_entropy(),
             "text_quality": od.q_quality(),
             "text_model_quality": od.q_model_quality(),
             "text_tfidf": od.q_tfidf_top_terms(3),

@@ -235,6 +235,34 @@ def main():
             ["doc_id", "term", "tf", "df_docs", "term_rank"],
         ),
     )
+    bench(
+        "text_tfidf_pruned",
+        lambda: checksum(
+            tfidf_top_terms(docs, k=3, max_df_frac=0.5),
+            ["doc_id", "term", "tf", "df_docs", "term_rank"],
+        ),
+    )
+    # quantify the Zipf-head prune: how many data-sized tf rows the
+    # tf ⋈ df join loses when terms in >50% of docs are cut
+    _terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    _tf = _terms.groupBy("doc_id", "term").count()
+    _n = docs.count()
+    _hot = (
+        _tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 0.5 * _n)
+        .select("term")
+    )
+    extras["tfidf_prune_join_rows"] = {
+        "tf_rows_total": _tf.count(),
+        "tf_rows_after_df_cut_0.5": _tf.join(
+            F.broadcast(_hot), "term", "left_anti"
+        ).count(),
+    }
+    release_persisted()
+    spark.catalog.clearCache()
 
     # round-3 wave 2: corpus-wide line dedup, the distributed global
     # shuffle, and SemDeDup cluster dedup

@@ -44,6 +44,46 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram token entropy per document — the low-entropy spam
+    filter (repeated-token pages score near 0, natural prose near
+    ln(vocab)): H = ln(n) - (Σ c·ln c)/n over per-doc token counts.
+
+    Shape: explode → (doc, term) partial+final count (map-side
+    combine collapses a spam page's repeats before the exchange) →
+    one doc-keyed agg. The Σ c·ln c fold runs over the SORTED count
+    list inside one row — a float sum over an engine-chosen
+    aggregation order would differ between Spark and the oracle in
+    the last ulp, but a sequential fold in ascending-count order is
+    bit-reproducible on both (ties are equal values, so tie order
+    cannot matter). Output: (doc_id, n_tok, token_entropy).
+    """
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.sort_array(
+            F.collect_list(F.col("c").cast("double"))
+        ).alias("_cs"),
+    )
+    s = F.aggregate(
+        "_cs", F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    )
+    return per.select(
+        "doc_id",
+        "n_tok",
+        F.round(
+            F.log(F.col("n_tok").cast("double"))
+            - s / F.col("n_tok").cast("double"),
+            6,
+        ).alias("token_entropy"),
+    )
+
+
 def _ratio(num: Column, den: Column) -> Column:
     return F.round(num / F.greatest(den.cast("double"), F.lit(1.0)), 6)
 

@@ -805,6 +805,102 @@ FROM bg
 """
 
 
+def q_token_entropy() -> str:
+    """token_entropy twin (operators/textstats.py): identical
+    ascending-count sequential fold for Σ c·ln c (list_reduce with a
+    prepended 0.0 as the init slot), so the float result matches
+    Spark's sorted-array aggregate bit-for-bit up to libm's ln —
+    value-compared at the gate's 6-decimal normalization."""
+    return f"""
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  ) WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS c FROM terms GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, sum(c) AS n_tok,
+         list_sort(list(CAST(c AS DOUBLE))) AS cs
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       round(
+         ln(CAST(n_tok AS DOUBLE))
+         - list_reduce(
+             list_prepend(CAST(0 AS DOUBLE), cs),
+             (a, b) -> a + b * ln(b)
+           ) / CAST(n_tok AS DOUBLE),
+         6) AS token_entropy
+FROM per
+"""
+
+
+def q_url_dedup() -> str:
+    """Twin of operators.urls.url_dedup over operators.urls.
+    attach_urls' deterministic plant: same normalization rule
+    (https-canonical scheme, lowercased host, www./port strip,
+    trailing-slash strip, tracking params dropped, remaining params
+    sorted, fragment dropped), same blocklist (tracker.biz + its
+    subdomains), keep lowest doc_id per canonical URL."""
+    return """
+WITH planted AS (
+  SELECT doc_id,
+    concat(
+      CASE WHEN doc_id % 5 = 0 THEN 'http://' ELSE 'https://' END,
+      CASE doc_id % 6
+        WHEN 0 THEN 'example.com'
+        WHEN 1 THEN 'www.Example.com'
+        WHEN 2 THEN 'example.com:443'
+        WHEN 3 THEN 'blog.example.com'
+        WHEN 4 THEN 'tracker.biz'
+        ELSE 'cdn.tracker.biz' END,
+      '/p/', CAST(doc_id % 50 AS VARCHAR),
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      CASE doc_id % 3
+        WHEN 0 THEN concat('?utm_source=x&id=', CAST(doc_id % 50 AS VARCHAR))
+        WHEN 1 THEN concat('?id=', CAST(doc_id % 50 AS VARCHAR), '&fbclid=abc')
+        ELSE '' END
+    ) AS url
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        '^www\\.', ''),
+      ':(80|443)$', '') AS domain,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      '/$', '') AS path,
+    array_to_string(
+      list_sort(
+        list_filter(
+          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+          x -> x <> '' AND NOT starts_with(x, 'utm_')
+               AND NOT list_contains(
+                 ['fbclid', 'gclid', 'ref'], string_split(x, '=')[1])
+        )
+      ), '&') AS q
+  FROM planted
+),
+canon AS (
+  SELECT doc_id, url, domain,
+    concat('https://', domain, path,
+           CASE WHEN q <> '' THEN concat('?', q) ELSE '' END) AS url_norm
+  FROM normed
+  WHERE NOT (domain = 'tracker.biz' OR domain LIKE '%.tracker.biz')
+)
+SELECT doc_id, url, url_norm, domain FROM (
+  SELECT doc_id, url, url_norm, domain,
+         row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+  FROM canon
+) WHERE rn = 1
+"""
+
+
 def q_c4_clean(min_words: int = 5, min_kept_lines: int = 1) -> str:
     """C4 line-filter oracle; planting and rules mirror
     operators.textstats.attach_c4_lines / c4_line_filter."""

@@ -192,3 +192,43 @@ def test_full_curation_v3_plan_shape(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "FlatMapGroupsInPandas" in plan
     release_persisted()
+
+
+def test_url_ops_plan_shape(spark, tmp_path):
+    # normalize + blocklist are per-row (zero exchanges); the full
+    # dedup adds exactly ONE url_norm-keyed window exchange
+    from ci_log_processing_spark.operators.urls import (
+        attach_urls,
+        normalize_urls,
+        url_dedup,
+    )
+
+    p = str(tmp_path / "udocs")
+    spark.createDataFrame(
+        [(i,) for i in range(24)], "doc_id long"
+    ).write.parquet(p)
+    docs = attach_urls(spark.read.parquet(p))
+    plan = normalize_urls(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    plan = url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_entropy_two_partial_agg_exchanges(spark, tmp_path):
+    # explode -> (doc, term) count -> doc agg: exactly two hash
+    # exchanges, both fed by partial aggregates (map-side combine)
+    from ci_log_processing_spark.operators.textstats import token_entropy
+
+    p = str(tmp_path / "edocs")
+    spark.createDataFrame(
+        [(i, "a b c a") for i in range(12)], "doc_id long, text string"
+    ).write.parquet(p)
+    plan = (
+        token_entropy(spark.read.parquet(p))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
