@@ -865,6 +865,58 @@ def q_stream_ingest_curation(spark, sf_dir):
     return spark.createDataFrame(rows, "h string, quality double")
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Streaming NEAR-dup ingest (streaming/neardup_ingest.py): the
+    originals arrive as micro-batch 0, the planted exact (+1000000,
+    doc_id % 10) and near (+2000000, doc_id % 7) copies as batch 1 —
+    wave order FORCED via file mtimes (the file source orders by
+    modification time), so the survivor set is deterministic and the
+    oracle can assume originals-first. Batch 1's copies are dropped
+    against batch 0's persisted band index iff banded + verified at
+    Jaccard >= 0.6 under the capped candidate rule; output is the
+    surviving doc_id set."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.neardup_ingest import (
+        run_neardup_ingestion,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias(
+            "text"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="gate_sneardup_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+
+        def _write_wave(df, name, mtime):
+            tmp = os.path.join(work, "w_" + name)
+            df.coalesce(1).write.parquet(tmp)
+            pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(in_dir, name + ".parquet")
+            shutil.copy(os.path.join(tmp, pq[0]), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_wave(base, "w0", 1_000_000)
+        _write_wave(exact.unionAll(near), "w1", 2_000_000)
+        out = run_neardup_ingestion(
+            spark, in_dir, os.path.join(work, "out"), threshold=0.6
+        )
+        rows = out.select("doc_id").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long")
+
+
 def q_incremental_dedup(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import incremental_dedup
     from ci_log_processing_spark.sources.corpus import load_corpus
@@ -1481,6 +1533,7 @@ _VERIFY_FIRST = (
     "dedup_incremental_minhash",
     "cur_url_dedup",
     "text_entropy",
+    "stream_neardup_ingest",
     "cur_chunk_documents",
     "cur_decontaminate",
     "cur_overlap_decontaminate",
@@ -1566,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_interval_join"] = q_stream_interval_join
     qs["stream_watermark_agg"] = q_stream_watermark_agg
     qs["stream_ingest_curation"] = q_stream_ingest_curation
+    qs["stream_neardup_ingest"] = q_stream_neardup
     qs.update(
         {
             "dedup_exact": q_dedup_exact,
@@ -1709,6 +1763,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_substring_spans": od.q_dedup_substring_spans(20),
             "dedup_incremental": od.q_incremental_dedup(),
             "dedup_incremental_minhash": od.q_incremental_minhash_dedup(
+                threshold=0.6, candidate_cap=64
+            ),
+            "stream_neardup_ingest": od.q_stream_neardup(
                 threshold=0.6, candidate_cap=64
             ),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),

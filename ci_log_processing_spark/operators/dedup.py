@@ -536,9 +536,32 @@ def incremental_minhash_dedup(
         )
     arr_b, bands_b = _lsh_shingles_and_bands(batch, k)
     arr_i, bands_i = _lsh_shingles_and_bands(index_docs, k)
-    # cap INSIDE the bucket aggregate: collect_list is O(bucket) per
-    # row (the bound the LSH bucket-agg already carries) and the
-    # slice keeps candidate fan-out at |batch-in-bucket| * cap
+    dup_ids = neardup_ids_against_index(
+        arr_b, bands_b, arr_i, bands_i, threshold, candidate_cap
+    )
+    return batch.join(dup_ids, "doc_id", "left_anti")
+
+
+def neardup_ids_against_index(
+    arr_b: DataFrame,
+    bands_b: DataFrame,
+    arr_i: DataFrame,
+    bands_i: DataFrame,
+    threshold: float,
+    candidate_cap: int,
+) -> DataFrame:
+    """Core of the incremental near-dup gate, taking the index side
+    as PRECOMPUTED artifacts — (doc_id, shingles) and (doc_id, band,
+    key) — exactly the two tables a production pipeline persists per
+    ingested batch (streaming/neardup_ingest.py stores them; the
+    batch entry point incremental_minhash_dedup derives them from
+    raw index docs as its test harness). Returns the batch doc_ids
+    with a verified near-dup in the index.
+
+    Cap rule is shared with incremental_minhash_dedup: per (band,
+    key) bucket only the candidate_cap smallest index ids are
+    offered; the cap is applied INSIDE the bucket aggregate so pair
+    fan-out is bounded at |batch-in-bucket| * cap."""
     idx_buckets = bands_i.groupBy("band", "key").agg(
         F.slice(
             F.sort_array(F.collect_list("doc_id")), 1, candidate_cap
@@ -560,7 +583,7 @@ def incremental_minhash_dedup(
         F.size("shingles").alias("nb"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    dup_ids = (
+    return (
         cand.join(a, "doc_id")
         .join(b, "idx_id")
         .withColumn("inter", inter)
@@ -577,7 +600,6 @@ def incremental_minhash_dedup(
         .select("doc_id")
         .distinct()
     )
-    return batch.join(dup_ids, "doc_id", "left_anti")
 
 
 def exact_star_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:

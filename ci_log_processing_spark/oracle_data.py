@@ -246,6 +246,93 @@ WHERE c.doc_id >= 1000000
     )
 
 
+def q_stream_neardup(
+    threshold: float = 0.6, candidate_cap: int = 64
+) -> str:
+    """Twin of streaming/neardup_ingest.py's gate run: originals
+    (batch 0) then planted copies (batch 1, ids >= 1000000), wave
+    order forced by file mtimes on the Spark side. Replicates the
+    full per-batch semantics: exact keep-first WITHIN each wave,
+    batch-1 docs dropped iff banded (capped candidate rule) and
+    verified at shingle-Jaccard >= threshold against batch 0's
+    SURVIVING docs. Output: surviving doc_ids of both waves."""
+    perm_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+w0s AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM corpus WHERE doc_id < 1000000
+  ) WHERE rn = 1
+),
+w1s AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM corpus WHERE doc_id >= 1000000
+  ) WHERE rn = 1
+),
+live AS (SELECT * FROM w0s UNION ALL SELECT * FROM w1s),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM live
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+perms AS (SELECT * FROM (VALUES {perm_rows}) p(j, a, b)),
+mins AS (
+  SELECT sh.doc_id, p.j,
+         min((p.a * {_H32.format(x='sh.s')} + p.b) % {MERSENNE_P}) AS mh
+  FROM sh, perms p GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY j) AS sig FROM mins GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(
+           list_slice(sig, b.band * {ROWS_PER_BAND} + 1,
+                      b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ',')) AS key
+  FROM sigs, (SELECT unnest(range({N_BANDS})) AS band) b
+),
+bidx AS (
+  SELECT band, key, idx_id FROM (
+    SELECT band, key, doc_id AS idx_id,
+           row_number() OVER (PARTITION BY band, key
+                              ORDER BY doc_id) AS rn
+    FROM bands WHERE doc_id < 1000000
+  ) WHERE rn <= {candidate_cap}
+),
+cand AS (
+  SELECT DISTINCT y.doc_id, b.idx_id
+  FROM bands y JOIN bidx b USING (band, key)
+  WHERE y.doc_id >= 1000000
+),
+inter AS (
+  SELECT c.doc_id, c.idx_id, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.idx_id AND a.s = b.s
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT i.doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizes sb ON sb.doc_id = i.idx_id
+  WHERE round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6)
+        >= {threshold}
+)
+SELECT doc_id FROM w0s
+UNION ALL
+SELECT doc_id FROM w1s
+WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
 def q_dedup_simhash(bits: int = 32) -> str:
     h = _H32.format(x="tok")
     bit_terms = " + ".join(

@@ -412,3 +412,61 @@ def test_ingest_curation_replay_after_crash(spark, tmp_path):
         .toPandas()
     )
     assert sorted(idx["h"]) == sorted(pdf["h"])
+
+def test_neardup_ingestion(spark, tmp_path):
+    # wave0 (originals) then wave1 (an exact copy, a near copy, a
+    # fresh doc): the copies are dropped against the persisted band
+    # index, the fresh doc and all originals survive. Wave order is
+    # forced via file mtimes (the file source orders by timestamp).
+    import os
+
+    from ci_log_processing_spark.streaming.neardup_ingest import (
+        run_neardup_ingestion,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = "completely different corpus entry body " * 4
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+
+    def write_wave(name, rows, mtime):
+        tmp = tmp_path / ("w_" + name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(tmp))
+        import shutil
+
+        pq = sorted(tmp.glob("*.parquet"))
+        assert len(pq) == 1
+        dst = stream_dir / (name + ".parquet")
+        shutil.copy(pq[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    write_wave("w0", [(1, base), (2, other)], 1_000_000)
+    write_wave(
+        "w1",
+        [
+            (100, base),                            # exact dup of 1
+            (101, base + " near duplicate tail"),   # near dup of 1
+            (102, "fresh unseen content " * 6),     # new
+            (103, "fresh unseen content " * 6),     # exact dup IN-batch
+        ],
+        2_000_000,
+    )
+    out = run_neardup_ingestion(
+        spark, str(stream_dir), str(tmp_path / "out"), threshold=0.6
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 102]
+    # replay against the existing output admits nothing new
+    out2 = run_neardup_ingestion(
+        spark, str(stream_dir), str(tmp_path / "out"), threshold=0.6
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 102]
+    # the band/shingle index holds exactly the survivors
+    sh = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "out" / "shingles")
+    )
+    assert sorted(r["doc_id"] for r in sh.collect()) == [1, 2, 102]
