@@ -1517,6 +1517,67 @@ def q_range_join_incidents(spark, sf_dir):
 # --- driver contract ----------------------------------------------------
 
 
+def q_error_spike(spark, sf_dir):
+    """Hourly error-burst detection per subsystem (operators/
+    aggregate.py error_spike_hours) — exact-integer z-score rule."""
+    from ci_log_processing_spark.operators.aggregate import (
+        error_spike_hours,
+    )
+
+    return error_spike_hours(_routed(spark, sf_dir))
+
+
+def q_turn_latency(spark, sf_dir):
+    """Per-sink exact discrete inter-turn latency percentiles
+    (operators/aggregate.py turn_latency_percentiles),
+    value-histogram shape."""
+    from ci_log_processing_spark.operators.aggregate import (
+        turn_latency_percentiles,
+    )
+
+    return turn_latency_percentiles(_routed(spark, sf_dir))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Distinct conversations per sink via the deterministic
+    from-scratch HyperLogLog sketch (operators/aggregate.py
+    hll_distinct_convs), exact count alongside."""
+    from ci_log_processing_spark.operators.aggregate import (
+        hll_distinct_convs,
+    )
+
+    return hll_distinct_convs(_routed(spark, sf_dir))
+
+
+def q_text_unigram(spark, sf_dir):
+    """Unigram-LM surprisal quality score (operators/textstats.py
+    unigram_logprob) — integer bit-quantized, oracle-exact."""
+    from ci_log_processing_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """Signature-estimated near-dup pairs (operators/dedup.py
+    minhash_estimate_pairs) — the verify-free LSH tail."""
+    from ci_log_processing_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return minhash_estimate_pairs(load_corpus(spark, sf_dir), 0.5)
+
+
+def q_knn_graph(spark, sf_dir):
+    """Cluster-blocked kNN graph over the corpus embeddings
+    (operators/similarity.py knn_graph)."""
+    from ci_log_processing_spark.operators.similarity import knn_graph
+
+    return knn_graph(_emb(spark, sf_dir), k_nn=5, k_clusters=8, n_iter=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse -> enrich -> route -> hourly aggregate."""
     return q_agg_hourly(spark, "/root/testdata/sf0.001")
@@ -1528,6 +1589,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 88 gate queries has a driver row dated r3 or r4.
 _VERIFY_FIRST = (
     # round-4 additions (never had a driver row)
+    "pipe_error_spike",
+    "pipe_latency_pctl",
+    "pipe_hll_distinct",
+    "text_unigram_logprob",
+    "dedup_minhash_estimate",
+    "sim_knn_graph",
     "text_repetition_arrow",
     "text_tfidf_pruned",
     "dedup_incremental_minhash",
@@ -1592,6 +1659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_agg_hourly": q_agg_hourly,
         "pipe_agg_rollup": q_agg_rollup,
         "pipe_pivot_severity": q_pivot_severity,
+        "pipe_error_spike": q_error_spike,
+        "pipe_latency_pctl": q_turn_latency,
+        "pipe_hll_distinct": q_hll_distinct,
         "pipe_session_window": q_session_window,
         "pipe_sliding_window": q_sliding_window,
         "pipe_conv_severity": q_conv_severity,
@@ -1629,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_incremental_minhash": q_incremental_minhash_dedup,
             "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
             "dedup_minhash_lsh": q_dedup_minhash_lsh,
+            "dedup_minhash_estimate": q_dedup_minhash_estimate,
             "dedup_simhash": q_dedup_simhash,
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "dedup_simhash_pairs_capped": q_dedup_simhash_pairs_capped,
@@ -1642,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
             "sim_kmeans_fit": q_kmeans_fit,
+            "sim_knn_graph": q_knn_graph,
             "dedup_semantic_cluster": q_semantic_cluster_dedup,
             "cur_mixture_sample": q_mixture_sample,
             "cur_lang_mixture": q_lang_mixture,
@@ -1669,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_repetition_arrow": q_repetition_arrow,
             "cur_url_dedup": q_url_dedup,
             "text_entropy": q_token_entropy,
+            "text_unigram_logprob": q_text_unigram,
             "text_quality": q_quality,
             "text_model_quality": q_model_quality,
             "text_tfidf": q_tfidf,
@@ -1733,6 +1806,9 @@ def oracle_sql() -> dict[str, str]:
         # rows straight from events, so this checks the roundtrip
         "pipe_subunit_binary": oracle.q_subunit(),
         "pipe_file_tags": oracle.q_file_tags(),
+        "pipe_error_spike": oracle.q_error_spike(),
+        "pipe_latency_pctl": oracle.q_turn_latency(),
+        "pipe_hll_distinct": oracle.q_hll_distinct(),
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
@@ -1770,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
+            "dedup_minhash_estimate": od.q_dedup_minhash_estimate(0.5),
             "dedup_simhash": od.q_dedup_simhash(),
             "dedup_simhash_pairs": od.q_dedup_simhash_pairs(3),
             "dedup_simhash_pairs_capped": od.q_dedup_simhash_pairs(
@@ -1787,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
+            "sim_knn_graph": od.q_knn_graph(5, 8, 2),
             "dedup_semantic_cluster": od.q_semantic_cluster_dedup(
                 8, 2, 0.30
             ),
@@ -1836,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
             "text_repetition_arrow": od.q_repetition(),
             "cur_url_dedup": od.q_url_dedup(),
             "text_entropy": od.q_token_entropy(),
+            "text_unigram_logprob": od.q_unigram_logprob(),
             "text_quality": od.q_quality(),
             "text_model_quality": od.q_model_quality(),
             "text_tfidf": od.q_tfidf_top_terms(3),

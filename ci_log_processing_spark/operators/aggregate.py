@@ -12,7 +12,7 @@ that makes this viable at 10^12 turns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -159,4 +159,190 @@ def severity_pivot_hourly(df: DataFrame, ts_col: str = "filled_ts") -> DataFrame
             F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(f"n_{v.lower()}")
             for v in values
         ],
+    )
+
+
+def error_spike_hours(
+    df: DataFrame, ts_col: str = "filled_ts", sink: str = "errors"
+) -> DataFrame:
+    """Hourly error-burst detection per subsystem: an hour is a
+    SPIKE when its error count exceeds the subsystem's mean by more
+    than two population standard deviations — the alerting query the
+    reference answers by eyeballing its OpenSearch dashboards
+    (loggearman monitoring counters, logscraper.py:295-304).
+
+    The z-score test runs in EXACT integer arithmetic so the DuckDB
+    oracle matches bit-for-bit with no float tolerance:
+        n > mean + 2*sigma
+     <=>  n*c - s1 > 0  AND  (n*c - s1)^2 > 4*(c*s2 - s1^2)
+    with c = hours observed, s1 = sum(n), s2 = sum(n^2) per
+    subsystem (multiply through by c^2; all terms are int64-exact at
+    any realistic count).
+
+    Scale shape: one partial+final hash aggregate on
+    (subsystem, hour) — shuffled volume is distinct groups, not rows
+    — then the stats window repartitions only those GROUP rows on
+    subsystem. Nothing row-sized crosses the second exchange, so the
+    plan is the same class at 10^12 turns.
+    """
+    from pyspark.sql.window import Window
+
+    hourly = (
+        df.filter(F.col("sink") == sink)
+        .groupBy(
+            "subsystem",
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("subsystem")
+    stats = hourly.select(
+        "subsystem",
+        "window_start",
+        "n",
+        F.count(F.lit(1)).over(w).alias("_c"),
+        F.sum("n").over(w).alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_s2"),
+    )
+    dev = F.col("n") * F.col("_c") - F.col("_s1")
+    var4 = 4 * (F.col("_c") * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+    return stats.select(
+        "subsystem",
+        "window_start",
+        "n",
+        F.round(F.col("_s1") / F.col("_c"), 5).alias("mean_n"),
+        ((dev > 0) & (dev * dev > var4)).alias("is_spike"),
+    )
+
+
+def turn_latency_percentiles(
+    df: DataFrame, ts_col: str = "filled_ts", group_col: str = "sink"
+) -> DataFrame:
+    """Inter-turn latency percentiles per routing class: for every
+    turn, latency = gap to the NEXT turn of the same conversation,
+    grouped by the current turn's sink — the tool_calls row is tool
+    response latency (the reply arriving marks the call done), the
+    errors row is time-to-next-activity after a failure. Exact
+    discrete p50/p95/p99 per group.
+
+    Exact percentiles distribute via the VALUE-HISTOGRAM shape, not
+    a per-tool global sort: count occurrences per (tool, gap_ms) —
+    a partial+final hash aggregate whose shuffled volume is distinct
+    gap values — then a running-sum window over those DISTINCT-value
+    rows picks the smallest gap whose cumulative count reaches
+    rank_p = ceil(p * n) (type-1 / lower discrete quantile,
+    integer-exact in both engines: ceil(p*n) = (p_num*n + p_den - 1)
+    div p_den). The per-tool window sorts group rows, never turns,
+    so a hot tool cannot recreate the single-partition global sort.
+    At 10^12 turns you would reach for approx_percentile; this exact
+    variant exists because the oracle gate needs bit-equality, and
+    its plan is still bounded by distinct (tool, gap) pairs.
+    """
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        df.withColumn("_next_ts", F.lead(ts_col).over(wc))
+        .filter(F.col("_next_ts").isNotNull())
+        .select(
+            group_col,
+            (
+                F.unix_millis(F.col("_next_ts"))
+                - F.unix_millis(F.col(ts_col))
+            ).alias("gap_ms"),
+        )
+    )
+    hist = gaps.groupBy(group_col, "gap_ms").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        "gap_ms",
+        F.sum("c")
+        .over(wt.orderBy("gap_ms").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+
+    def pick(num: int, den: int, name: str) -> Column:
+        # ceil(num*n/den) in pure integer arithmetic — no fp anywhere
+        rank = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.min(F.when(F.col("cum") >= rank, F.col("gap_ms"))).alias(
+            name
+        )
+
+    return cum.groupBy(group_col).agg(
+        F.max("n").alias("n_calls"),
+        pick(1, 2, "p50_ms"),
+        pick(19, 20, "p95_ms"),
+        pick(99, 100, "p99_ms"),
+    )
+
+
+def hll_distinct_convs(df: DataFrame) -> DataFrame:
+    """Distinct conversations per sink via a DETERMINISTIC
+    HyperLogLog sketch (Flajolet et al. 2007) — the streamable,
+    mergeable replacement for COUNT(DISTINCT) at 10^12 turns, where
+    the exact expand-then-dedup would shuffle every (sink, conv_id)
+    pair. Built from scratch on the shared md5-based h32 so the
+    DuckDB oracle replays the registers bit-for-bit (Spark's own
+    approx_count_distinct is also HLL++ but its hash is not
+    reproducible outside the JVM).
+
+    Register math, exact-integer end to end: h = h32(conv_id)
+    (32 bits); bucket j = top 6 bits (m = 64 registers); rho =
+    leading-zeros-in-low-26-bits + 1 = 27 - bitlength(w), 27 when
+    w = 0. M_j = max(rho) per (sink, j) — ONE partial+final hash
+    aggregate over at most sinks x 64 groups. The harmonic sum
+    sum(2^-M_j) is kept integral as S = sum(2^(27 - M_j)) +
+    missing_buckets * 2^27 (so sum = S / 2^27), and the raw
+    estimate alpha_64 * m^2 * 2^27 / S does its only float ops on
+    identical integers in both engines. Small-range correction
+    (E <= 2.5m with empty registers): linear counting m*ln(m/V);
+    the estimate is rounded to 2 decimals to absorb libm ulp skew.
+
+    `exact_distinct` rides along from a second aggregate (broadcast-
+    joined on the tiny sink key) so the sketch error is visible in
+    the gate output — at production scale you would emit only the
+    registers and merge them across partitions/days.
+    """
+    from .dedup import h32
+
+    m, wbits = 64, 26
+    h = h32(F.col("conv_id"))
+    j = F.shiftright(h, wbits)
+    w = F.pmod(h, F.lit(1 << wbits))
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(F.col("sink"), j.alias("j"), rho.alias("rho"))
+        .groupBy("sink", "j")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per_sink = regs.groupBy("sink").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({wbits + 1} - mj as int))"
+            )
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("_nb")) * F.lit(
+        1 << (wbits + 1)
+    )
+    v = F.lit(m) - F.col("_nb")  # empty registers
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    e_raw = alpha * F.lit(float(m * m)) * F.lit(float(1 << (wbits + 1))) / s
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    sketch = per_sink.select("sink", F.round(est, 2).alias("hll_distinct"))
+    exact = df.groupBy("sink").agg(
+        F.countDistinct("conv_id").alias("exact_distinct")
+    )
+    return sketch.join(F.broadcast(exact), "sink").select(
+        "sink", "hll_distinct", "exact_distinct"
     )

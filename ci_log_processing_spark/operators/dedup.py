@@ -360,6 +360,133 @@ def minhash_signatures(
     return hashed.select("doc_id", sig.alias("sig"))
 
 
+def _banded_candidate_pairs(
+    bands: DataFrame, bucket_cap: int | None
+) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs from an LSH band table
+    (doc_id, band, key) WITHOUT a self-join: group docs per
+    (band, key) bucket and emit intra-bucket pairs from the sorted
+    doc list — one shuffle on the band key, signature lineage
+    evaluated exactly once (a self-join would evaluate it twice).
+    Shared by the verify (minhash_lsh_pairs) and estimate
+    (minhash_estimate_pairs) tails so cap/pair semantics cannot
+    drift between them."""
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if bucket_cap is not None:
+        # Split oversize buckets AFTER the aggregate with pure array
+        # ops on the (bucket-count-sized) rows: nsub = ceil(n/cap),
+        # member d goes to sub-bucket h32(d) % nsub — the exact rule
+        # the oracle implements. Doing it post-collect (rather than a
+        # pre-aggregation count window) keeps the groupBy's map-side
+        # partial collect_list and adds no window sort: measured ~2x
+        # on the sf0.1 bench when the window variant forced the full
+        # bands exchange first. Per-row memory stays O(bucket), the
+        # same bound the uncapped collect already had; the explode
+        # then bounds PAIR count at ~cap^2 per sub-bucket.
+        nsub = F.ceil(F.size("ds") / F.lit(float(bucket_cap))).cast(
+            "long"
+        )
+        subs = F.when(
+            F.size("ds") <= bucket_cap, F.array(F.col("ds"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), nsub - 1),
+                lambda s: F.filter(
+                    F.col("ds"),
+                    lambda d: F.pmod(h32(d.cast("string")), nsub) == s,
+                ),
+            )
+        )
+        buckets = buckets.select(
+            "band", "key", F.explode(subs).alias("ds")
+        ).filter(F.size("ds") > 1)
+    # Pair expansion in two explode steps so no single row ever holds
+    # more than O(bucket) values: first posexplode the bucket into one
+    # row per ANCHOR doc (carrying the bucket array), then explode each
+    # anchor's strict suffix into (doc_a, doc_b) rows. A hot bucket of
+    # n docs — mass-duplicate corpora are exactly the LSH workload —
+    # peaks at n values per row instead of the n(n-1)/2 structs the
+    # previous single-row flatten built (one-task OOM at scale).
+    anchors = buckets.select(
+        "ds", F.posexplode("ds").alias("i", "doc_a")
+    ).filter(F.col("i") < F.size("ds") - 1)
+    return (
+        anchors.select(
+            "doc_a",
+            F.explode(
+                F.slice(
+                    F.col("ds"), F.col("i") + 2, F.size("ds") - F.col("i") - 1
+                )
+            ).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 5,
+    bucket_cap: int | None = 64,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs scored by the SIGNATURE ESTIMATE
+    instead of an exact-Jaccard verify: est = (matching signature
+    components) / 16, the unbiased MinHash estimator (Broder 1997).
+
+    This is the shape a 100 TB dedup runs when the verify join is
+    the budget problem: the estimate needs only the two 16-int
+    signatures already materialized for banding — the corpus
+    shingle arrays are NEVER re-joined onto candidates, so the pair
+    tail touches 128 bytes per side instead of every shingle string.
+    The trade is variance (sd ~ sqrt(j(1-j)/16) ~ 0.125 at j = 0.5)
+    and estimate granularity 1/16; minhash_lsh_pairs is the exact
+    twin sharing the identical candidate generation
+    (_banded_candidate_pairs), so recall differences between the two
+    are pure estimator error, measurable side by side.
+
+    Output: (doc_a, doc_b, n_equal, est_jaccard) at est >= threshold;
+    est_jaccard = n_equal/16 is exact in both engines (n_equal is an
+    integer, /16 a power-of-two division).
+    """
+    arr, bands = _lsh_shingles_and_bands(docs, k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
+            )
+            for a, b in MINHASH_PARAMS
+        ]
+    )
+    sigs = arr.select(
+        "doc_id", F.transform("shingles", h32).alias("hs")
+    ).select("doc_id", sig.alias("sig"))
+    cand = _banded_candidate_pairs(bands, bucket_cap)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.alias("n_equal"),
+            (n_eq / F.lit(float(len(MINHASH_PARAMS)))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     spark: SparkSession,
@@ -434,64 +561,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "key"),
     )
-    # Candidate generation WITHOUT a self-join: group docs per
-    # (band, key) bucket and emit intra-bucket pairs from the sorted
-    # doc list — one shuffle on the band key, signature lineage
-    # evaluated exactly once (a self-join would evaluate it twice).
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    if bucket_cap is not None:
-        # Split oversize buckets AFTER the aggregate with pure array
-        # ops on the (bucket-count-sized) rows: nsub = ceil(n/cap),
-        # member d goes to sub-bucket h32(d) % nsub — the exact rule
-        # the oracle implements. Doing it post-collect (rather than a
-        # pre-aggregation count window) keeps the groupBy's map-side
-        # partial collect_list and adds no window sort: measured ~2x
-        # on the sf0.1 bench when the window variant forced the full
-        # bands exchange first. Per-row memory stays O(bucket), the
-        # same bound the uncapped collect already had; the explode
-        # then bounds PAIR count at ~cap^2 per sub-bucket.
-        nsub = F.ceil(F.size("ds") / F.lit(float(bucket_cap))).cast(
-            "long"
-        )
-        subs = F.when(
-            F.size("ds") <= bucket_cap, F.array(F.col("ds"))
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(0).cast("long"), nsub - 1),
-                lambda s: F.filter(
-                    F.col("ds"),
-                    lambda d: F.pmod(h32(d.cast("string")), nsub) == s,
-                ),
-            )
-        )
-        buckets = buckets.select(
-            "band", "key", F.explode(subs).alias("ds")
-        ).filter(F.size("ds") > 1)
-    # Pair expansion in two explode steps so no single row ever holds
-    # more than O(bucket) values: first posexplode the bucket into one
-    # row per ANCHOR doc (carrying the bucket array), then explode each
-    # anchor's strict suffix into (doc_a, doc_b) rows. A hot bucket of
-    # n docs — mass-duplicate corpora are exactly the LSH workload —
-    # peaks at n values per row instead of the n(n-1)/2 structs the
-    # previous single-row flatten built (one-task OOM at scale).
-    anchors = buckets.select(
-        "ds", F.posexplode("ds").alias("i", "doc_a")
-    ).filter(F.col("i") < F.size("ds") - 1)
-    cand = (
-        anchors.select(
-            "doc_a",
-            F.explode(
-                F.slice(
-                    F.col("ds"), F.col("i") + 2, F.size("ds") - F.col("i") - 1
-                )
-            ).alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _banded_candidate_pairs(bands, bucket_cap)
     # exact-verify ONLY the banded candidates — join each side's
     # distinct-shingle ARRAY onto the pair and take array_intersect;
     # cost is O(|candidates|) with no shingle-level shuffle at all

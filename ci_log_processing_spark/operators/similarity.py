@@ -491,3 +491,74 @@ def semantic_cluster_dedup(
             F.col("_dup").isNull().alias("is_kept"),
         )
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k_nn: int = 5,
+    k_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the corpus
+    embeddings — the adjacency every graph-based curation step
+    (semantic clustering into topics, kNN label propagation,
+    diversity sampling a la DSIR/D4) consumes. Each vector's k_nn
+    nearest neighbors BY COSINE are searched only inside its own
+    k-medians cluster: the same deterministic coarse quantizer the
+    IVF index and SemDeDup share, reused here as the blocking step
+    that keeps the graph build sub-quadratic.
+
+    Shape: assignment is per-row codegen on broadcast centroid
+    literals (kmeans_fit), the neighbor search is ONE self-join
+    co-partitioned on the cluster key, and the top-k cut is a
+    row_number window over each vector's OWN candidate list
+    (partition = vec_id, bounded by its cluster size). Determinism:
+    cosine rounds to 5 decimals, ties break by neighbor id — both
+    engines emit the identical edge set. Vectors whose cluster holds
+    nothing else produce no rows (an isolated node has no edges).
+
+    Recall contract, stated plainly: neighbors in OTHER clusters are
+    unreachable, exactly like ivf_multiprobe_topk at nprobe=1; a
+    multiprobe variant composes by unioning assignments to the p
+    nearest centroids before the join. A mega-cluster is bounded the
+    same way as embedding_near_dup_pairs_capped if needed — the
+    graph quality trade is the same, so it stays a caller choice.
+    """
+    if k_nn < 1:
+        raise ValueError("knn_graph: k_nn >= 1 required")
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_fit(
+        emb, k_clusters, n_iter, id_col=id_col, vec_col=vec_col,
+        keep_vec=True,
+    )
+    a = assigned.select(
+        "bkt", F.col(id_col).alias("src"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "bkt", F.col(id_col).alias("nbr"), F.col(vec_col).alias("vb")
+    )
+    scored = (
+        a.join(b, "bkt")
+        .filter(F.col("src") != F.col("nbr"))
+        .select(
+            "src",
+            "nbr",
+            cosine_col(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select(
+            F.col("src").alias(id_col),
+            F.col("nbr").alias("nbr_id"),
+            "rank",
+            "cos_sim",
+        )
+    )

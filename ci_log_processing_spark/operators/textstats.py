@@ -752,3 +752,52 @@ def model_quality_scores(
         logit.alias("model_logit"),
         (logit > 0).alias("model_keep"),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language-model quality score — the CCNet/Gopher-style
+    "how surprising is this document under the corpus itself" signal
+    used to rank crawl text before training. The corpus IS the LM:
+    P(tok) = count(tok) / N over all token instances.
+
+    Surprisal is QUANTIZED to whole bits so the score is exact
+    integer arithmetic both engines reproduce bit-for-bit:
+    bits(tok) = floor(log2 N) - floor(log2 count(tok)), computed as
+    a binary-digit-count difference (length(bin(x)) — no libm), and
+    doc_bits = sum over the doc's token instances. The continuous
+    variant is one ln() swap away; the quantized score preserves the
+    Zipf ordering that matters for filtering (rare-token gibberish
+    scores high, boilerplate near 0) while staying oracle-exact.
+
+    Scale shape: explode -> (token) partial+final count aggregate —
+    shuffled volume is the vocabulary, not token instances — then
+    the instance->vocab hash join co-partitions on the token key the
+    vocab aggregate already produced, and the per-doc sum is one
+    more partial+final aggregate on doc_id. N joins in as a
+    broadcast 1-row literal. Three exchanges total, all
+    combine-friendly; nothing is ever collected to the driver.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    bits = F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bits").alias("surprisal_bits"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "surprisal_bits",
+            "n_tokens",
+            F.round(
+                F.col("surprisal_bits") / F.col("n_tokens"), 5
+            ).alias("bits_per_token"),
+        )
+    )

@@ -639,3 +639,106 @@ FROM t JOIN cfg
  AND cfg.cfg_ts <= t.ts
 WHERE CAST(substr(t.conv_id, 6) AS INT) % 23 = 3
 """
+
+
+def q_error_spike() -> str:
+    """error_spike_hours twin (operators/aggregate.py): identical
+    exact-integer z-score rule — hour is a spike iff
+    n*c - s1 > 0 AND (n*c - s1)^2 > 4*(c*s2 - s1^2)."""
+    return pipeline_cte() + """,
+hourly AS (
+  SELECT subsystem, date_trunc('hour', filled_ts) AS window_start,
+         count(*) AS n
+  FROM routed WHERE sink = 'errors' GROUP BY 1, 2
+),
+st AS (
+  SELECT subsystem, window_start, n,
+         count(*) OVER (PARTITION BY subsystem) AS c,
+         sum(n) OVER (PARTITION BY subsystem)::BIGINT AS s1,
+         sum(n * n) OVER (PARTITION BY subsystem)::BIGINT AS s2
+  FROM hourly
+)
+SELECT subsystem, window_start, n,
+       round(s1 / c, 5) AS mean_n,
+       (n * c - s1 > 0 AND
+        (n * c - s1) * (n * c - s1) > 4 * (c * s2 - s1 * s1)) AS is_spike
+FROM st
+"""
+
+
+def q_turn_latency() -> str:
+    """turn_latency_percentiles twin (operators/aggregate.py): the
+    same value-histogram exact discrete quantile — smallest gap whose
+    running count reaches ceil(p*n), rank in integer division."""
+    return pipeline_cte() + """,
+gaps AS (
+  SELECT sink,
+         epoch_ms(lead(filled_ts) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx)) - epoch_ms(filled_ts)
+           AS gap_ms
+  FROM routed
+),
+hist AS (
+  SELECT sink, gap_ms, count(*) AS c FROM gaps
+  WHERE gap_ms IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT sink, gap_ms,
+         sum(c) OVER (PARTITION BY sink ORDER BY gap_ms
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY sink)::BIGINT AS n
+  FROM hist
+)
+SELECT sink, max(n) AS n_calls,
+       min(CASE WHEN cum >= (1 * n + 1) // 2 THEN gap_ms END) AS p50_ms,
+       min(CASE WHEN cum >= (19 * n + 19) // 20 THEN gap_ms END) AS p95_ms,
+       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap_ms END) AS p99_ms
+FROM cum GROUP BY sink
+"""
+
+
+def q_hll_distinct() -> str:
+    """hll_distinct_convs twin (operators/aggregate.py): the same
+    from-scratch deterministic HyperLogLog — md5-based h32, m = 64
+    registers from the top 6 bits, rho = 27 - bitlength(low 26
+    bits), integral harmonic sum S = sum(2^(27-Mj)) with missing
+    buckets at 2^27, linear-counting small-range correction. The
+    only float ops run on identical integers in both engines;
+    multiplying by 64 twice vs 4096 once is exact (power-of-two
+    scaling), and round(...,2) absorbs libm ulp skew in ln()."""
+    h = "CAST(('0x' || substr(md5(conv_id), 1, 8)) AS BIGINT)"
+    # every float literal cast to DOUBLE: DuckDB parses bare decimal
+    # literals as DECIMAL, whose arithmetic would diverge from
+    # Spark's double path
+    raw = (
+        "(0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / 64::DOUBLE))"
+        " * 64 * 64 * 134217728 / s"
+    )
+    return pipeline_cte() + f""",
+regs AS (
+  SELECT sink, {h} >> 26 AS j,
+         max(CASE WHEN ({h} & 67108863) = 0 THEN 27
+                  ELSE 27 - length(bin({h} & 67108863)) END) AS mj
+  FROM routed GROUP BY 1, 2
+),
+agg AS (
+  SELECT sink,
+         (sum(1::BIGINT << CAST(27 - mj AS INT))::BIGINT
+          + (64 - count(*)) * 134217728) AS s,
+         64 - count(*) AS v
+  FROM regs GROUP BY sink
+),
+est AS (
+  SELECT sink,
+         CASE WHEN {raw} <= 160::DOUBLE AND v > 0
+              THEN 64 * ln(64::DOUBLE / v) ELSE {raw} END AS e
+  FROM agg
+),
+ex AS (
+  SELECT sink, count(DISTINCT conv_id) AS exact_distinct
+  FROM routed GROUP BY sink
+)
+SELECT est.sink, round(est.e, 2) AS hll_distinct, ex.exact_distinct
+FROM est JOIN ex USING (sink)
+"""

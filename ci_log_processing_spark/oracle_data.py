@@ -119,13 +119,12 @@ inter AS (
     )
 
 
-def q_dedup_minhash_lsh(
-    threshold: float = 0.6, bucket_cap: int | None = 64
-) -> str:
-    """Twin of operators.dedup.minhash_lsh_pairs, including its
-    default mega-bucket guard: (band, key) buckets larger than
-    bucket_cap split into ceil(n / cap) sub-buckets by the same
-    deterministic doc_id hash, pairs only inside a sub-bucket."""
+def _minhash_cand_ctes(bucket_cap: int | None) -> str:
+    """Shared signature/band/candidate CTE chunk (appends to
+    _shingle_ctes(), ends with `cand` and keeps `sigs` in scope) —
+    used by the verify (q_dedup_minhash_lsh) and estimate
+    (q_dedup_minhash_estimate) twins so cap/pair semantics cannot
+    drift between them, mirroring dedup._banded_candidate_pairs."""
     perm_rows = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
     )
@@ -142,9 +141,7 @@ bsub AS (
     else:
         band_ctes = ""
         pair_src, sub_eq = "bands", ""
-    return (
-        _shingle_ctes()
-        + f""",
+    return f""",
 perms AS (SELECT * FROM (VALUES {perm_rows}) p(j, a, b)),
 mins AS (
   SELECT sh.doc_id, p.j,
@@ -165,7 +162,20 @@ cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM {pair_src} x JOIN {pair_src} y
     ON x.band = y.band AND x.key = y.key{sub_eq} AND x.doc_id < y.doc_id
-),
+)"""
+
+
+def q_dedup_minhash_lsh(
+    threshold: float = 0.6, bucket_cap: int | None = 64
+) -> str:
+    """Twin of operators.dedup.minhash_lsh_pairs, including its
+    default mega-bucket guard: (band, key) buckets larger than
+    bucket_cap split into ceil(n / cap) sub-buckets by the same
+    deterministic doc_id hash, pairs only inside a sub-bucket."""
+    return (
+        _shingle_ctes()
+        + _minhash_cand_ctes(bucket_cap)
+        + """,
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
   FROM cand c
@@ -175,6 +185,33 @@ inter AS (
 )
 """
         + _JACCARD_TAIL.format(thr=threshold)
+    )
+
+
+def q_dedup_minhash_estimate(
+    threshold: float = 0.5, bucket_cap: int | None = 64
+) -> str:
+    """Twin of operators.dedup.minhash_estimate_pairs: identical
+    candidate generation, scored by the signature-component match
+    fraction instead of the exact-Jaccard verify. n_equal is an
+    integer, /16 a power-of-two division — exact in both engines."""
+    n_perm = len(MINHASH_PARAMS)
+    n_eq = (
+        f"len(list_filter(range(1, {n_perm} + 1), "
+        "i -> a.sig[i] = b.sig[i]))"
+    )
+    return (
+        _shingle_ctes()
+        + _minhash_cand_ctes(bucket_cap)
+        + f"""
+SELECT c.doc_a, c.doc_b,
+       {n_eq} AS n_equal,
+       {n_eq} / {n_perm} AS est_jaccard
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+WHERE {n_eq} / {n_perm} >= {threshold}
+"""
     )
 
 
@@ -1613,4 +1650,58 @@ SELECT doc_id, max(n_lines) AS n_lines,
        array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
 FROM lines ANTI JOIN hot USING (line)
 GROUP BY doc_id
+"""
+
+
+def q_unigram_logprob() -> str:
+    """unigram_logprob twin (operators/textstats.py): identical
+    integer bit-surprisal — bits = length(bin(N)) - length(bin(cnt))
+    per token instance, summed per doc; the only float op is the
+    final per-token average, on identical integers."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM vocab),
+bits AS (
+  SELECT t.doc_id,
+         length(bin(tot.n_total)) - length(bin(v.cnt)) AS b
+  FROM toks t JOIN vocab v USING (tok), tot
+)
+SELECT doc_id,
+       sum(b)::BIGINT AS surprisal_bits,
+       count(*) AS n_tokens,
+       round(sum(b)::BIGINT / count(*), 5) AS bits_per_token
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_knn_graph(
+    k_nn: int = 5, k_clusters: int = 8, n_iter: int = 2
+) -> str:
+    """knn_graph twin (operators/similarity.py): the same unrolled
+    k-medians assignment, then per vector the k_nn same-cluster
+    neighbors ranked by (cosine DESC, neighbor id ASC) — cosine
+    rounded to 5 decimals in both engines before ranking, so the
+    edge set is identical."""
+    cos = (
+        "round(list_dot_product(a.emb, b.emb) /"
+        " (sqrt(list_dot_product(a.emb, a.emb)) *"
+        " sqrt(list_dot_product(b.emb, b.emb))), 5)"
+    )
+    return f"""{_kmeans_ctes(k_clusters, n_iter)},
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr, {cos} AS cos_sim
+  FROM final a JOIN final b
+    ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, nbr, cos_sim,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos_sim DESC, nbr ASC) AS rank
+  FROM scored
+)
+SELECT src AS vec_id, nbr AS nbr_id, rank, cos_sim
+FROM ranked WHERE rank <= {k_nn}
 """

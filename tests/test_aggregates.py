@@ -208,3 +208,109 @@ def test_session_window_fuzz_vs_islands(spark):
                 int(s["turn_idx"].max()),
             )
     assert got == exp
+
+
+def test_error_spike_exact_zscore(spark):
+    """One subsystem with a clear burst hour flags exactly that hour;
+    a flat subsystem flags nothing. Rule: n > mean + 2*sigma_pop in
+    exact integer arithmetic."""
+    from ci_log_processing_spark.operators.aggregate import (
+        error_spike_hours,
+    )
+
+    rows = []
+    # nova: hours 0..5 have 2 errors each, hour 6 has 40 (clear spike)
+    for h in range(6):
+        rows += [("errors", "ERROR", "nova", T(2024, 1, 1, h, m))
+                 for m in (5, 25)]
+    rows += [("errors", "ERROR", "nova", T(2024, 1, 1, 6, m % 60))
+             for m in range(40)]
+    # glance: flat 3/hour over 4 hours -> sigma = 0, no spikes
+    for h in range(4):
+        rows += [("errors", "ERROR", "glance", T(2024, 1, 1, h, m))
+                 for m in (1, 2, 3)]
+    # non-error rows must be ignored
+    rows += [("agent_turns", None, "nova", T(2024, 1, 1, 6, 0))] * 50
+    df = spark.createDataFrame(
+        rows,
+        "sink string, severity string, subsystem string, "
+        "filled_ts timestamp",
+    )
+    out = {(r["subsystem"], r["window_start"].hour): r
+           for r in error_spike_hours(df).collect()}
+    spikes = {k for k, r in out.items() if r["is_spike"]}
+    assert spikes == {("nova", 6)}
+    # mean over nova's 7 observed hours: (6*2 + 40)/7
+    assert out[("nova", 6)]["mean_n"] == round(52 / 7, 5)
+    # glance rows exist but none spike (sigma = 0 and n == mean)
+    assert ("glance", 0) in out
+
+
+def test_turn_latency_exact_discrete_percentiles(spark):
+    """p50/p95/p99 pick the value at rank ceil(p*n) of the sorted
+    gaps — verified against a hand-enumerated distribution."""
+    from ci_log_processing_spark.operators.aggregate import (
+        turn_latency_percentiles,
+    )
+
+    # one conv, 11 turns -> 10 gaps of 1..10 seconds, all same sink
+    rows = []
+    t = 0
+    for i, gap in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]):
+        t += gap
+        rows.append(("c1", i, "tool_calls", T(2024, 1, 1, 0, 0, t)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, sink string, "
+        "filled_ts timestamp",
+    )
+    out = {r["sink"]: r for r in turn_latency_percentiles(df).collect()}
+    r = out["tool_calls"]
+    assert r["n_calls"] == 10
+    # ranks: ceil(.5*10)=5 -> 5s; ceil(.95*10)=10 -> 10s; ceil(.99*10)=10
+    assert r["p50_ms"] == 5000
+    assert r["p95_ms"] == 10000
+    assert r["p99_ms"] == 10000
+
+
+def test_hll_distinct_close_to_exact(spark):
+    """The 64-register HLL estimate lands within ~3 standard errors
+    (1.04/sqrt(64) ~ 13%) of the true distinct count, and the exact
+    column is exact."""
+    from ci_log_processing_spark.operators.aggregate import (
+        hll_distinct_convs,
+    )
+
+    rows = [(f"conv-{i % 700}", "agent_turns") for i in range(5000)]
+    rows += [(f"conv-{i}", "errors") for i in range(40)]
+    df = spark.createDataFrame(rows, "conv_id string, sink string")
+    out = {r["sink"]: r for r in hll_distinct_convs(df).collect()}
+    assert out["agent_turns"]["exact_distinct"] == 700
+    assert abs(out["agent_turns"]["hll_distinct"] - 700) / 700 < 0.40
+    assert out["errors"]["exact_distinct"] == 40
+    # small-range linear counting regime: much tighter
+    assert abs(out["errors"]["hll_distinct"] - 40) / 40 < 0.30
+
+
+def test_unigram_logprob_zipf_ordering(spark):
+    """Rare-token docs carry more surprisal bits per token than docs
+    made of the corpus's most common token; bit math is exact."""
+    from ci_log_processing_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # 4x the commonest token
+            (2, "the the the the"),
+            (3, "rare1 rare2 the the"),      # two singletons
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # N = 12 total tokens -> bin length 4; 'the' cnt=10 -> 4, bits 0
+    assert out[1]["surprisal_bits"] == 0
+    assert out[1]["n_tokens"] == 4
+    # rare tokens: cnt=1 -> bin length 1 -> 3 bits each
+    assert out[3]["surprisal_bits"] == 6
+    assert out[3]["bits_per_token"] == 1.5
+    assert out[3]["bits_per_token"] > out[1]["bits_per_token"]

@@ -305,3 +305,33 @@ def test_shingle_impls_equal(spark):
     assert set(a) == {1, 3, 4}
     assert a[3] == ["r r r r r"]
     assert a[1][0] == "a b c d e"
+
+
+def test_minhash_estimate_vs_exact(spark):
+    """The signature estimate agrees with exact Jaccard within the
+    16-permutation estimator's granularity on a known near-dup pair,
+    and identical docs estimate exactly 1.0."""
+    from ci_log_processing_spark.operators.dedup import (
+        minhash_estimate_pairs,
+        minhash_lsh_pairs,
+        release_persisted,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x1 x2"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, "totally different text here "
+                                              "with other words entirely")],
+        "doc_id long, text string",
+    )
+    est = {(r["doc_a"], r["doc_b"]): r
+           for r in minhash_estimate_pairs(docs, threshold=0.25).collect()}
+    assert est[(1, 2)]["n_equal"] == 16
+    assert est[(1, 2)]["est_jaccard"] == 1.0
+    assert (1, 3) in est and est[(1, 3)]["est_jaccard"] >= 0.25
+    # exact twin agrees on the candidate set (same banding)
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(
+                 docs, spark, threshold=0.25).collect()}
+    assert (1, 2) in exact
+    release_persisted()

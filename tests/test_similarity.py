@@ -166,3 +166,34 @@ def test_kmeans_fit_deterministic_and_separates(spark):
     assert out == out2
     with _pt.raises(ValueError, match="k >= 1"):
         kmeans_fit(emb, k=0)
+
+
+def test_knn_graph_edges(spark):
+    """Every vector gets <= k_nn edges, ranked by cosine desc with
+    id tie-break, and neighbors never cross clusters."""
+    from ci_log_processing_spark.operators.similarity import (
+        kmeans_fit,
+        knn_graph,
+    )
+
+    # two well-separated groups in 2d
+    vecs = [(i, [1.0 + 0.01 * i, 0.02 * i]) for i in range(6)]
+    vecs += [(10 + i, [-1.0 - 0.01 * i, 0.03 * i]) for i in range(6)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    g = knn_graph(emb, k_nn=3, k_clusters=2, n_iter=2).collect()
+    by_src = {}
+    for r in g:
+        by_src.setdefault(r["vec_id"], []).append(r)
+    assigned = {
+        r["vec_id"]: r["bkt"]
+        for r in kmeans_fit(emb, k=2, n_iter=2).collect()
+    }
+    for src, edges in by_src.items():
+        assert len(edges) <= 3
+        ranks = sorted(e["rank"] for e in edges)
+        assert ranks == list(range(1, len(edges) + 1))
+        sims = [e["cos_sim"] for e in sorted(edges, key=lambda e: e["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        for e in edges:
+            assert assigned[e["nbr_id"]] == assigned[src]
+            assert e["nbr_id"] != src

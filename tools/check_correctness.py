@@ -60,8 +60,9 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    filters = [f for f in name_filter.split(",") if f]
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if filters and not any(f in name for f in filters):
             continue
         # several operators persist() intermediates for single-scan
         # plans; clear between queries so the sweep doesn't accumulate
