@@ -1242,12 +1242,46 @@ def q_chunk_documents(spark, sf_dir):
 
 
 CONTAM_SNIPPETS = ["merge batch part", "scan slow fast", "vector table fast"]
+# >= 5 tokens each so the Bloom variant's 5-token shingling bites
+BLOOM_SNIPPETS = [
+    "key agg row scan slow fast",
+    "batch window spark order data column",
+    "small fast slow filter value",
+]
 
 
 def q_decontaminate(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import decontaminate
 
     return decontaminate(_docs(spark, sf_dir), CONTAM_SNIPPETS)
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter shingle decontamination (operators/curation.py
+    bloom_decontaminate) — sketch membership, engine-exact bits."""
+    from ci_log_processing_spark.operators.curation import (
+        bloom_decontaminate,
+    )
+
+    return bloom_decontaminate(_docs(spark, sf_dir), BLOOM_SNIPPETS)
+
+
+def q_priority_sample(spark, sf_dir):
+    """Duffield-Lund-Thorup priority sampling, 10 docs per source
+    (operators/curation.py priority_sample)."""
+    from ci_log_processing_spark.operators.curation import priority_sample
+
+    return priority_sample(_docs(spark, sf_dir), k=10)
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-source perplexity tertiles (operators/
+    curation.py perplexity_buckets over textstats.unigram_logprob)."""
+    from ci_log_processing_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(_docs(spark, sf_dir), n_buckets=3)
 
 
 def q_stratified_downsample(spark, sf_dir):
@@ -1578,6 +1612,17 @@ def q_knn_graph(spark, sf_dir):
     return knn_graph(_emb(spark, sf_dir), k_nn=5, k_clusters=8, n_iter=2)
 
 
+def q_knn_graph_multiprobe(spark, sf_dir):
+    """kNN graph with the source side probing its 2 nearest cells
+    (operators/similarity.py knn_graph nprobe=2) — the recall-boosted
+    variant; corpus vectors stay in their argmin cell."""
+    from ci_log_processing_spark.operators.similarity import knn_graph
+
+    return knn_graph(
+        _emb(spark, sf_dir), k_nn=5, k_clusters=8, n_iter=2, nprobe=2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse -> enrich -> route -> hourly aggregate."""
     return q_agg_hourly(spark, "/root/testdata/sf0.001")
@@ -1714,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
             "sim_kmeans_fit": q_kmeans_fit,
             "sim_knn_graph": q_knn_graph,
+            "sim_knn_graph_multiprobe": q_knn_graph_multiprobe,
             "dedup_semantic_cluster": q_semantic_cluster_dedup,
             "cur_mixture_sample": q_mixture_sample,
             "cur_lang_mixture": q_lang_mixture,
@@ -1722,6 +1768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_shuffle_index": q_shuffle_index,
             "text_line_dedup": q_line_dedup,
             "cur_decontaminate": q_decontaminate,
+            "cur_bloom_decontaminate": q_bloom_decontaminate,
+            "cur_priority_sample": q_priority_sample,
+            "cur_perplexity_buckets": q_perplexity_buckets,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_source_caps": q_source_caps,
@@ -1831,6 +1880,9 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["stream_ingest_curation"] = _qsic(0.45)
     from ci_log_processing_spark import oracle_data as od
+    from ci_log_processing_spark.operators.curation import (
+        bloom_bits as _bloom_bits,
+    )
 
     sqls.update(
         {
@@ -1865,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
             "sim_knn_graph": od.q_knn_graph(5, 8, 2),
+            "sim_knn_graph_multiprobe": od.q_knn_graph(5, 8, 2, 2),
             "dedup_semantic_cluster": od.q_semantic_cluster_dedup(
                 8, 2, 0.30
             ),
@@ -1879,6 +1932,11 @@ def oracle_sql() -> dict[str, str]:
             "cur_shuffle_index": od.q_shuffle_index(100),
             "text_line_dedup": od.q_line_dedup(3),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
+            "cur_bloom_decontaminate": od.q_bloom_decontaminate(
+                _bloom_bits(BLOOM_SNIPPETS)
+            ),
+            "cur_priority_sample": od.q_priority_sample(10),
+            "cur_perplexity_buckets": od.q_perplexity_buckets(3),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_source_caps": od.q_source_caps(40),

@@ -309,6 +309,71 @@ def main():
         ),
     )
 
+    # round-4 additions: exact latency percentiles (value-histogram
+    # shape), deterministic HLL distinct, the kNN graph (cluster-
+    # blocked cosine top-k), and signature-estimated Jaccard pairs
+    bench(
+        "pipe_latency_pctl",
+        lambda: checksum(
+            entrymod.q_turn_latency(spark, sf_dir),
+            ["sink", "n_calls", "p50_ms", "p95_ms", "p99_ms"],
+        ),
+    )
+    bench(
+        "pipe_hll_distinct",
+        lambda: checksum(
+            entrymod.q_hll_distinct(spark, sf_dir),
+            ["sink", "hll_distinct", "exact_distinct"],
+        ),
+    )
+    bench(
+        "sim_knn_graph",
+        lambda: checksum(
+            entrymod.q_knn_graph(spark, sf_dir),
+            ["vec_id", "nbr_id", "rank", "cos_sim"],
+        ),
+    )
+    bench(
+        "dedup_minhash_estimate",
+        lambda: checksum(
+            entrymod.q_dedup_minhash_estimate(spark, sf_dir),
+            ["doc_a", "doc_b", "n_equal", "est_jaccard"],
+        ),
+    )
+
+    # kNN-graph fitness: recall@5 vs the exact neighbors of a
+    # 64-vector probe sample, at nprobe=1 (argmin cell only) and
+    # nprobe=2 (the recall-boosted variant)
+    from ci_log_processing_spark.operators.similarity import knn_graph
+
+    g_probe = emb.filter(F.col("vec_id") < 64)
+    g_truth = (
+        brute_force_topk(emb, g_probe, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_g_truth = g_truth.count()
+
+    def _graph_recall(nprobe: int) -> float:
+        g = knn_graph(emb, k_nn=5, k_clusters=8, n_iter=2, nprobe=nprobe)
+        hit = (
+            g.filter(F.col("vec_id") < 64)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("nbr_id").alias("neighbor_id"),
+            )
+            .join(g_truth, ["query_id", "neighbor_id"])
+        )
+        return round(hit.count() / n_g_truth, 4)
+
+    extras["knn_graph_recall_at_5"] = {
+        "nprobe1": _graph_recall(1),
+        "nprobe2": _graph_recall(2),
+    }
+    g_truth.unpersist()
+    release_persisted()
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     # the round-1 suite was these six queries; keep their subtotal so
     # cross-round comparisons aren't skewed by the suite growing
@@ -332,6 +397,14 @@ def main():
         "cur_full_curation_v3",
     ]
     r3_subtotal = round(sum(timings[q] for q in R3_QUERIES), 3)
+    # the round-4 suite adds these four (plus text_repetition_arrow
+    # and text_tfidf_pruned which joined mid-round-3)
+    R4_QUERIES = R3_QUERIES + [
+        "text_repetition_arrow", "text_tfidf_pruned",
+        "pipe_latency_pctl", "pipe_hll_distinct", "sim_knn_graph",
+        "dedup_minhash_estimate",
+    ]
+    r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the
     # TAIL of stdout, so the large static extras (scaling studies)
     # print FIRST and the per-round data the judge needs — value,
@@ -365,6 +438,7 @@ def main():
         "value_round1_subset": r1_subtotal,
         "value_round2_subset": r2_subtotal,
         "value_round3_subset": r3_subtotal,
+        "value_round4_subset": r4_subtotal,
         "round3_suite": R3_QUERIES,
         "queries": timings,
         "value": total,

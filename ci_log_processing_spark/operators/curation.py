@@ -618,3 +618,208 @@ def length_quantiles(
         _at(99, 100, "p99_tokens"),
         F.max(F.col("_n")).cast("long").alias("n_docs"),
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "prio",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a weighted
+    sample WITHOUT replacement of k items per group whose
+    subset-sum estimator is unbiased — the principled way to keep
+    "a representative 1%" of a corpus where long documents should
+    be kept proportionally more often than short ones, while still
+    being able to estimate any total over the dropped mass.
+
+    Priority q_i = w_i / u_i with u_i uniform in (0, 1]; keep the k
+    largest priorities; tau = the (k+1)-th priority; each survivor
+    estimates its weight class as w_hat = max(w_i, tau). Groups
+    with <= k members keep everything (tau undefined -> w_hat = w).
+
+    Deterministic and engine-exact: u_i = (h32(seed||id) + 1) / 2^32
+    so q_i = w_i * 2^32 / (h + 1) — the numerator w*2^32 stays below
+    2^53 for any realistic weight (exactly representable), the
+    denominator is an exact integer, and the single IEEE division is
+    correctly rounded identically in Spark and DuckDB. No RNG state,
+    no resampling drift between re-runs.
+
+    Scale shape: ONE hash exchange on the group key feeding both the
+    rank window and the tau window (same partitioning); the priority
+    itself is a per-row expression. Identical to the
+    quality_top_fraction plan class — safe at any corpus size, and
+    AQE splits a skewed group's sort.
+    """
+    if k < 1:
+        raise ValueError("priority_sample: k >= 1 required")
+    from .dedup import h32
+
+    h = h32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(4294967296.0)
+        / (h + F.lit(1)).cast("double")
+    )
+    wg = Window.partitionBy(group_col)
+    ranked = docs.select(
+        group_col,
+        id_col,
+        F.col(weight_col).alias("w"),
+        q.alias("priority"),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            wg.orderBy(F.desc("priority"), F.asc(id_col))
+        ),
+    )
+    tau = F.max(F.when(F.col("_rn") == k + 1, F.col("priority"))).over(wg)
+    return (
+        ranked.withColumn("_tau", tau)
+        .filter(F.col("_rn") <= k)
+        .select(
+            group_col,
+            id_col,
+            "w",
+            "priority",
+            F.greatest(
+                F.col("w").cast("double"), F.coalesce("_tau", F.lit(0.0))
+            ).alias("w_hat"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document by its unigram-LM surprisal WITHIN its group and
+    split the ranking into n_buckets equal-frequency buckets —
+    bucket 0 ("head") is the most fluent third, the slice CCNet
+    keeps outright; the tail is reviewed or dropped. Runs on the
+    corpus's own LM (textstats.unigram_logprob), so no external
+    model and no RNG.
+
+    Bucket rule, integer-exact in both engines:
+    bucket = ((rank - 1) * n_buckets) div n with rank ordered by
+    (bits_per_token, doc_id) — a deterministic ntile that cannot
+    drift on ties the way engine-native NTILE edge rules can.
+
+    Scale shape: unigram_logprob's three combine-friendly exchanges
+    (vocabulary-sized, not token-sized), one doc-keyed hash join to
+    recover the group column, then ONE group-keyed exchange feeding
+    both the rank and count windows. Nothing collected.
+    """
+    if n_buckets < 1:
+        raise ValueError("perplexity_buckets: n_buckets >= 1 required")
+    from .textstats import unigram_logprob
+
+    scored = unigram_logprob(docs, text_col=text_col).join(
+        docs.select("doc_id", group_col), "doc_id"
+    )
+    wg = Window.partitionBy(group_col)
+    ranked = scored.select(
+        "doc_id",
+        group_col,
+        "bits_per_token",
+        F.row_number()
+        .over(wg.orderBy("bits_per_token", "doc_id"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    return ranked.select(
+        "doc_id",
+        group_col,
+        "bits_per_token",
+        F.expr(f"((_rn - 1) * {n_buckets}) div _n").alias("ppl_bucket"),
+    )
+
+
+def bloom_bits(
+    benchmark_snippets: list[str],
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+    shingle_k: int = 5,
+) -> list[int]:
+    """The Bloom filter BUILD: the sorted set-bit positions for a
+    benchmark suite's k-token shingles under k_hashes salted md5
+    hashes. One definition shared by bloom_decontaminate and its
+    DuckDB oracle twin so the filter cannot drift between the two
+    membership checkers. Python md5 here is bit-identical to the
+    engines' md5 (same bytes in, same hex out)."""
+    if not benchmark_snippets:
+        raise ValueError("need at least one snippet")
+    import hashlib
+
+    def _py_h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    bench_shingles: set[str] = set()
+    for snip in benchmark_snippets:
+        toks = snip.lower().split(" ")
+        for i in range(len(toks) - shingle_k + 1):
+            bench_shingles.add(" ".join(toks[i : i + shingle_k]))
+    return sorted(
+        {
+            _py_h32(f"{i}:{s}") % m_bits
+            for s in bench_shingles
+            for i in range(k_hashes)
+        }
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark_snippets: list[str],
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+    shingle_k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER over
+    k-token shingles — the sketch that replaces `decontaminate`'s
+    literal substring chain when the benchmark suite is too large to
+    inline (millions of eval n-grams): the filter is m bits
+    regardless of suite size, membership is O(k_hashes) per shingle,
+    and false positives only ever OVER-flag (a contaminated doc can
+    never slip through — the safe direction for decontamination).
+
+    Build (driver-side, the suite is read once): every snippet's
+    k-token shingles set bits h_i(s) = h32(f"{i}:{s}") mod m for
+    i < k_hashes. Check (per-row, zero shuffle): a doc is flagged
+    iff ANY of its shingles has ALL k_hashes bits set. Both engines
+    share h32/md5 and the whitespace shingling, so flags are
+    engine-exact INCLUDING false positives; `n_hit_shingles` rides
+    along to size the blast radius. Snippets shorter than shingle_k
+    tokens contribute no shingles (use `decontaminate` for those).
+
+    At 100 TB the bit set leaves the expression literal and becomes
+    a broadcast (the array here is exactly the broadcast payload);
+    the per-row check shape is unchanged.
+    """
+    bits = bloom_bits(benchmark_snippets, m_bits, k_hashes, shingle_k)
+    bits_lit = F.array(*[F.lit(b) for b in bits])
+
+    from .dedup import h32, shingles_col, tokens_col
+
+    def _member(s: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(k_hashes):
+            pos = F.pmod(
+                h32(F.concat(F.lit(f"{i}:"), s)), F.lit(m_bits)
+            ).cast("int")
+            cond = cond & F.array_contains(bits_lit, pos)
+        return cond
+
+    sh = shingles_col(tokens_col(F.col(text_col)), k=shingle_k)
+    hits = F.filter(sh, _member)
+    return docs.select(
+        "doc_id",
+        (F.size(hits) > 0).alias("bloom_hit"),
+        F.size(hits).alias("n_hit_shingles"),
+    )

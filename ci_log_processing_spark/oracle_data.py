@@ -1678,22 +1678,26 @@ FROM bits GROUP BY doc_id
 
 
 def q_knn_graph(
-    k_nn: int = 5, k_clusters: int = 8, n_iter: int = 2
+    k_nn: int = 5, k_clusters: int = 8, n_iter: int = 2, nprobe: int = 1
 ) -> str:
     """knn_graph twin (operators/similarity.py): the same unrolled
-    k-medians assignment, then per vector the k_nn same-cluster
-    neighbors ranked by (cosine DESC, neighbor id ASC) — cosine
-    rounded to 5 decimals in both engines before ranking, so the
-    edge set is identical."""
+    k-medians assignment, then per vector the k_nn neighbors from its
+    nprobe nearest cells (source side probes final_all rnk <= nprobe;
+    corpus side stays in its rnk = 1 argmin cell) ranked by
+    (cosine DESC, neighbor id ASC) — cosine rounded to 5 decimals in
+    both engines before ranking, so the edge set is identical."""
     cos = (
         "round(list_dot_product(a.emb, b.emb) /"
         " (sqrt(list_dot_product(a.emb, a.emb)) *"
         " sqrt(list_dot_product(b.emb, b.emb))), 5)"
     )
     return f"""{_kmeans_ctes(k_clusters, n_iter)},
+probe AS (
+  SELECT vec_id, emb, bkt FROM final_all WHERE rnk <= {nprobe}
+),
 scored AS (
   SELECT a.vec_id AS src, b.vec_id AS nbr, {cos} AS cos_sim
-  FROM final a JOIN final b
+  FROM probe a JOIN final b
     ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
 ),
 ranked AS (
@@ -1704,4 +1708,95 @@ ranked AS (
 )
 SELECT src AS vec_id, nbr AS nbr_id, rank, cos_sim
 FROM ranked WHERE rank <= {k_nn}
+"""
+
+
+def q_priority_sample(k: int = 10, seed: str = "prio") -> str:
+    """priority_sample twin (operators/curation.py): identical
+    priority w * 2^32 / (h32(seed||id) + 1) — one fp multiply + one
+    correctly-rounded division over exact integers, so both engines
+    hold the same doubles; rank/tau windows mirror the operator."""
+    h = _H32.format(x=f"{_sql_str(seed)} || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars AS w,
+         n_chars::DOUBLE * 4294967296 / ({h} + 1) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM pri
+),
+taus AS (
+  SELECT source, max(CASE WHEN rn = {k + 1} THEN priority END) AS tau
+  FROM ranked GROUP BY source
+)
+SELECT r.source, r.doc_id, r.w, r.priority,
+       greatest(r.w::DOUBLE, coalesce(t.tau, 0.0)) AS w_hat
+FROM ranked r JOIN taus t USING (source)
+WHERE r.rn <= {k}
+"""
+
+
+def q_perplexity_buckets(n_buckets: int = 3) -> str:
+    """perplexity_buckets twin (operators/curation.py): the
+    q_unigram_logprob integer bit-surprisal, then the deterministic
+    ntile ((rank-1)*n) div count over (bits_per_token, doc_id)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM vocab),
+bits AS (
+  SELECT t.doc_id,
+         length(bin(tot.n_total)) - length(bin(v.cnt)) AS b
+  FROM toks t JOIN vocab v USING (tok), tot
+),
+scored AS (
+  SELECT doc_id, round(sum(b)::BIGINT / count(*), 5) AS bits_per_token
+  FROM bits GROUP BY doc_id
+),
+ranked AS (
+  SELECT s.doc_id, d.source, s.bits_per_token,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.bits_per_token, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, bits_per_token,
+       ((rn - 1) * {n_buckets}) // n AS ppl_bucket
+FROM ranked
+"""
+
+
+def q_bloom_decontaminate(
+    bits: list[int], m_bits: int = 4096, k_hashes: int = 4
+) -> str:
+    """bloom_decontaminate twin (operators/curation.py): the SAME
+    driver-computed bit positions (passed in, not recomputed — one
+    build, two membership checkers), the same md5-based h32 over
+    f"{{i}}:{{shingle}}", the same 5-token whitespace shingles."""
+    bit_arr = "[" + ", ".join(str(b) for b in bits) + "]"
+    checks = " AND ".join(
+        "list_contains("
+        + bit_arr
+        + ", CAST("
+        + _H32.format(x=f"'{i}:' || s")
+        + f" % {m_bits} AS INT))"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM sh WHERE {checks} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hit, 0) > 0 AS bloom_hit,
+       coalesce(h.n_hit, 0) AS n_hit_shingles
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """

@@ -175,3 +175,98 @@ def test_token_histogram_conserves_totals(spark):
     assert sum(r["total_tokens"] for r in h) == sum(range(1, 41))
     los = sorted(r["bucket_lo"] for r in h)
     assert los == [0, 16, 32]
+
+
+def test_priority_sample_keeps_k_and_estimator(spark):
+    from ci_log_processing_spark.operators.curation import priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, "g" if i < 30 else "small", (i % 7) + 1) for i in range(34)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = priority_sample(docs, k=5, weight_col="n_chars").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # exactly k from the big group; the 4-member group keeps all 4
+    assert len(by_src["g"]) == 5
+    assert len(by_src["small"]) == 4
+    # small group has no tau -> w_hat falls back to the raw weight
+    assert all(r["w_hat"] == float(r["w"]) for r in by_src["small"])
+    # big group: every survivor's w_hat >= its weight (max(w, tau))
+    assert all(r["w_hat"] >= r["w"] for r in by_src["g"])
+    # deterministic: a re-run picks the identical id set
+    again = priority_sample(docs, k=5, weight_col="n_chars").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_priority_sample_weight_bias(spark):
+    from ci_log_processing_spark.operators.curation import priority_sample
+
+    # one heavy doc among featherweights: w/u makes its priority
+    # floor (w=10000, u<=1) exceed the others' ceiling (w=1, u>0
+    # => q < 2^32 only when h+1 > w*2^32/that)... keep it simple:
+    # heavy q >= 10000, light q = 2^32/(h+1) can exceed that, so
+    # just assert the heavy doc is sampled at k=1 with high weight
+    # ratio 10000:1 over 20 docs via the estimator property instead:
+    docs = spark.createDataFrame(
+        [(0, "s", 100000)] + [(i, "s", 1) for i in range(1, 21)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = priority_sample(docs, k=3, weight_col="n_chars").collect()
+    assert 0 in {r["doc_id"] for r in out}  # the heavy doc survives
+
+
+def test_perplexity_buckets_orders_by_fluency(spark):
+    from ci_log_processing_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    common = "the the the the the the"
+    rare = "zyx wvu tsr qpo nml kji"
+    docs = spark.createDataFrame(
+        [(1, "s", common), (2, "s", common), (3, "s", common),
+         (4, "s", rare), (5, "s", rare), (6, "s", "the the zyx wvu a b")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in perplexity_buckets(docs, 3).collect()}
+    # boilerplate (all-common tokens) lands in the head bucket,
+    # rare-token gibberish in the tail
+    assert out[1]["ppl_bucket"] == 0
+    assert out[4]["ppl_bucket"] == 2 or out[5]["ppl_bucket"] == 2
+    assert all(0 <= r["ppl_bucket"] <= 2 for r in out.values())
+    # equal-frequency: 6 docs over 3 buckets = 2 each
+    from collections import Counter
+
+    assert Counter(r["ppl_bucket"] for r in out.values()) == {
+        0: 2, 1: 2, 2: 2
+    }
+
+
+def test_bloom_decontaminate_flags_planted_and_never_misses(spark):
+    from ci_log_processing_spark.operators.curation import (
+        bloom_bits,
+        bloom_decontaminate,
+    )
+
+    snippet = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"start {snippet} end"),          # contains the snippet
+            (2, snippet),                          # is the snippet
+            (3, "one two three four five six"),    # clean
+            (4, "tiny"),                           # < 5 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, [snippet]).collect()
+    }
+    # no false negatives, ever: both planted docs flag
+    assert out[1]["bloom_hit"] and out[2]["bloom_hit"]
+    assert out[1]["n_hit_shingles"] >= 1
+    assert not out[4]["bloom_hit"]  # shingle-less docs cannot flag
+    # the bit build is shared and deterministic
+    assert bloom_bits([snippet]) == bloom_bits([snippet])
+    assert len(bloom_bits([snippet])) <= 4  # 1 shingle x 4 hashes

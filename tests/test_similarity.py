@@ -197,3 +197,36 @@ def test_knn_graph_edges(spark):
         for e in edges:
             assert assigned[e["nbr_id"]] == assigned[src]
             assert e["nbr_id"] != src
+
+
+def test_knn_graph_multiprobe_superset_recall(spark):
+    """nprobe=2 reaches cross-cluster neighbors nprobe=1 cannot: the
+    nprobe=1 edge set is a subset of the candidate pool, and every
+    vector's edges at nprobe=2 are at least as similar rank-for-rank."""
+    from ci_log_processing_spark.operators.similarity import knn_graph
+
+    import pytest as _pt
+
+    # two clusters with a straggler near the boundary whose true
+    # nearest neighbors live in the other cell
+    vecs = [(i, [1.0, 0.01 * i]) for i in range(5)]
+    vecs += [(10 + i, [0.1, 1.0 + 0.01 * i]) for i in range(5)]
+    vecs += [(99, [0.6, 0.75])]  # boundary straggler
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    g1 = knn_graph(emb, k_nn=4, k_clusters=2, n_iter=2, nprobe=1).collect()
+    g2 = knn_graph(emb, k_nn=4, k_clusters=2, n_iter=2, nprobe=2).collect()
+
+    def best(edges, src):
+        mine = [e for e in edges if e["vec_id"] == src]
+        return {e["rank"]: e["cos_sim"] for e in mine}
+
+    for src in {e["vec_id"] for e in g1}:
+        b1, b2 = best(g1, src), best(g2, src)
+        for rank, sim in b1.items():
+            assert b2.get(rank, -2.0) >= sim  # probing more never hurts
+    # nprobe=2 with 2 clusters == exhaustive: every vector gets 4 edges
+    from collections import Counter
+
+    assert all(c == 4 for c in Counter(e["vec_id"] for e in g2).values())
+    with _pt.raises(ValueError, match="nprobe"):
+        knn_graph(emb, k_nn=2, k_clusters=2, n_iter=1, nprobe=3)
