@@ -1612,6 +1612,46 @@ def q_knn_graph(spark, sf_dir):
     return knn_graph(_emb(spark, sf_dir), k_nn=5, k_clusters=8, n_iter=2)
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming HLL over micro-batches (streaming/hll_stream.py):
+    per-batch register PARTIALS merged by max must equal the
+    single-pass batch sketch — the mergeable-sketch property, gate-
+    checked against the same DuckDB twin minus the exact column."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.sources.derived import conv_meta_sql
+    from ci_log_processing_spark.streaming.hll_stream import (
+        run_streaming_hll,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    meta = spark.sql(conv_meta_sql("spark", "events"))
+    work = tempfile.mkdtemp(prefix="gate_shll_")
+    try:
+        in_dir = os.path.join(work, "in")
+        # whole conversations per file (the readiness unit), several
+        # files so availableNow actually produces multiple batches
+        t.repartition(6, "conv_id").write.parquet(in_dir)
+        out = run_streaming_hll(
+            spark, in_dir, os.path.join(work, "out"), meta=meta
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "sink string, hll_distinct double")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """tau=0.5 temperature mixture rebalancing (operators/curation.py
+    sqrt_temperature_mixture)."""
+    from ci_log_processing_spark.operators.curation import (
+        sqrt_temperature_mixture,
+    )
+
+    return sqrt_temperature_mixture(_docs(spark, sf_dir))
+
+
 def q_knn_graph_multiprobe(spark, sf_dir):
     """kNN graph with the source side probing its 2 nearest cells
     (operators/similarity.py knn_graph nprobe=2) — the recall-boosted
@@ -1728,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["op_asof_state"] = q_asof_state
     qs["op_range_join_incidents"] = q_range_join_incidents
     qs["stream_follow_route"] = q_stream_follow
+    qs["stream_hll_distinct"] = q_stream_hll
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
     qs["stream_session_window"] = q_stream_session_window
@@ -1770,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_decontaminate": q_decontaminate,
             "cur_bloom_decontaminate": q_bloom_decontaminate,
             "cur_priority_sample": q_priority_sample,
+            "cur_temperature_mixture": q_temperature_mixture,
             "cur_perplexity_buckets": q_perplexity_buckets,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
@@ -1866,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["op_asof_state"] = oracle.q_asof_state()
     sqls["op_range_join_incidents"] = oracle.q_range_join_incidents()
     sqls["stream_follow_route"] = oracle.q_stream_follow()
+    sqls["stream_hll_distinct"] = oracle.q_hll_distinct(include_exact=False)
     sqls["stream_session_window"] = oracle.q_stream_session_window()
     sqls["stream_interval_join"] = oracle.q_stream_interval_join()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
@@ -1936,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
                 _bloom_bits(BLOOM_SNIPPETS)
             ),
             "cur_priority_sample": od.q_priority_sample(10),
+            "cur_temperature_mixture": od.q_sqrt_temperature_mixture(),
             "cur_perplexity_buckets": od.q_perplexity_buckets(3),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),

@@ -305,23 +305,52 @@ def hll_distinct_convs(df: DataFrame) -> DataFrame:
     `exact_distinct` rides along from a second aggregate (broadcast-
     joined on the tiny sink key) so the sketch error is visible in
     the gate output — at production scale you would emit only the
-    registers and merge them across partitions/days.
+    registers and merge them across partitions/days
+    (hll_partial_registers / hll_estimate are exactly that seam;
+    streaming/hll_stream.py merges per-micro-batch partials).
     """
+    sketch = hll_estimate(hll_partial_registers(df))
+    exact = df.groupBy("sink").agg(
+        F.countDistinct("conv_id").alias("exact_distinct")
+    )
+    return sketch.join(F.broadcast(exact), "sink").select(
+        "sink", "hll_distinct", "exact_distinct"
+    )
+
+
+_HLL_M, _HLL_WBITS = 64, 26
+
+
+def hll_partial_registers(df: DataFrame) -> DataFrame:
+    """The mergeable half of the sketch: (sink, j, mj) register rows
+    for any slice of the data. max() is associative, commutative and
+    IDEMPOTENT, so partials from partitions, micro-batches or days —
+    including accidentally replayed ones — merge into the exact same
+    registers the single-pass build produces. One partial+final hash
+    aggregate over at most sinks x 64 groups."""
     from .dedup import h32
 
-    m, wbits = 64, 26
+    wbits = _HLL_WBITS
     h = h32(F.col("conv_id"))
     j = F.shiftright(h, wbits)
     w = F.pmod(h, F.lit(1 << wbits))
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.select(F.col("sink"), j.alias("j"), rho.alias("rho"))
         .groupBy("sink", "j")
         .agg(F.max("rho").alias("mj"))
     )
-    per_sink = regs.groupBy("sink").agg(
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Fold register rows (possibly partials from many slices) into
+    the per-sink estimate. Re-maxing first makes the fold safe on
+    already-final registers AND on stacked partials alike."""
+    m, wbits = _HLL_M, _HLL_WBITS
+    merged = regs.groupBy("sink", "j").agg(F.max("mj").alias("mj"))
+    per_sink = merged.groupBy("sink").agg(
         F.sum(
             F.expr(
                 f"shiftleft(cast(1 as bigint), cast({wbits + 1} - mj as int))"
@@ -339,10 +368,4 @@ def hll_distinct_convs(df: DataFrame) -> DataFrame:
         (e_raw <= 2.5 * m) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(e_raw)
-    sketch = per_sink.select("sink", F.round(est, 2).alias("hll_distinct"))
-    exact = df.groupBy("sink").agg(
-        F.countDistinct("conv_id").alias("exact_distinct")
-    )
-    return sketch.join(F.broadcast(exact), "sink").select(
-        "sink", "hll_distinct", "exact_distinct"
-    )
+    return per_sink.select("sink", F.round(est, 2).alias("hll_distinct"))

@@ -823,3 +823,52 @@ def bloom_decontaminate(
         (F.size(hits) > 0).alias("bloom_hit"),
         F.size(hits).alias("n_hit_shingles"),
     )
+
+
+def sqrt_temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "source",
+    seed: str = "temp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing at tau = 0.5 (the
+    multilingual-BERT/XLM-R recipe: sample group g with probability
+    proportional to p_g^tau, upweighting rare groups): keep each doc
+    with rate r_g = sqrt(n_min / n_g), so sampled group sizes are
+    proportional to sqrt(n_g) — exactly the tau = 0.5 share — with
+    the smallest group kept whole.
+
+    tau = 0.5 specifically because every step is a CORRECTLY-ROUNDED
+    IEEE-754 op (integer divide -> sqrt -> multiply by 2^32, which
+    is exact power-of-two scaling): both engines hold bit-identical
+    thresholds, which a general pow(p, tau) cannot promise across
+    libm implementations. Other dyadic taus compose from repeated
+    sqrt if ever needed.
+
+    Admission is the same deterministic md5 gate as mixture_sample:
+    keep iff h32(seed||id) < r_g * 2^32 — no RNG state, re-runs and
+    the oracle reproduce the kept set exactly.
+
+    Scale shape: one group-count aggregate (rows = distinct groups),
+    its global min as a 1-row broadcast, then a broadcast join back
+    on the group key and a per-row threshold — the corpus itself is
+    never shuffled.
+    """
+    from .dedup import h32
+
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.sqrt(F.col("_nmin").cast("double") / F.col("_n")).alias(
+            "keep_rate"
+        ),
+    )
+    h = h32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(
+            h.cast("double") < F.col("keep_rate") * F.lit(4294967296.0)
+        )
+        .select(group_col, id_col, "keep_rate")
+    )

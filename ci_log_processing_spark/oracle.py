@@ -698,7 +698,7 @@ FROM cum GROUP BY sink
 """
 
 
-def q_hll_distinct() -> str:
+def q_hll_distinct(include_exact: bool = True) -> str:
     """hll_distinct_convs twin (operators/aggregate.py): the same
     from-scratch deterministic HyperLogLog — md5-based h32, m = 64
     registers from the top 6 bits, rho = 27 - bitlength(low 26
@@ -739,6 +739,6 @@ ex AS (
   SELECT sink, count(DISTINCT conv_id) AS exact_distinct
   FROM routed GROUP BY sink
 )
-SELECT est.sink, round(est.e, 2) AS hll_distinct, ex.exact_distinct
-FROM est JOIN ex USING (sink)
+SELECT est.sink, round(est.e, 2) AS hll_distinct{", ex.exact_distinct" if include_exact else ""}
+FROM est{" JOIN ex USING (sink)" if include_exact else ""}
 """

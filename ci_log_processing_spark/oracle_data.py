@@ -1800,3 +1800,23 @@ SELECT d.doc_id,
        coalesce(h.n_hit, 0) AS n_hit_shingles
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """
+
+
+def q_sqrt_temperature_mixture(seed: str = "temp") -> str:
+    """sqrt_temperature_mixture twin (operators/curation.py): the
+    same sqrt(n_min/n_g) rate — int divide, sqrt, x 2^32, all
+    correctly-rounded IEEE ops — and the same md5 admission gate."""
+    h = _H32.format(x=f"{_sql_str(seed)} || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source,
+         sqrt((SELECT min(n) FROM counts)::DOUBLE / n) AS keep_rate
+  FROM counts
+)
+SELECT d.source, d.doc_id, r.keep_rate
+FROM documents d JOIN rates r USING (source)
+WHERE {h}::DOUBLE < r.keep_rate * 4294967296
+"""

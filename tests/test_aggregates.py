@@ -314,3 +314,33 @@ def test_unigram_logprob_zipf_ordering(spark):
     assert out[3]["surprisal_bits"] == 6
     assert out[3]["bits_per_token"] == 1.5
     assert out[3]["bits_per_token"] > out[1]["bits_per_token"]
+
+
+def test_hll_partials_merge_exactly(spark):
+    """The mergeable-sketch property: registers built from any
+    split of the data, merged by max, equal the single-pass build —
+    including a replayed (duplicated) partial."""
+    from ci_log_processing_spark.operators.aggregate import (
+        hll_estimate,
+        hll_partial_registers,
+    )
+
+    rows = [("s%d" % (i % 3), "conv-%d" % (i % 57)) for i in range(400)]
+    df = spark.createDataFrame(rows, "sink string, conv_id string")
+    whole = {
+        r["sink"]: r["hll_distinct"]
+        for r in hll_estimate(hll_partial_registers(df)).collect()
+    }
+    h1 = hll_partial_registers(df.filter("conv_id < 'conv-3'"))
+    h2 = hll_partial_registers(df.filter("conv_id >= 'conv-3'"))
+    merged = {
+        r["sink"]: r["hll_distinct"]
+        for r in hll_estimate(h1.unionAll(h2)).collect()
+    }
+    assert merged == whole
+    # idempotence: replaying one partial changes nothing
+    replay = {
+        r["sink"]: r["hll_distinct"]
+        for r in hll_estimate(h1.unionAll(h2).unionAll(h1)).collect()
+    }
+    assert replay == whole

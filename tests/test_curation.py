@@ -270,3 +270,30 @@ def test_bloom_decontaminate_flags_planted_and_never_misses(spark):
     # the bit build is shared and deterministic
     assert bloom_bits([snippet]) == bloom_bits([snippet])
     assert len(bloom_bits([snippet])) <= 4  # 1 shingle x 4 hashes
+
+
+def test_sqrt_temperature_mixture_shares(spark):
+    from ci_log_processing_spark.operators.curation import (
+        sqrt_temperature_mixture,
+    )
+
+    # 4:1 imbalance -> tau=0.5 target shares 2:1; the small group
+    # keeps rate exactly 1.0 (kept whole)
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 4000 else "small") for i in range(5000)],
+        "doc_id long, source string",
+    )
+    out = sqrt_temperature_mixture(docs).collect()
+    kept = {}
+    rates = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        rates[r["source"]] = r["keep_rate"]
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 0.5) < 1e-12  # sqrt(1000/4000)
+    assert kept["small"] == 1000  # rate 1 keeps everything
+    # big group keeps ~ rate * n (md5 uniformity, 5% tolerance)
+    assert abs(kept["big"] - 2000) < 150
+    # deterministic
+    again = sqrt_temperature_mixture(docs).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}

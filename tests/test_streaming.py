@@ -470,3 +470,34 @@ def test_neardup_ingestion(spark, tmp_path):
         str(tmp_path / "out" / "shingles")
     )
     assert sorted(r["doc_id"] for r in sh.collect()) == [1, 2, 102]
+
+
+def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
+    """Micro-batched register partials, max-merged, must equal the
+    single-pass batch sketch over the same rows."""
+    from ci_log_processing_spark.operators.aggregate import (
+        hll_distinct_convs,
+    )
+    from ci_log_processing_spark.plans.pipeline import full_pipeline
+    from ci_log_processing_spark.sources.transcripts import (
+        load_transcripts,
+    )
+    from ci_log_processing_spark.streaming.hll_stream import (
+        run_streaming_hll,
+    )
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    in_dir = str(tmp_path / "in")
+    t.repartition(5, "conv_id").write.parquet(in_dir)
+    streamed = {
+        r["sink"]: r["hll_distinct"]
+        for r in run_streaming_hll(
+            spark, in_dir, str(tmp_path / "out"), max_files_per_trigger=2
+        ).collect()
+    }
+    batch = {
+        r["sink"]: r["hll_distinct"]
+        for r in hll_distinct_convs(full_pipeline(t, spark)).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) >= 3
