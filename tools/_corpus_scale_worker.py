@@ -213,6 +213,17 @@ def main():
         # number isolates edge-symmetrization + propagation rounds
         stats: dict[str, int] = {}
         if only is None or only & {"lsh_pairs", "components"}:
+            # warm the LSH tier too (round 4): the Arrow shingler cut
+            # its wall ~5x, so the one-time Janino compile + python
+            # worker fork no longer amortizes inside the timed run —
+            # at 600k docs the cold overhead inverted the 8->32 ratio
+            # (39->55 s cold vs 32->26 s steady; see BASELINE.md)
+            from ci_log_processing_spark.operators import (
+                dedup as _dedup_mod,
+            )
+
+            dedup_pair_edges(corpus, spark, threshold=0.6).count()
+            _dedup_mod.release_persisted()
             pairs = dedup_pair_edges(
                 corpus, spark, threshold=0.6
             ).persist()
