@@ -1673,6 +1673,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r02 − CORRECTNESS_r03) — ordered first so every one of
 # the 88 gate queries has a driver row dated r3 or r4.
 _VERIFY_FIRST = (
+    # Round-4 rotation: the 12 queries below with no driver row yet,
+    # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
+    # after this round every pre-r4 query has an r3-or-r4 row).
+    # The 6 late-round-4 additions (sim_knn_graph_multiprobe,
+    # cur_priority_sample, cur_perplexity_buckets,
+    # cur_bloom_decontaminate, cur_temperature_mixture,
+    # stream_hll_distinct) do not fit the 50-query budget; they are
+    # local-gate green (tools/check_correctness.py 106/106) and go
+    # FIRST in round 5's rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",

@@ -232,3 +232,89 @@ def test_token_entropy_two_partial_agg_exchanges(spark, tmp_path):
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_bloom_and_temperature_never_shuffle_the_corpus(spark, tmp_path):
+    """bloom_decontaminate is a pure per-row expression; the
+    temperature mixture's only exchanges aggregate GROUP COUNTS —
+    the corpus rows themselves must reach the filter via broadcast
+    join only."""
+    from ci_log_processing_spark.operators.curation import (
+        bloom_decontaminate,
+        sqrt_temperature_mixture,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}", f"s{i % 3}")
+         for i in range(30)],
+        "doc_id long, text string, source string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    plan = (
+        bloom_decontaminate(docs, ["alpha beta gamma delta epsilon"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+    plan = (
+        sqrt_temperature_mixture(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # corpus side joins broadcast; no sort-merge/shuffled-hash join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_priority_sample_single_group_exchange(spark, tmp_path):
+    """One hash exchange on the group key feeds both the rank and
+    tau windows (the quality_top_fraction plan class)."""
+    from ci_log_processing_spark.operators.curation import priority_sample
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", i + 1) for i in range(30)],
+        "doc_id long, source string, n_chars long",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        priority_sample(docs, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_latency_pctl_shuffles_distinct_values_not_turns(spark, tmp_path):
+    """The value-histogram percentile: after the conv window, the
+    only exchanges carry (group, gap) DISTINCT-value rows — the
+    hash aggregate appears before any group-keyed exchange."""
+    from ci_log_processing_spark.operators.aggregate import (
+        turn_latency_percentiles,
+    )
+
+    rows = []
+    import datetime as _dt
+
+    for c in range(6):
+        for i in range(10):
+            rows.append(
+                (f"c{c}", i, f"s{i % 2}",
+                 _dt.datetime(2024, 3, 1, 10, 0, i))
+            )
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, sink string, filled_ts timestamp"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        turn_latency_percentiles(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # partial aggregate (map-side combine) must exist: HashAggregate
+    # appears at least twice per agg (partial + final)
+    assert "HashAggregate" in plan, plan
+    # three exchanges total: conv window, (sink,gap) histogram agg,
+    # sink window/agg — anything more is a regression
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
