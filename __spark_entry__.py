@@ -1226,6 +1226,51 @@ def q_full_curation_v3(spark, sf_dir):
     )
 
 
+def q_full_curation_v4(spark, sf_dir):
+    """Round-4 composition — the SAMPLING-centric curation chain
+    built entirely from this round's operators: CCNet perplexity
+    bucketing (drop the per-source tail third) -> Bloom-filter
+    decontamination (sketch membership, over-flag-safe) -> tau=0.5
+    temperature mixture (sqrt keep rates, corpus never shuffles) ->
+    Duffield-Lund-Thorup priority sampling (k=20 per source, with
+    the w_hat estimator that keeps dropped-mass totals estimable).
+    Every admission rule is correctly-rounded IEEE or pure-integer
+    math, so the full four-stage survivor set is hash-equal to the
+    DuckDB twin."""
+    from ci_log_processing_spark.operators.curation import (
+        bloom_decontaminate,
+        perplexity_buckets,
+        priority_sample,
+        sqrt_temperature_mixture,
+    )
+    from ci_log_processing_spark.operators.dedup import _register_persist
+
+    # Each stage's SURVIVOR ID SET is persisted (doc_id only — tiny),
+    # because every set is referenced twice (its own derivation + the
+    # downstream join): without the persist, lazy re-evaluation fans
+    # the perplexity LM lineage out ~8x by the priority stage. The
+    # corpus itself is never cached — downstream stages re-scan it
+    # and semi-join the id sets, the production shape.
+    docs = _docs(spark, sf_dir)
+    head = _register_persist(
+        perplexity_buckets(docs, 3)
+        .filter(F.col("ppl_bucket") <= 1)
+        .select("doc_id")
+    )
+    kept1 = docs.join(head, "doc_id")
+    clean = _register_persist(
+        bloom_decontaminate(kept1, BLOOM_SNIPPETS)
+        .filter(~F.col("bloom_hit"))
+        .select("doc_id")
+    )
+    kept2 = kept1.join(clean, "doc_id")
+    admitted = _register_persist(
+        sqrt_temperature_mixture(kept2).select("doc_id")
+    )
+    kept3 = kept2.join(admitted, "doc_id")
+    return priority_sample(kept3, k=20)
+
+
 def q_c4_clean(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import (
         attach_c4_lines,
@@ -1821,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_bloom_decontaminate": q_bloom_decontaminate,
             "cur_priority_sample": q_priority_sample,
             "cur_temperature_mixture": q_temperature_mixture,
+            "cur_full_curation_v4": q_full_curation_v4,
             "cur_perplexity_buckets": q_perplexity_buckets,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
@@ -1989,6 +2035,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             "cur_priority_sample": od.q_priority_sample(10),
             "cur_temperature_mixture": od.q_sqrt_temperature_mixture(),
+            "cur_full_curation_v4": od.q_full_curation_v4(
+                _bloom_bits(BLOOM_SNIPPETS), 20
+            ),
             "cur_perplexity_buckets": od.q_perplexity_buckets(3),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),

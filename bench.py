@@ -341,6 +341,14 @@ def main():
         ),
     )
 
+    bench(
+        "cur_full_curation_v4",
+        lambda: checksum(
+            entrymod.q_full_curation_v4(spark, sf_dir),
+            ["source", "doc_id", "w", "priority", "w_hat"],
+        ),
+    )
+
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
     # nprobe=2 (the recall-boosted variant)
@@ -402,7 +410,7 @@ def main():
     R4_QUERIES = R3_QUERIES + [
         "text_repetition_arrow", "text_tfidf_pruned",
         "pipe_latency_pctl", "pipe_hll_distinct", "sim_knn_graph",
-        "dedup_minhash_estimate",
+        "dedup_minhash_estimate", "cur_full_curation_v4",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

@@ -1820,3 +1820,93 @@ SELECT d.source, d.doc_id, r.keep_rate
 FROM documents d JOIN rates r USING (source)
 WHERE {h}::DOUBLE < r.keep_rate * 4294967296
 """
+
+
+def q_full_curation_v4(
+    bits: list[int],
+    k: int = 20,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> str:
+    """q_full_curation_v4 twin (__spark_entry__): the four round-4
+    sampling stages composed as one CTE chain — perplexity head+middle
+    gate, Bloom shingle decontamination (same driver-built bits),
+    sqrt-temperature admission (counts over the CURRENT survivor set,
+    as the operator computes them), and priority sampling with the
+    (k+1)-th-priority tau estimator."""
+    bit_arr = "[" + ", ".join(str(b) for b in bits) + "]"
+    checks = " AND ".join(
+        "list_contains("
+        + bit_arr
+        + ", CAST("
+        + _H32.format(x=f"'{i}:' || s")
+        + f" % {m_bits} AS INT))"
+        for i in range(k_hashes)
+    )
+    h_temp = _H32.format(x="'temp' || CAST(doc_id AS VARCHAR)")
+    h_prio = _H32.format(x="'prio' || CAST(k3.doc_id AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM vocab),
+bits_t AS (
+  SELECT t.doc_id,
+         length(bin(tot.n_total)) - length(bin(v.cnt)) AS b
+  FROM toks t JOIN vocab v USING (tok), tot
+),
+scored AS (
+  SELECT doc_id, round(sum(b)::BIGINT / count(*), 5) AS bpt
+  FROM bits_t GROUP BY doc_id
+),
+rankedq AS (
+  SELECT s.doc_id, d.source,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.bpt, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM scored s JOIN documents d USING (doc_id)
+),
+head AS (
+  SELECT doc_id, source FROM rankedq WHERE ((rn - 1) * 3) // n <= 1
+),
+sh AS (
+  SELECT d.doc_id, unnest({_SHINGLES}) AS s
+  FROM documents d JOIN head USING (doc_id)
+),
+bloomhit AS (SELECT DISTINCT doc_id FROM sh WHERE {checks}),
+kept2 AS (
+  SELECT h.doc_id, h.source FROM head h
+  LEFT JOIN bloomhit b USING (doc_id) WHERE b.doc_id IS NULL
+),
+counts AS (SELECT source, count(*) AS n FROM kept2 GROUP BY source),
+rates AS (
+  SELECT source,
+         sqrt((SELECT min(n) FROM counts)::DOUBLE / n) AS keep_rate
+  FROM counts
+),
+kept3 AS (
+  SELECT k2.doc_id, k2.source, d.n_chars
+  FROM kept2 k2 JOIN rates r USING (source)
+  JOIN documents d USING (doc_id)
+  WHERE {h_temp}::DOUBLE < r.keep_rate * 4294967296
+),
+pri AS (
+  SELECT k3.source, k3.doc_id, k3.n_chars AS w,
+         k3.n_chars::DOUBLE * 4294967296 / ({h_prio} + 1) AS priority
+  FROM kept3 k3
+),
+rankedp AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM pri
+),
+taus AS (
+  SELECT source, max(CASE WHEN rn = {k + 1} THEN priority END) AS tau
+  FROM rankedp GROUP BY source
+)
+SELECT r.source, r.doc_id, r.w, r.priority,
+       greatest(r.w::DOUBLE, coalesce(t.tau, 0.0)) AS w_hat
+FROM rankedp r JOIN taus t USING (source)
+WHERE r.rn <= {k}
+"""
