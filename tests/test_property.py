@@ -168,3 +168,90 @@ def test_token_budget_prefix_property(spark, lens, budget):
             break
         expect.add(i)
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=100000), min_size=1, max_size=25
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_priority_sample_matches_python_reference(spark, weights, k):
+    """The engine's survivor set, priorities and w_hat must equal a
+    pure-Python replay of the DLT rule on arbitrary weight profiles
+    — any float-path divergence between the engines shows up here
+    before the oracle gate."""
+    import hashlib
+
+    from ci_log_processing_spark.operators.curation import priority_sample
+
+    rows = [(i, "g", w) for i, w in enumerate(weights)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in priority_sample(docs, k=k, seed="prio").collect()
+    }
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    pri = {
+        i: w * 4294967296.0 / (h32(f"prio{i}") + 1)
+        for i, w in enumerate(weights)
+    }
+    order = sorted(pri, key=lambda i: (-pri[i], i))
+    keep = order[:k]
+    tau = pri[order[k]] if len(order) > k else 0.0
+    assert set(out) == set(keep)
+    for i in keep:
+        assert out[i]["priority"] == pri[i]
+        assert out[i]["w_hat"] == max(float(weights[i]), tau)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=1, max_size=4
+    )
+)
+def test_temperature_mixture_matches_python_reference(spark, sizes):
+    import hashlib
+    import math
+
+    from ci_log_processing_spark.operators.curation import (
+        sqrt_temperature_mixture,
+    )
+
+    rows = []
+    src_of = {}
+    did = 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((did, f"g{g}"))
+            src_of[did] = f"g{g}"
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["doc_id"] for r in sqrt_temperature_mixture(docs).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nmin = min(sizes)
+    rate = {f"g{g}": math.sqrt(nmin / n) for g, n in enumerate(sizes)}
+    expect = {
+        i
+        for i in src_of
+        if h32(f"temp{i}") < rate[src_of[i]] * 4294967296.0
+    }
+    assert out == expect
