@@ -208,6 +208,46 @@ def main():
             .collect(),
             warmup=True,
         )
+        # round-4 sampling tier (documents-shaped input; n_chars
+        # derived — the synthetic corpus has none)
+        from ci_log_processing_spark.operators.curation import (
+            bloom_decontaminate,
+            perplexity_buckets,
+            priority_sample,
+            sqrt_temperature_mixture,
+        )
+
+        weighted = corpus.withColumn("n_chars", F.length("text"))
+        t(
+            "priority_sample",
+            lambda: priority_sample(weighted, k=1000)
+            .select(F.bit_xor(F.xxhash64("doc_id", "w_hat")))
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "temperature_mixture",
+            lambda: sqrt_temperature_mixture(corpus)
+            .select(F.bit_xor(F.xxhash64("doc_id", "keep_rate")))
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "perplexity_buckets",
+            lambda: perplexity_buckets(corpus)
+            .select(F.bit_xor(F.xxhash64("doc_id", "ppl_bucket")))
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "bloom_decontaminate",
+            lambda: bloom_decontaminate(
+                corpus, ["key agg row scan slow fast"]
+            )
+            .select(F.bit_xor(F.xxhash64("doc_id", "n_hit_shingles")))
+            .collect(),
+            warmup=True,
+        )
         # shuffle/iteration tier: materializing `pairs` IS the LSH
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds
