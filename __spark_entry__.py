@@ -1628,6 +1628,74 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_convs(_routed(spark, sf_dir))
 
 
+def q_agent_loops(spark, sf_dir):
+    """Agent retry-loop detection: maximal runs of consecutive
+    identical (tool, message) turns per conversation (operators/
+    aggregate.py agent_loop_runs) — gaps-and-islands inside the
+    pipeline's conv_id partitioning, one exchange total."""
+    from ci_log_processing_spark.operators.aggregate import (
+        agent_loop_runs,
+    )
+
+    return agent_loop_runs(_routed(spark, sf_dir), min_run=2)
+
+
+def q_conv_funnel(spark, sf_dir):
+    """Per-conversation milestone funnel (operators/aggregate.py
+    conversation_funnel) — one conditional aggregate per conv."""
+    from ci_log_processing_spark.operators.aggregate import (
+        conversation_funnel,
+    )
+
+    return conversation_funnel(_routed(spark, sf_dir))
+
+
+def q_turn_transitions(spark, sf_dir):
+    """First-order ROLE-transition Markov counts over every routed
+    turn (operators/aggregate.py turn_transition_matrix) — the
+    dialogue-structure chain; exact-rational probabilities rounded
+    once. (The derived transcripts carry a single tool value, so the
+    role chain is the informative instance of the operator.)"""
+    from ci_log_processing_spark.operators.aggregate import (
+        turn_transition_matrix,
+    )
+
+    return turn_transition_matrix(
+        _routed(spark, sf_dir), state_col="role", sink=None
+    )
+
+
+def q_cms_tokens(spark, sf_dir):
+    """Count-min-sketch token frequency estimates for the exact
+    top-20 tokens (operators/curation.py cms_token_counts) — the
+    mergeable fixed-size frequency summary, overestimate bound
+    asserted row-by-row via `inflation`."""
+    from ci_log_processing_spark.operators.curation import (
+        cms_token_counts,
+    )
+
+    return cms_token_counts(_docs(spark, sf_dir))
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order: stage by 64-token length bands
+    (capped at 3), deterministic shuffle within each stage, dense
+    global index via the two-level bucket rank (operators/
+    curation.py curriculum_order)."""
+    from ci_log_processing_spark.operators.curation import (
+        curriculum_order,
+    )
+    from ci_log_processing_spark.operators.dedup import tokens_col
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "stage",
+        F.least(
+            F.floor(F.size(tokens_col(F.col("text"))) / 64), F.lit(3)
+        ).cast("int"),
+    )
+    return curriculum_order(docs)
+
+
 def q_text_unigram(spark, sf_dir):
     """Unigram-LM surprisal quality score (operators/textstats.py
     unigram_logprob) — integer bit-quantized, oracle-exact."""
@@ -1801,6 +1869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_error_spike": q_error_spike,
         "pipe_latency_pctl": q_turn_latency,
         "pipe_hll_distinct": q_hll_distinct,
+        "pipe_agent_loops": q_agent_loops,
+        "pipe_conv_funnel": q_conv_funnel,
+        "pipe_turn_transitions": q_turn_transitions,
         "pipe_session_window": q_session_window,
         "pipe_sliding_window": q_sliding_window,
         "pipe_conv_severity": q_conv_severity,
@@ -1867,6 +1938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_priority_sample": q_priority_sample,
             "cur_temperature_mixture": q_temperature_mixture,
             "cur_full_curation_v4": q_full_curation_v4,
+            "cur_cms_tokens": q_cms_tokens,
+            "cur_curriculum_order": q_curriculum_order,
             "cur_perplexity_buckets": q_perplexity_buckets,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
@@ -1955,6 +2028,11 @@ def oracle_sql() -> dict[str, str]:
         "pipe_error_spike": oracle.q_error_spike(),
         "pipe_latency_pctl": oracle.q_turn_latency(),
         "pipe_hll_distinct": oracle.q_hll_distinct(),
+        "pipe_agent_loops": oracle.q_agent_loops(min_run=2),
+        "pipe_conv_funnel": oracle.q_conv_funnel(),
+        "pipe_turn_transitions": oracle.q_turn_transitions(
+            state_col="role", sink=None
+        ),
     }
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         sqls[f"pipe_sink_{sink}"] = oracle.q_sink_rows(sink)
@@ -2035,6 +2113,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             "cur_priority_sample": od.q_priority_sample(10),
             "cur_temperature_mixture": od.q_sqrt_temperature_mixture(),
+            "cur_cms_tokens": od.q_cms_token_counts(),
+            "cur_curriculum_order": od.q_curriculum_order(),
             "cur_full_curation_v4": od.q_full_curation_v4(
                 _bloom_bits(BLOOM_SNIPPETS), 20
             ),

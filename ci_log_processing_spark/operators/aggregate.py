@@ -369,3 +369,144 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(e_raw)
     return per_sink.select("sink", F.round(est, 2).alias("hll_distinct"))
+
+
+def agent_loop_runs(
+    df: DataFrame, min_run: int = 3, ts_col: str = "filled_ts"
+) -> DataFrame:
+    """Agent retry-loop detection: maximal runs of CONSECUTIVE turns
+    in one conversation that repeat the identical (tool, message)
+    pair — the "agent is stuck calling the same tool with the same
+    arguments" signal a transcript pipeline alerts on, the way the
+    reference's operators watch a job re-emitting one log line
+    (logscraper.py:295-304 gauges / loggearman retry counters).
+
+    Gaps-and-islands entirely inside the conv_id partitioning the
+    pipeline already established: a change flag (lag over turn_idx),
+    a running sum of flags = run id, then the run aggregate groups
+    on (conv_id, run_id). HashPartitioning(conv_id) satisfies
+    ClusteredDistribution(conv_id, run_id) — a subset of the
+    grouping keys — so the run aggregate adds NO second exchange:
+    the whole operator is ONE conv-keyed shuffle at any corpus size
+    (asserted in tests/test_plan_shape.py).
+
+    Output: one row per qualifying run —
+    (conv_id, tool, run_len, start_turn, end_turn), run_len >=
+    min_run; drop-queue turns never form runs.
+    """
+    if min_run < 2:
+        raise ValueError("agent_loop_runs: min_run must be >= 2")
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col("sink") != "drop_queue").select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("tool"), F.lit("")).alias("_tool"),
+        F.coalesce(F.col("message"), F.lit("")).alias("_msg"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    changed = (
+        (F.col("_tool") != F.lag("_tool").over(w))
+        | (F.col("_msg") != F.lag("_msg").over(w))
+    )
+    flagged = base.withColumn(
+        "_new_run",
+        F.when(changed | F.lag("_tool").over(w).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "_run_id",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("conv_id", "_run_id")
+        .agg(
+            F.first("_tool").alias("tool"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("conv_id", "tool", "run_len", "start_turn", "end_turn")
+    )
+
+
+def conversation_funnel(df: DataFrame) -> DataFrame:
+    """Per-conversation milestone funnel: how far did each
+    conversation get — first tool invocation, first error, error
+    count, and whether an error followed tool use (the
+    "tool-call-then-failure" cohort a transcript dashboard slices
+    on, mirroring the reference's per-build severity counters).
+
+    ONE partial+final hash aggregate on conv_id: every milestone is
+    a conditional min/count, so the shuffled volume is one row per
+    conversation regardless of transcript length. No windows, no
+    joins — the cheapest funnel shape at 10^12 turns.
+
+    Output: (conv_id, n_turns, n_routed, first_tool_turn,
+    first_error_turn, n_errors, error_after_tool); *_turn are NULL
+    when the milestone never happened.
+    """
+    routed = F.col("sink") != "drop_queue"
+    is_err = F.col("sink") == "errors"
+    is_tool = routed & F.col("tool").isNotNull()
+    first_tool = F.min(F.when(is_tool, F.col("turn_idx")))
+    first_err = F.min(F.when(is_err, F.col("turn_idx")))
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(routed.cast("long")).alias("n_routed"),
+        first_tool.alias("first_tool_turn"),
+        first_err.alias("first_error_turn"),
+        F.sum(is_err.cast("long")).alias("n_errors"),
+        F.coalesce(
+            first_err > first_tool, F.lit(False)
+        ).alias("error_after_tool"),
+    )
+
+
+def turn_transition_matrix(
+    df: DataFrame, state_col: str = "tool", sink: str | None = "tool_calls"
+) -> DataFrame:
+    """First-order state-transition (Markov) counts over each
+    conversation's turns in turn order: count prev_state -> state
+    transitions corpus-wide, with the transition probability as an
+    EXACT rational rounded once (count/row_total at 5 dp) so the
+    DuckDB twin matches bit-for-bit. `state_col` picks the chain
+    (tool for tool-call sequences, role for dialogue structure);
+    `sink` optionally restricts to one route (None = every routed
+    turn).
+
+    Shape: the lag window reuses the conv_id partitioning (one
+    data-sized exchange), then the transition aggregate collapses to
+    at most |states|^2 group rows before its exchange, and the
+    row-total window runs on those GROUP rows only. Same plan class
+    at any corpus size.
+
+    Output: (prev_state, state, n_transitions, p); the first
+    qualifying turn of a conversation has no predecessor and is
+    excluded.
+    """
+    from pyspark.sql.window import Window
+
+    keep = F.col(state_col).isNotNull() & (
+        F.lit(True) if sink is None else (F.col("sink") == sink)
+    )
+    if sink is None:
+        keep = keep & (F.col("sink") != "drop_queue")
+    states = df.filter(keep).select(
+        "conv_id", "turn_idx", F.col(state_col).alias("state")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = states.withColumn("prev_state", F.lag("state").over(w)).filter(
+        F.col("prev_state").isNotNull()
+    )
+    counts = pairs.groupBy("prev_state", "state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("prev_state"))
+    return counts.select(
+        "prev_state",
+        "state",
+        "n_transitions",
+        F.round(F.col("n_transitions") / tot, 5).alias("p"),
+    )

@@ -872,3 +872,136 @@ def sqrt_temperature_mixture(
         )
         .select(group_col, id_col, "keep_rate")
     )
+
+
+def cms_token_counts(
+    docs: DataFrame,
+    candidates_k: int = 20,
+    width: int = 512,
+    depth: int = 4,
+    text_col: str = "text",
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over corpus
+    token frequencies, answered for the top-k tokens with the exact
+    count alongside — the MERGEABLE fixed-size frequency summary a
+    100 TB pipeline keeps per shard/day and folds by cell-wise '+'
+    instead of re-scanning the corpus (the same role the HLL
+    registers in aggregate.py play for distinct counts).
+
+    Construction is deterministic and engine-exact: row i of the
+    sketch hashes a token to cell h32(seed||i||token) mod width and
+    sums occurrences; the estimate is min over the depth cells, so
+    cms_n >= exact_n always (one-sided error, the CMS guarantee the
+    gate asserts row-by-row via `inflation`).
+
+    Shape: one partial-aggregated token-count shuffle (volume =
+    distinct tokens, not corpus tokens), a depth*width-row sketch
+    aggregate over those GROUP rows, candidates via
+    TakeOrderedAndProject (heap top-k, never a global sort), and a
+    BROADCAST of the tiny sketch back onto the k candidates. Nothing
+    data-sized moves twice.
+
+    Output: (token, exact_n, cms_n, inflation, rank), rank 1..k by
+    exact count desc, token asc.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("cms_token_counts: width/depth must be >= 1")
+    from .dedup import h32
+
+    toks = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    cells = F.array(
+        *[
+            F.pmod(
+                h32(
+                    F.concat(
+                        F.lit(f"{seed}{i}:"), F.col("token")
+                    )
+                ),
+                F.lit(width),
+            ).cast("int")
+            for i in range(depth)
+        ]
+    )
+    sketch = (
+        exact.select("exact_n", F.posexplode(cells).alias("i", "cell"))
+        .groupBy("i", "cell")
+        .agg(F.sum("exact_n").alias("cell_n"))
+    )
+    order = [F.desc("exact_n"), F.asc("token")]
+    top = exact.orderBy(*order).limit(candidates_k)
+    est = (
+        top.select("token", "exact_n", F.posexplode(cells).alias("i", "cell"))
+        .join(F.broadcast(sketch), ["i", "cell"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("inflation"),
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    stage_col: str = "stage",
+    id_col: str = "doc_id",
+    seed: str = "curr1",
+) -> DataFrame:
+    """Curriculum training order: a dense global index 0..n-1 that
+    visits every stage-0 document (in deterministic pseudo-random
+    order) before any stage-1 document, and so on — the "easy
+    examples first" data order curriculum-training recipes fix per
+    epoch, with the shuffle WITHIN each stage as principled as the
+    global one.
+
+    Identical two-level trick to shuffle_index, with the stage as
+    the leading sort key: bucket = (stage, first md5 byte) — a
+    PREFIX of the (stage, key, id) order — so within-bucket
+    row_number + cumulated bucket offsets reproduce the exact global
+    rank ORDER BY (stage, md5(seed||id), id). The offset cumsum runs
+    over <= n_stages*256 bucket-count rows (tiny by construction,
+    same bound class as shuffle_index's 256), broadcast back; total
+    ONE data-sized exchange at any corpus size.
+
+    Output: (id_col, stage, curriculum_idx), curriculum_idx dense
+    from 0.
+    """
+    key = _seeded_key(seed, id_col)
+    keyed = (
+        docs.select(
+            id_col,
+            F.col(stage_col).cast("int").alias("stage"),
+            F.conv(F.substring(key, 1, 2), 16, 10)
+            .cast("int")
+            .alias("_bkt"),
+        )
+        .repartition(F.col("stage"), F.col("_bkt"))
+        .withColumn("_key", key)
+    )
+    from .dedup import _register_persist
+
+    w_in = Window.partitionBy("stage", "_bkt").orderBy("_key", id_col)
+    ranked = _register_persist(
+        keyed.withColumn("_rn", F.row_number().over(w_in))
+    )
+    w_off = Window.orderBy("stage", "_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranked.groupBy("stage", "_bkt")
+        .agg(F.max("_rn").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("stage", "_bkt", "_off")
+    )
+    return ranked.join(F.broadcast(offsets), ["stage", "_bkt"]).select(
+        id_col,
+        "stage",
+        (F.col("_off") + F.col("_rn") - 1).alias("curriculum_idx"),
+    )

@@ -742,3 +742,90 @@ ex AS (
 SELECT est.sink, round(est.e, 2) AS hll_distinct{", ex.exact_distinct" if include_exact else ""}
 FROM est{" JOIN ex USING (sink)" if include_exact else ""}
 """
+
+
+def q_agent_loops(min_run: int = 3) -> str:
+    """agent_loop_runs twin (operators/aggregate.py): identical
+    gaps-and-islands — change flag over (conv_id, turn_idx), running
+    sum = run id, runs of identical (tool, message) with length >=
+    min_run; drop-queue turns excluded, tool/message compared
+    NULL-coalesced to ''."""
+    return pipeline_cte() + f""",
+base AS (
+  SELECT conv_id, turn_idx,
+         coalesce(tool, '') AS tl, coalesce(message, '') AS mg
+  FROM routed WHERE sink <> 'drop_queue'
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(tl) OVER w IS NULL
+                   OR tl <> lag(tl) OVER w
+                   OR mg <> lag(mg) OVER w
+            THEN 1 ELSE 0 END AS new_run
+  FROM base WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+runs AS (
+  SELECT *, sum(new_run) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+)
+SELECT conv_id, min(tl) AS tool, count(*) AS run_len,
+       min(turn_idx) AS start_turn, max(turn_idx) AS end_turn
+FROM runs GROUP BY conv_id, run_id
+HAVING count(*) >= {min_run}
+"""
+
+
+def q_conv_funnel() -> str:
+    """conversation_funnel twin (operators/aggregate.py): one
+    conditional aggregate per conversation; error_after_tool is
+    NULL-coalesced to false exactly like the Spark side."""
+    return pipeline_cte() + """
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(CASE WHEN sink <> 'drop_queue' THEN 1 ELSE 0 END)::BIGINT
+         AS n_routed,
+       min(CASE WHEN sink <> 'drop_queue' AND tool IS NOT NULL
+                THEN turn_idx END) AS first_tool_turn,
+       min(CASE WHEN sink = 'errors' THEN turn_idx END)
+         AS first_error_turn,
+       sum(CASE WHEN sink = 'errors' THEN 1 ELSE 0 END)::BIGINT
+         AS n_errors,
+       coalesce(
+         min(CASE WHEN sink = 'errors' THEN turn_idx END) >
+         min(CASE WHEN sink <> 'drop_queue' AND tool IS NOT NULL
+                  THEN turn_idx END),
+         false) AS error_after_tool
+FROM routed GROUP BY conv_id
+"""
+
+
+def q_turn_transitions(
+    state_col: str = "tool", sink: str | None = "tool_calls"
+) -> str:
+    """turn_transition_matrix twin (operators/aggregate.py): lag
+    over the chosen state column per conversation, corpus-wide
+    transition counts, probability as the exact rational rounded
+    once at 5 dp."""
+    where = (
+        f"sink = '{sink}'" if sink is not None else "sink <> 'drop_queue'"
+    )
+    return pipeline_cte() + f""",
+states AS (
+  SELECT conv_id, turn_idx, {state_col} AS state FROM routed
+  WHERE {where} AND {state_col} IS NOT NULL
+),
+pairs AS (
+  SELECT lag(state) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_state, state
+  FROM states
+),
+c AS (
+  SELECT prev_state, state, count(*) AS n_transitions
+  FROM pairs WHERE prev_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_state, state, n_transitions,
+       round(n_transitions /
+             sum(n_transitions) OVER (PARTITION BY prev_state), 5) AS p
+FROM c
+"""

@@ -1910,3 +1910,72 @@ SELECT r.source, r.doc_id, r.w, r.priority,
 FROM rankedp r JOIN taus t USING (source)
 WHERE r.rn <= {k}
 """
+
+
+def q_cms_token_counts(
+    candidates_k: int = 20,
+    width: int = 512,
+    depth: int = 4,
+    seed: str = "cms",
+) -> str:
+    """cms_token_counts twin (operators/curation.py): the identical
+    depth-row count-min sketch on the shared 32-bit md5 hash, the
+    same top-k candidates, estimate = min over cells — the one-sided
+    overestimate property (inflation >= 0) is checked row-by-row by
+    the hash comparison."""
+    h = (
+        f"CAST(('0x' || substr(md5('{seed}' || CAST(i AS VARCHAR)"
+        f" || ':' || token), 1, 8)) AS BIGINT) % {width}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+ex AS (
+  SELECT token, count(*) AS exact_n FROM toks
+  WHERE token <> '' GROUP BY 1
+),
+ii AS (SELECT unnest(range({depth})) AS i),
+cells AS (
+  SELECT token, exact_n, i, {h} AS cell FROM ex CROSS JOIN ii
+),
+sk AS (
+  SELECT i, cell, sum(exact_n)::BIGINT AS cell_n
+  FROM cells GROUP BY 1, 2
+),
+top AS (
+  SELECT token, exact_n,
+         row_number() OVER (ORDER BY exact_n DESC, token ASC) AS rank
+  FROM ex
+  QUALIFY rank <= {candidates_k}
+),
+est AS (
+  SELECT t.token, t.exact_n, t.rank, min(sk.cell_n) AS cms_n
+  FROM top t CROSS JOIN ii
+  JOIN sk ON sk.i = ii.i
+   AND sk.cell = {h.replace('token', 't.token').replace('CAST(i ', 'CAST(ii.i ')}
+  GROUP BY 1, 2, 3
+)
+SELECT token, exact_n, cms_n, cms_n - exact_n AS inflation, rank
+FROM est
+"""
+
+
+def q_curriculum_order(seed: str = "curr1") -> str:
+    """curriculum_order twin (operators/curation.py): the Spark side
+    computes the staged permutation via two-level (stage, bucket)
+    ranks; the oracle states the SAME order as one global window over
+    (stage, md5 key, id) — the equivalence is what the hash proves.
+    Stage derivation (length bands, capped at 3) matches the gate
+    wrapper's expression exactly."""
+    key = f"md5('{seed}' || CAST(doc_id AS VARCHAR))"
+    stage = f"least(CAST(floor(len({_TOKS}) / 64) AS INT), 3)"
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {stage} AS stage FROM documents
+)
+SELECT doc_id, stage,
+       row_number() OVER (ORDER BY stage, {key}, doc_id) - 1
+         AS curriculum_idx
+FROM staged
+"""

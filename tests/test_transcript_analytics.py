@@ -1,0 +1,174 @@
+"""agent_loop_runs / conversation_funnel / turn_transition_matrix
+(operators/aggregate.py) and cms_token_counts / curriculum_order
+(operators/curation.py): semantics vs hand-computed expectations and
+pure-Python references."""
+
+import hashlib
+from collections import Counter
+
+import pytest
+
+from ci_log_processing_spark.operators.aggregate import (
+    agent_loop_runs,
+    conversation_funnel,
+    turn_transition_matrix,
+)
+from ci_log_processing_spark.operators.curation import (
+    cms_token_counts,
+    curriculum_order,
+)
+
+ROUTED_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, "
+    "message string, sink string"
+)
+
+
+@pytest.fixture()
+def routed(spark):
+    rows = [
+        # conv A: a 3-long retry loop on (search, q1), then a change
+        ("A", 0, "assistant", "search", "q1", "tool_calls"),
+        ("A", 1, "assistant", "search", "q1", "tool_calls"),
+        ("A", 2, "assistant", "search", "q1", "tool_calls"),
+        ("A", 3, "assistant", "search", "q2", "tool_calls"),
+        ("A", 4, "assistant", None, "done", "errors"),
+        # conv B: no runs (alternating), dropped turn breaks nothing
+        ("B", 0, "user", None, "hi", "agent_turns"),
+        ("B", 1, "assistant", "grep", "x", "tool_calls"),
+        ("B", 2, "assistant", "grep", "y", "tool_calls"),
+        ("B", 3, "user", None, "", "drop_queue"),
+        # conv C: run of 2 identical no-tool turns
+        ("C", 0, "user", None, "same", "agent_turns"),
+        ("C", 1, "user", None, "same", "agent_turns"),
+    ]
+    return None, rows  # built per-test to vary schema if needed
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ROUTED_SCHEMA)
+
+
+def test_agent_loop_runs_islands(spark, routed):
+    _, rows = routed
+    out = {
+        (r.conv_id, r.start_turn): (r.tool, r.run_len, r.end_turn)
+        for r in agent_loop_runs(_df(spark, rows), min_run=2).collect()
+    }
+    # conv A: exactly one qualifying run (turns 0-2); q2 breaks it
+    assert out[("A", 0)] == ("search", 3, 2)
+    # conv C: identical (no-tool, message) turns form a run too
+    assert out[("C", 0)] == ("", 2, 1)
+    # conv B: message changes every turn -> no run; drop_queue never
+    # participates
+    assert not any(k[0] == "B" for k in out)
+    assert len(out) == 2
+
+
+def test_agent_loop_runs_min_run_validation(spark):
+    with pytest.raises(ValueError):
+        agent_loop_runs(_df(spark, [("A", 0, "u", None, "m", "errors")]),
+                        min_run=1)
+
+
+def test_conversation_funnel_milestones(spark, routed):
+    _, rows = routed
+    out = {r.conv_id: r for r in
+           conversation_funnel(_df(spark, rows)).collect()}
+    a = out["A"]
+    assert (a.n_turns, a.n_routed, a.n_errors) == (5, 5, 1)
+    assert (a.first_tool_turn, a.first_error_turn) == (0, 4)
+    assert a.error_after_tool is True
+    b = out["B"]
+    assert (b.n_turns, b.n_routed, b.n_errors) == (4, 3, 0)
+    assert b.first_tool_turn == 1 and b.first_error_turn is None
+    assert b.error_after_tool is False  # coalesced, not NULL
+    c = out["C"]
+    assert c.first_tool_turn is None and c.error_after_tool is False
+
+
+def test_turn_transitions_role_chain(spark, routed):
+    _, rows = routed
+    out = {
+        (r.prev_state, r.state): (r.n_transitions, r.p)
+        for r in turn_transition_matrix(
+            _df(spark, rows), state_col="role", sink=None
+        ).collect()
+    }
+    # conv A: asst->asst x4; conv B (drop excluded): user->asst,
+    # asst->asst; conv C: user->user
+    assert out[("assistant", "assistant")] == (5, 1.0)
+    assert out[("user", "assistant")][0] == 1
+    assert out[("user", "user")][0] == 1
+    assert out[("user", "assistant")][1] == 0.5
+    assert sum(n for n, _ in out.values()) == 7
+
+
+def test_turn_transitions_sink_restriction(spark, routed):
+    _, rows = routed
+    out = turn_transition_matrix(
+        _df(spark, rows), state_col="tool", sink="tool_calls"
+    ).collect()
+    # tool chain within tool_calls only: A search->search x3,
+    # B grep->grep x1
+    got = {(r.prev_state, r.state): r.n_transitions for r in out}
+    assert got == {("search", "search"): 3, ("grep", "grep"): 1}
+
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def test_cms_overestimates_and_matches_counter(spark):
+    rows = [
+        (i, f"w{i % 7} common common w{i % 3}") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = cms_token_counts(docs, candidates_k=5, width=8, depth=2)
+    got = out.collect()
+    truth = Counter(
+        t for _, text in rows for t in text.lower().split(" ") if t
+    )
+    assert len(got) == 5
+    for r in got:
+        # exact side agrees with the Python counter; CMS never
+        # underestimates (the one-sided CMS guarantee), and width=8
+        # forces real collisions so inflation is exercised
+        assert truth[r.token] == r.exact_n
+        assert r.cms_n >= r.exact_n
+        assert r.inflation == r.cms_n - r.exact_n
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [
+        1, 2, 3, 4, 5,
+    ]
+    assert any(r.inflation > 0 for r in got)
+
+
+def test_cms_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], DOCS_SCHEMA)
+    with pytest.raises(ValueError):
+        cms_token_counts(docs, width=0)
+
+
+def test_curriculum_order_matches_python_reference(spark):
+    # 60 docs across 3 stages; within-stage order must equal the
+    # md5(seed||id) order and stages must be strictly ordered
+    rows = [(i, i % 3) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, stage int")
+    out = sorted(
+        curriculum_order(docs, stage_col="stage").collect(),
+        key=lambda r: r.curriculum_idx,
+    )
+    from ci_log_processing_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    release_persisted()
+    expect = sorted(
+        rows,
+        key=lambda t: (
+            t[1],
+            hashlib.md5(f"curr1{t[0]}".encode()).hexdigest(),
+            t[0],
+        ),
+    )
+    assert [r.curriculum_idx for r in out] == list(range(60))
+    assert [(r.doc_id, r.stage) for r in out] == expect
