@@ -1706,6 +1706,27 @@ def q_text_unigram(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_text_bigram(spark, sf_dir):
+    """Stupid-Backoff bigram-LM score (operators/textstats.py
+    bigram_logprob) — pruned count table, flat backoff penalty,
+    integer bit-quantized."""
+    from ci_log_processing_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def q_leakage_split(spark, sf_dir):
+    """Group-hash held-out split with shingle-overlap quarantine
+    (operators/curation.py leakage_safe_split)."""
+    from ci_log_processing_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_estimate(spark, sf_dir):
     """Signature-estimated near-dup pairs (operators/dedup.py
     minhash_estimate_pairs) — the verify-free LSH tail."""
@@ -1789,12 +1810,13 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 6 late-round-4 additions (sim_knn_graph_multiprobe,
+    # The 8 late-round-4 additions (sim_knn_graph_multiprobe,
     # cur_priority_sample, cur_perplexity_buckets,
     # cur_bloom_decontaminate, cur_temperature_mixture,
-    # stream_hll_distinct) do not fit the 50-query budget; they are
-    # local-gate green (tools/check_correctness.py 106/106) and go
-    # FIRST in round 5's rotation.
+    # stream_hll_distinct, text_bigram_logprob, cur_leakage_split)
+    # do not fit the 50-query budget; they are local-gate green
+    # (tools/check_correctness.py) and go FIRST in round 5's
+    # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
@@ -1961,6 +1983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_url_dedup": q_url_dedup,
             "text_entropy": q_token_entropy,
             "text_unigram_logprob": q_text_unigram,
+            "text_bigram_logprob": q_text_bigram,
+            "cur_leakage_split": q_leakage_split,
             "text_quality": q_quality,
             "text_model_quality": q_model_quality,
             "text_tfidf": q_tfidf,
@@ -2155,6 +2179,8 @@ def oracle_sql() -> dict[str, str]:
             "cur_url_dedup": od.q_url_dedup(),
             "text_entropy": od.q_token_entropy(),
             "text_unigram_logprob": od.q_unigram_logprob(),
+            "text_bigram_logprob": od.q_bigram_logprob(),
+            "cur_leakage_split": od.q_leakage_safe_split(),
             "text_quality": od.q_quality(),
             "text_model_quality": od.q_model_quality(),
             "text_tfidf": od.q_tfidf_top_terms(3),

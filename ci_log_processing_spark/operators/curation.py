@@ -1005,3 +1005,65 @@ def curriculum_order(
         "stage",
         (F.col("_off") + F.col("_rn") - 1).alias("curriculum_idx"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    test_permille: int = 100,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    seed: str = "split1",
+) -> DataFrame:
+    """Held-out split with a contamination quarantine — the GPT-3
+    appendix-C recipe: carve the evaluation set out at the GROUP
+    level (hash of `group_col`, so a domain's near-identical pages
+    can never straddle the boundary), then scrub the TRAIN side of
+    any document sharing a k-token shingle with ANY test document.
+    A naive per-doc random split fails both ways: same-source
+    near-dups land on both sides, and verbatim n-gram overlap leaks
+    eval text into training.
+
+    Deterministic like mixture_sample: a group is test iff
+    h32(seed || group) % 1000 < test_permille — re-runs, incremental
+    re-ingest, and the DuckDB oracle all draw the same split.
+
+    Scale shape: the split draw is one codegen md5 per row (zero
+    shuffles); the quarantine is the overlap_decontaminate shape —
+    explode distinct shingles, DISTINCT the test side (one shuffle
+    on the shingle key), LEFT SEMI join the train side's shingles
+    against it (hash join on the same key), then one doc-keyed
+    DISTINCT. Nothing is collected; the test shingle set stays
+    distributed (at 10% of a 100 TB corpus it is nowhere near
+    broadcastable). Docs with < k tokens carry no shingles and
+    cannot be quarantined — a sub-shingle doc cannot leak a k-gram.
+
+    Output: every input doc as (id, group, split) with split in
+    {'test', 'train', 'quarantined'}."""
+    from .dedup import h32, shingles_col
+
+    u = h32(F.concat(F.lit(seed), F.col(group_col)))
+    base = docs.select(
+        id_col,
+        F.col(group_col).alias("grp"),
+        (u % 1000 < test_permille).alias("is_test"),
+        shingles_col(tokens_col(F.col(text_col)), k).alias("sh"),
+    )
+    ex = base.select(id_col, "is_test", F.explode("sh").alias("s"))
+    test_sh = ex.filter(F.col("is_test")).select("s").distinct()
+    hits = (
+        ex.filter(~F.col("is_test"))
+        .join(test_sh, "s", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        F.col("grp").alias(group_col),
+        F.when(F.col("is_test"), F.lit("test"))
+        .when(F.col("_hit").isNotNull(), F.lit("quarantined"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

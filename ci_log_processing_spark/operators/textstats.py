@@ -801,3 +801,111 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    backoff_bits: int = 2,
+) -> DataFrame:
+    """Bigram language-model score with Stupid Backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation") — the
+    distributed web-scale LM recipe: no normalization, no smoothing,
+    a pruned count table, and a flat backoff penalty to the unigram
+    estimate. The corpus is its own LM; bigrams seen fewer than
+    `min_count` times are PRUNED from the model (the paper's
+    singleton cutoff), so rare transitions genuinely back off —
+    training on the scored corpus itself would otherwise make the
+    backoff arm dead code.
+
+    Same whole-bit quantization as unigram_logprob, so the score is
+    integer-exact across engines: a kept bigram costs
+    floor-log2(count(w1)) - floor-log2(count(w1 w2)) bits (the
+    conditional surprisal), a pruned one costs `backoff_bits` (the
+    integer stand-in for -log2(alpha), alpha=0.4 -> 2 bits) plus the
+    unigram surprisal of w2. Floor-log2 is a binary-digit-count
+    difference — no libm anywhere.
+
+    Scale shape: bigram pairs are built PER ROW (zip_with over two
+    array slices) before the explode, so no positional self-join
+    ever happens; the unigram and pruned-bigram tables are
+    partial+final count aggregates whose shuffled volume is the
+    vocabulary, not token instances; the instance->model joins are
+    hash joins co-partitioned on keys the aggregates already
+    produced; N is a broadcast 1-row literal. The unigram table is
+    PERSISTED (dedup registry, release_persisted() frees it) — it
+    feeds three consumers (the w1 join, the w2 join, and N), which
+    would otherwise each re-scan and re-aggregate the corpus. The
+    instance-sized pairs stream is NOT persisted on purpose: caching
+    exploded token instances costs more than the one extra corpus
+    scan the bigram count table needs. Docs with < 2 tokens have no
+    bigram positions and drop out (nothing to score).
+
+    Output: (doc_id, bigram_bits, n_bigrams, n_backoff,
+    bits_per_bigram)."""
+    from .dedup import _register_persist
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bi_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = docs.select("doc_id", F.explode(bi_arr).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    uni = _register_persist(
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("n_total"))
+    bi_model = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .filter(F.col("bcnt") >= min_count)
+    )
+    scored = (
+        pairs.join(
+            uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2")),
+            "w2",
+        )
+        .join(bi_model, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    kept = F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("bcnt")))
+    backed = (
+        F.lit(backoff_bits)
+        + F.length(F.bin(F.col("n_total")))
+        - F.length(F.bin(F.col("c2")))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.when(F.col("bcnt").isNotNull(), kept)
+            .otherwise(backed)
+            .alias("bits"),
+            F.col("bcnt").isNull().cast("long").alias("is_bo"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bits").alias("bigram_bits"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("is_bo").alias("n_backoff"),
+        )
+        .select(
+            "doc_id",
+            "bigram_bits",
+            "n_bigrams",
+            "n_backoff",
+            F.round(
+                F.col("bigram_bits") / F.col("n_bigrams"), 5
+            ).alias("bits_per_bigram"),
+        )
+    )

@@ -1979,3 +1979,77 @@ SELECT doc_id, stage,
          AS curriculum_idx
 FROM staged
 """
+
+
+def q_bigram_logprob(min_count: int = 2, backoff_bits: int = 2) -> str:
+    """bigram_logprob twin (operators/textstats.py): Stupid Backoff
+    with the same whole-bit quantization — kept bigram costs
+    length(bin(c1)) - length(bin(bcnt)), pruned one costs
+    backoff_bits + unigram surprisal of w2; all-integer until the
+    final per-position average."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+pairs AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                  i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS bg
+    FROM toks WHERE len(l) >= 2
+  )
+),
+uni AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY 1
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM uni),
+bi AS (
+  SELECT w1, w2, count(*) AS bcnt FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {min_count}
+),
+bits AS (
+  SELECT p.doc_id,
+         CASE WHEN b.bcnt IS NOT NULL
+              THEN length(bin(u1.cnt)) - length(bin(b.bcnt))
+              ELSE {backoff_bits} + length(bin(tot.n_total))
+                   - length(bin(u2.cnt)) END AS b,
+         CASE WHEN b.bcnt IS NULL THEN 1 ELSE 0 END AS is_bo
+  FROM pairs p
+  JOIN uni u1 ON p.w1 = u1.tok
+  JOIN uni u2 ON p.w2 = u2.tok
+  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2, tot
+)
+SELECT doc_id,
+       sum(b)::BIGINT AS bigram_bits,
+       count(*) AS n_bigrams,
+       sum(is_bo)::BIGINT AS n_backoff,
+       round(sum(b)::BIGINT / count(*), 5) AS bits_per_bigram
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_leakage_safe_split(
+    test_permille: int = 100, seed: str = "split1"
+) -> str:
+    """leakage_safe_split twin (operators/curation.py): group-hash
+    test draw, then train docs sharing any distinct 5-shingle with
+    the test side are quarantined."""
+    h = _H32.format(x=f"'{seed}' || source")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         ({h}) % 1000 < {test_permille} AS is_test,
+         {_SHINGLES} AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, is_test, unnest(sh) AS s FROM base),
+test_sh AS (SELECT DISTINCT s FROM ex WHERE is_test),
+hits AS (
+  SELECT DISTINCT doc_id FROM ex
+  WHERE NOT is_test AND s IN (SELECT s FROM test_sh)
+)
+SELECT b.doc_id, b.source,
+       CASE WHEN b.is_test THEN 'test'
+            WHEN h.doc_id IS NOT NULL THEN 'quarantined'
+            ELSE 'train' END AS split
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""

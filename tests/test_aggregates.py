@@ -344,3 +344,49 @@ def test_hll_partials_merge_exactly(spark):
         for r in hll_estimate(h1.unionAll(h2).unionAll(h1)).collect()
     }
     assert replay == whole
+
+
+def test_bigram_logprob_vs_python_reference(spark):
+    """Both Stupid-Backoff arms vs an exhaustive pure-Python model."""
+    from collections import Counter
+
+    from ci_log_processing_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "the dog ran under a rare bridge",  # singleton transitions
+        "the cat sat",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = t.lower().split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_total = sum(uni.values())
+    kept = {p for p, c in bi.items() if c >= 2}
+
+    def bits(w1, w2):
+        if (w1, w2) in kept:
+            return uni[w1].bit_length() - bi[(w1, w2)].bit_length(), 0
+        return 2 + n_total.bit_length() - uni[w2].bit_length(), 1
+
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for i, t in enumerate(texts):
+        toks = t.lower().split(" ")
+        exp = [bits(a, b) for a, b in zip(toks, toks[1:])]
+        assert out[i]["n_bigrams"] == len(exp)
+        assert out[i]["bigram_bits"] == sum(b for b, _ in exp)
+        assert out[i]["n_backoff"] == sum(bo for _, bo in exp)
+    # the rare-words doc backs off and scores strictly worse per
+    # position than the boilerplate docs
+    assert out[2]["n_backoff"] > 0
+    assert out[3]["n_backoff"] == 0
+    assert out[2]["bits_per_bigram"] > out[3]["bits_per_bigram"]

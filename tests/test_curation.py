@@ -297,3 +297,79 @@ def test_sqrt_temperature_mixture_shares(spark):
     # deterministic
     again = sqrt_temperature_mixture(docs).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_leakage_safe_split_invariants(spark):
+    from ci_log_processing_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    # 30 sources x 20 docs; doc 0 of every source is a verbatim copy
+    # of one fixed sentence so identical text exists across sources
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for s in range(30):
+        for d in range(20):
+            did = s * 20 + d
+            txt = leak if d == 0 else f"src{s} doc{d} " + " ".join(
+                f"w{did}x{j}" for j in range(8)
+            )
+            rows.append((did, f"src{s}", txt))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = leakage_safe_split(docs, test_permille=300).collect()
+    assert len(out) == 600
+    by_src: dict[str, set] = {}
+    split_of = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["split"])
+        split_of[r["doc_id"]] = r["split"]
+    # groups never straddle the test boundary: a source is either
+    # all-test or has no test docs at all
+    for s, splits in by_src.items():
+        assert splits == {"test"} or "test" not in splits
+    test_srcs = {s for s, sp in by_src.items() if sp == {"test"}}
+    assert 0 < len(test_srcs) < 30  # both sides populated
+    # every train-side copy of the leaked sentence is quarantined
+    for s in range(30):
+        if f"src{s}" not in test_srcs:
+            assert split_of[s * 20] == "quarantined"
+    # unique-text train docs stay train
+    train_unique = [
+        r for r in out
+        if r["source"] not in test_srcs and r["doc_id"] % 20 != 0
+    ]
+    assert train_unique and all(r["split"] == "train" for r in train_unique)
+
+
+def test_leakage_safe_split_short_docs_never_quarantined(spark):
+    from ci_log_processing_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    # sub-k (k=5) docs carry no shingles -> cannot be quarantined
+    # even when their full text appears inside a test doc
+    docs = spark.createDataFrame(
+        [(0, "t", "one two three four five six seven"),
+         (1, "u", "one two three"),
+         (2, "v", "one two three four five six seven")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_safe_split(docs, test_permille=1000,
+                              group_col="source").collect()}
+    assert set(out.values()) == {"test"}  # permille=1000: all test
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs.withColumn(
+                "source",
+                F.when(F.col("doc_id") == 0, "t").otherwise("zz"),
+            ),
+            test_permille=0,
+            seed="forced",
+        ).collect()
+    }
+    # permille=0: nobody is test -> nobody can be quarantined
+    assert set(out2.values()) == {"train"}
