@@ -348,6 +348,20 @@ def main():
             ["source", "doc_id", "w", "priority", "w_hat"],
         ),
     )
+    bench(
+        "text_bigram_lm",
+        lambda: checksum(
+            entrymod.q_text_bigram(spark, sf_dir),
+            ["doc_id", "bigram_bits", "n_bigrams", "n_backoff"],
+        ),
+    )
+    bench(
+        "cur_leakage_split",
+        lambda: checksum(
+            entrymod.q_leakage_split(spark, sf_dir),
+            ["doc_id", "source", "split"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -411,6 +425,7 @@ def main():
         "text_repetition_arrow", "text_tfidf_pruned",
         "pipe_latency_pctl", "pipe_hll_distinct", "sim_knn_graph",
         "dedup_minhash_estimate", "cur_full_curation_v4",
+        "text_bigram_lm", "cur_leakage_split",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

@@ -248,6 +248,26 @@ def main():
             .collect(),
             warmup=True,
         )
+        # round-4 LM tier: vocab-keyed aggregates + instance joins —
+        # the shuffle-heaviest of the per-doc scorers
+        from ci_log_processing_spark.operators.textstats import (
+            bigram_logprob,
+        )
+
+        def _bigram():
+            r = (
+                bigram_logprob(corpus)
+                .select(
+                    F.bit_xor(
+                        F.xxhash64("doc_id", "bigram_bits", "n_backoff")
+                    )
+                )
+                .collect()
+            )
+            _dedup.release_persisted()  # free the unigram cache
+            return r
+
+        t("bigram_lm", _bigram, warmup=True)
         # shuffle/iteration tier: materializing `pairs` IS the LSH
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds
