@@ -1640,6 +1640,17 @@ def q_agent_loops(spark, sf_dir):
     return agent_loop_runs(_routed(spark, sf_dir), min_run=2)
 
 
+def q_tool_outcomes(spark, sf_dir):
+    """Per-tool next-turn outcome attribution (operators/
+    aggregate.py tool_outcomes) — lead() inside the conv
+    partitioning + one tool-keyed aggregate."""
+    from ci_log_processing_spark.operators.aggregate import (
+        tool_outcomes,
+    )
+
+    return tool_outcomes(_routed(spark, sf_dir))
+
+
 def q_conv_funnel(spark, sf_dir):
     """Per-conversation milestone funnel (operators/aggregate.py
     conversation_funnel) — one conditional aggregate per conv."""
@@ -1810,13 +1821,13 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 8 late-round-4 additions (sim_knn_graph_multiprobe,
+    # The 9 late-round-4 additions (sim_knn_graph_multiprobe,
     # cur_priority_sample, cur_perplexity_buckets,
     # cur_bloom_decontaminate, cur_temperature_mixture,
-    # stream_hll_distinct, text_bigram_logprob, cur_leakage_split)
-    # do not fit the 50-query budget; they are local-gate green
-    # (tools/check_correctness.py) and go FIRST in round 5's
-    # rotation.
+    # stream_hll_distinct, text_bigram_logprob, cur_leakage_split,
+    # pipe_tool_outcomes) do not fit the 50-query budget; they are
+    # local-gate green (tools/check_correctness.py) and go FIRST in
+    # round 5's rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
@@ -1892,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_latency_pctl": q_turn_latency,
         "pipe_hll_distinct": q_hll_distinct,
         "pipe_agent_loops": q_agent_loops,
+        "pipe_tool_outcomes": q_tool_outcomes,
         "pipe_conv_funnel": q_conv_funnel,
         "pipe_turn_transitions": q_turn_transitions,
         "pipe_session_window": q_session_window,
@@ -2053,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_latency_pctl": oracle.q_turn_latency(),
         "pipe_hll_distinct": oracle.q_hll_distinct(),
         "pipe_agent_loops": oracle.q_agent_loops(min_run=2),
+        "pipe_tool_outcomes": oracle.q_tool_outcomes(),
         "pipe_conv_funnel": oracle.q_conv_funnel(),
         "pipe_turn_transitions": oracle.q_turn_transitions(
             state_col="role", sink=None

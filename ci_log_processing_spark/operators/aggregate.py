@@ -510,3 +510,67 @@ def turn_transition_matrix(
         "n_transitions",
         F.round(F.col("n_transitions") / tot, 5).alias("p"),
     )
+
+
+def tool_outcomes(df: DataFrame) -> DataFrame:
+    """Per-tool next-turn outcome attribution: for every tool
+    invocation, what the NEXT routed turn in the same conversation
+    was — an error (the call failed loudly), any other turn, or
+    nothing (the conversation ended on the call). The per-tool error
+    rate is the transcript analog of the reference's per-index
+    failure gauges (logscraper.py:295-304): the table an operator
+    scans to find which tool is breaking agents TODAY.
+
+    Scale shape: one lead() window inside the conv_id partitioning
+    the pipeline already established (same exchange class as
+    agent_loop_runs/ffill — HashPartitioning(conv_id) satisfies the
+    window), then one partial+final aggregate keyed on
+    (tool, outcome); the per-tool total is a second window that runs
+    on the GROUP rows only (tools x outcomes — dozens, never
+    data-sized, the same bounded-window pattern as top_ngrams'
+    final rank). Drop-queue turns are excluded BEFORE the window so
+    "next turn" means next turn an operator would actually see.
+
+    Output: the outcome DISTRIBUTION — one row per (tool, outcome)
+    with outcome in {errors, agent_turns, tool_calls, terminal} —
+    (tool, outcome, n, n_calls, frac); frac is n/n_calls for the
+    tool, a long/long division rounded to 5 in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (
+        df.filter(F.col("sink") != "drop_queue")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            "sink",
+            F.lead("sink").over(w).alias("next_sink"),
+        )
+        .filter(F.col("sink") == "tool_calls")
+        .select(
+            "tool",
+            F.coalesce(F.col("next_sink"), F.lit("terminal")).alias(
+                "outcome"
+            ),
+        )
+    )
+    per_tool = Window.partitionBy("tool")
+    return (
+        nxt.groupBy("tool", "outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "tool",
+            "outcome",
+            "n",
+            F.sum("n").over(per_tool).alias("n_calls"),
+        )
+        .select(
+            "tool",
+            "outcome",
+            "n",
+            "n_calls",
+            F.round(F.col("n") / F.col("n_calls"), 5).alias("frac"),
+        )
+    )

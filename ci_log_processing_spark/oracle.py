@@ -829,3 +829,33 @@ SELECT prev_state, state, n_transitions,
              sum(n_transitions) OVER (PARTITION BY prev_state), 5) AS p
 FROM c
 """
+
+
+def q_tool_outcomes() -> str:
+    """tool_outcomes twin (operators/aggregate.py): lead(sink) over
+    (conv_id, turn_idx) on the non-drop-queue turns, outcome =
+    coalesce(next_sink, 'terminal'), then the (tool, outcome)
+    aggregate with a per-tool total; frac is BIGINT/BIGINT ->
+    double, rounded to 5 in both engines."""
+    return pipeline_cte() + """,
+base AS (
+  SELECT conv_id, turn_idx, tool, sink
+  FROM routed WHERE sink <> 'drop_queue'
+),
+nxt AS (
+  SELECT tool,
+         coalesce(lead(sink) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx), 'terminal')
+           AS outcome,
+         sink
+  FROM base
+),
+grouped AS (
+  SELECT tool, outcome, count(*) AS n
+  FROM nxt WHERE sink = 'tool_calls' GROUP BY tool, outcome
+)
+SELECT tool, outcome, n,
+       (sum(n) OVER (PARTITION BY tool))::BIGINT AS n_calls,
+       round(n / (sum(n) OVER (PARTITION BY tool))::BIGINT, 5) AS frac
+FROM grouped
+"""

@@ -172,3 +172,26 @@ def test_curriculum_order_matches_python_reference(spark):
     )
     assert [r.curriculum_idx for r in out] == list(range(60))
     assert [(r.doc_id, r.stage) for r in out] == expect
+
+
+def test_tool_outcomes_distribution(spark, routed):
+    from ci_log_processing_spark.operators.aggregate import (
+        tool_outcomes,
+    )
+
+    _, rows = routed
+    out = {
+        (r["tool"], r["outcome"]): r
+        for r in tool_outcomes(_df(spark, rows)).collect()
+    }
+    # conv A: search@0->tool_calls, @1->tool_calls, @2->tool_calls,
+    # @3->errors; conv B: grep@1->tool_calls, grep@2->terminal (the
+    # drop_queue turn at 3 is excluded BEFORE the window)
+    assert out[("search", "tool_calls")]["n"] == 3
+    assert out[("search", "errors")]["n"] == 1
+    assert out[("search", "tool_calls")]["n_calls"] == 4
+    assert out[("search", "errors")]["frac"] == 0.25
+    assert out[("grep", "tool_calls")]["n"] == 1
+    assert out[("grep", "terminal")]["n"] == 1
+    assert out[("grep", "terminal")]["frac"] == 0.5
+    assert len(out) == 4

@@ -25,7 +25,11 @@ sys.path.insert(0, REPO)
 
 
 def run_job(
-    master_cores: int, transcripts: str, impl: str, no_write: bool = False
+    master_cores: int,
+    transcripts: str,
+    impl: str,
+    no_write: bool = False,
+    pin: bool = False,
 ) -> dict:
     # tmpfs for sink output AND shuffle dirs: measured wall times on
     # the VM's virtual disk vary +-35% run-to-run from writeback
@@ -41,8 +45,20 @@ def run_job(
         # 4 shuffle partitions per core: the skewed long-transcript
         # tail overlaps instead of straggling a single task wave
         env["SPARK_GRAFT_SHUFFLE"] = str(master_cores * 4)
+        # --pinned: confine the WHOLE JVM (worker threads, GC, netty
+        # IO, python workers) to a cpuset of exactly master_cores
+        # cpus. Unpinned local[N] on a 4N-core box lets the N-leg's
+        # auxiliary threads spill onto idle cores — a real N-core
+        # executor (cgroup-capped by YARN/k8s) gets no such gift, so
+        # the unpinned 8->32 ratio UNDER-reads the engine's true
+        # N->4N scaling (the inverse of the python-worker artifact
+        # documented for the LSH tier in BASELINE.md).
+        pin_prefix = (
+            ["taskset", "-c", f"0-{master_cores - 1}"] if pin else []
+        )
         proc = subprocess.run(
-            [
+            pin_prefix
+            + [
                 "spark-submit",
                 "--master",
                 f"local[{master_cores}]",
@@ -124,14 +140,35 @@ def hardware_ceiling() -> dict:
     import time
     from multiprocessing import Pool
 
+    return _ceiling_inner(Pool, time, pin=False)
+
+
+def hardware_ceiling_pinned() -> dict:
+    """Same calibration, but each n-worker pool runs inside an
+    n-cpu affinity set (children inherit it) — the apples-to-apples
+    ceiling for --pinned job legs, where 8 means 8 cpus."""
+    import time
+    from multiprocessing import Pool
+
+    return _ceiling_inner(Pool, time, pin=True)
+
+
+def _ceiling_inner(Pool, time, pin: bool) -> dict:
+    all_cpus = set(range(os.cpu_count() or 32))
     out = {}
     for tag, fn in (("cpu", _work), ("membw", _work_mem)):
         rates = {}
         for n in (8, 32):
-            t0 = time.time()
-            with Pool(n) as p:
-                p.map(fn, range(n * 2))
-            rates[n] = n * 2 / (time.time() - t0)
+            if pin:
+                os.sched_setaffinity(0, set(range(n)))
+            try:
+                t0 = time.time()
+                with Pool(n) as p:
+                    p.map(fn, range(n * 2))
+                rates[n] = n * 2 / (time.time() - t0)
+            finally:
+                if pin:
+                    os.sched_setaffinity(0, all_cpus)
         out[f"hardware_ceiling_{tag}_8_to_32"] = round(
             rates[32] / (4 * rates[8]), 3
         )
@@ -148,6 +185,8 @@ def _rps(r: dict) -> float:
 def main():
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     impl = "native" if "native" in sys.argv[1:] else "pandas"
+    pinned = "--pinned" in sys.argv[1:]
+    impl_key = f"{impl}_pinned" if pinned else impl
 
     from ci_log_processing_spark.datagen import write_transcripts_parallel
 
@@ -162,7 +201,7 @@ def main():
         # output dir so the checkpoint never short-circuits it
         best = None
         for _attempt in range(3):
-            r = run_job(cores, data_dir, impl)
+            r = run_job(cores, data_dir, impl, pin=pinned)
             if r is None:
                 continue
             if best is None or _rps(r) > _rps(best):
@@ -189,7 +228,7 @@ def main():
         # disk that a real 4N cluster would not have
         best = None
         for _attempt in range(3):
-            r = run_job(cores, data_dir, impl, no_write=True)
+            r = run_job(cores, data_dir, impl, no_write=True, pin=pinned)
             if r is None:
                 continue
             if best is None or _rps(r) > _rps(best):
@@ -210,8 +249,8 @@ def main():
             file=sys.stderr,
         )
 
-    hw = hardware_ceiling()
-    print(f"# hardware ceiling: {hw}", file=sys.stderr)
+    hw = hardware_ceiling_pinned() if pinned else hardware_ceiling()
+    print(f"# hardware ceiling (pinned={pinned}): {hw}", file=sys.stderr)
 
     tp8 = results[8]["rows_per_sec"]
     tp32 = results[32]["rows_per_sec"]
@@ -222,7 +261,8 @@ def main():
     payload = (
             {
                 "n_turns": n_turns,
-                "impl": impl,
+                "impl": impl_key,
+                "pinned_cpuset": pinned,
                 "throughput_local8": tp8,
                 "throughput_local32": tp32,
                 "speedup_8_to_32": round(tp32 / tp8, 3),
@@ -266,7 +306,7 @@ def main():
     # membw ceiling separates placements (observed 0.625 vs 0.21)
     # from noise; plain assignment (not setdefault) keeps the MOST
     # RECENT superseded placement rather than the first forever.
-    prev_entry = merged.get(impl)
+    prev_entry = merged.get(impl_key)
     if prev_entry is not None:
         prev_c = prev_entry.get("hardware_ceiling_membw_8_to_32")
         new_c = payload.get("hardware_ceiling_membw_8_to_32")
@@ -275,8 +315,8 @@ def main():
             and new_c is not None
             and abs(prev_c - new_c) > 0.2
         ):
-            merged[f"{impl}_prev_host"] = prev_entry
-    merged[impl] = payload
+            merged[f"{impl_key}_prev_host"] = prev_entry
+    merged[impl_key] = payload
     with open(cache, "w") as f:
         json.dump(merged, f)
     print(json.dumps(payload))
