@@ -1757,6 +1757,34 @@ def q_knn_graph(spark, sf_dir):
     return knn_graph(_emb(spark, sf_dir), k_nn=5, k_clusters=8, n_iter=2)
 
 
+def q_embed_diversity(spark, sf_dir):
+    """Per-label semantic-diversity audit (operators/similarity.py
+    embedding_diversity) — pair-free mean pairwise squared distance
+    via 2n*S2 - 2*||S1||^2; two aggregates, no self-join."""
+    from ci_log_processing_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    return embedding_diversity(_emb(spark, sf_dir))
+
+
+def q_tool_latency(spark, sf_dir):
+    """Per-tool response-latency percentiles: gap from each
+    tool_calls turn to the NEXT visible turn of the conversation
+    (drop_queue excluded before the window, like tool_outcomes),
+    exact discrete p50/p95/p99 via the value-histogram shape
+    (operators/aggregate.py turn_latency_percentiles)."""
+    from ci_log_processing_spark.operators.aggregate import (
+        turn_latency_percentiles,
+    )
+
+    return turn_latency_percentiles(
+        _routed(spark, sf_dir).filter(F.col("sink") != "drop_queue"),
+        group_col="tool",
+        where_sink="tool_calls",
+    )
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming HLL over micro-batches (streaming/hll_stream.py):
     per-batch register PARTIALS merged by max must equal the
@@ -1821,13 +1849,14 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 9 late-round-4 additions (sim_knn_graph_multiprobe,
+    # The 11 late-round-4 additions (sim_knn_graph_multiprobe,
     # cur_priority_sample, cur_perplexity_buckets,
     # cur_bloom_decontaminate, cur_temperature_mixture,
     # stream_hll_distinct, text_bigram_logprob, cur_leakage_split,
-    # pipe_tool_outcomes) do not fit the 50-query budget; they are
-    # local-gate green (tools/check_correctness.py) and go FIRST in
-    # round 5's rotation.
+    # pipe_tool_outcomes, pipe_tool_latency, sim_embed_diversity)
+    # do not fit the 50-query budget; they are local-gate green
+    # (tools/check_correctness.py) and go FIRST in round 5's
+    # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
@@ -1904,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_hll_distinct": q_hll_distinct,
         "pipe_agent_loops": q_agent_loops,
         "pipe_tool_outcomes": q_tool_outcomes,
+        "pipe_tool_latency": q_tool_latency,
         "pipe_conv_funnel": q_conv_funnel,
         "pipe_turn_transitions": q_turn_transitions,
         "pipe_session_window": q_session_window,
@@ -1959,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
             "sim_kmeans_fit": q_kmeans_fit,
             "sim_knn_graph": q_knn_graph,
+            "sim_embed_diversity": q_embed_diversity,
             "sim_knn_graph_multiprobe": q_knn_graph_multiprobe,
             "dedup_semantic_cluster": q_semantic_cluster_dedup,
             "cur_mixture_sample": q_mixture_sample,
@@ -2066,6 +2097,11 @@ def oracle_sql() -> dict[str, str]:
         "pipe_hll_distinct": oracle.q_hll_distinct(),
         "pipe_agent_loops": oracle.q_agent_loops(min_run=2),
         "pipe_tool_outcomes": oracle.q_tool_outcomes(),
+        "pipe_tool_latency": oracle.q_turn_latency(
+            group_col="tool",
+            where_sink="tool_calls",
+            pre_where="sink <> 'drop_queue'",
+        ),
         "pipe_conv_funnel": oracle.q_conv_funnel(),
         "pipe_turn_transitions": oracle.q_turn_transitions(
             state_col="role", sink=None
@@ -2130,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
             "sim_knn_graph": od.q_knn_graph(5, 8, 2),
+            "sim_embed_diversity": od.q_embedding_diversity(),
             "sim_knn_graph_multiprobe": od.q_knn_graph(5, 8, 2, 2),
             "dedup_semantic_cluster": od.q_semantic_cluster_dedup(
                 8, 2, 0.30

@@ -91,7 +91,9 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pd.DataFrame:
     eid = line_id.astype("U12").astype(object)
     sev = _SEVERITIES[line_id % 5].astype(object)
     sub = _SUBSYSTEMS[line_id % 4].astype(object)
-    tool = _TOOLS[line_id % 3].astype(object)
+    # % 7 first, mirroring sources/transcripts.py: line_id % 3 on
+    # the cls == 10 rows would always be 1 (one tool everywhere)
+    tool = _TOOLS[(line_id % 7) % 3].astype(object)
 
     text = np.empty(n_turns, dtype=object)
     m = cls == 0

@@ -216,7 +216,10 @@ def error_spike_hours(
 
 
 def turn_latency_percentiles(
-    df: DataFrame, ts_col: str = "filled_ts", group_col: str = "sink"
+    df: DataFrame,
+    ts_col: str = "filled_ts",
+    group_col: str = "sink",
+    where_sink: str | None = None,
 ) -> DataFrame:
     """Inter-turn latency percentiles per routing class: for every
     turn, latency = gap to the NEXT turn of the same conversation,
@@ -237,13 +240,23 @@ def turn_latency_percentiles(
     At 10^12 turns you would reach for approx_percentile; this exact
     variant exists because the oracle gate needs bit-equality, and
     its plan is still bounded by distinct (tool, gap) pairs.
+
+    `where_sink` keeps only the gaps whose CURRENT turn routed to
+    that sink, applied AFTER the lead window — so the gap still ends
+    at the next turn of ANY sink (a tool call is answered by
+    whatever comes next, not by the next tool call). Filtering the
+    input df instead would silently change the gap semantics.
     """
     from pyspark.sql.window import Window
 
     wc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = df.withColumn("_next_ts", F.lead(ts_col).over(wc)).filter(
+        F.col("_next_ts").isNotNull()
+    )
+    if where_sink is not None:
+        gaps = gaps.filter(F.col("sink") == where_sink)
     gaps = (
-        df.withColumn("_next_ts", F.lead(ts_col).over(wc))
-        .filter(F.col("_next_ts").isNotNull())
+        gaps
         .select(
             group_col,
             (

@@ -624,3 +624,75 @@ def knn_graph(
             "cos_sim",
         )
     )
+
+
+def embedding_diversity(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group semantic-diversity audit over an embedding column —
+    the number a curation pipeline reads before deciding how hard to
+    dedup or downsample a source (SemDeDup, Abbas et al. 2023, cuts
+    MORE from low-diversity clusters; DoReMi-style mixture tuning
+    starts from exactly these per-source spreads).
+
+    For each group: n vectors, mean squared norm, squared norm of
+    the centroid, and the mean pairwise squared L2 distance over
+    ordered pairs x != y — computed WITHOUT any pair join via the
+    identity sum_{x,y} ||x-y||^2 = 2n*S2 - 2*||S1||^2 with
+    S2 = sum ||x||^2 and S1 = sum x (elementwise). A pairwise
+    formulation would be an O(n^2) self-join; this is two aggregates.
+
+    Scale shape: per-row squared norms feed ONE partial+final hash
+    aggregate on the group key; the centroid term posexplodes to
+    (group, dim, value) and aggregates on (group, dim) — partial
+    aggregation collapses each map task to groups x dim rows before
+    the exchange, so shuffled volume is independent of n — then a
+    second groups-only aggregate and a broadcast-sized join on the
+    group key. Nothing row-sized crosses an exchange twice and no
+    pair set is ever materialized, so the plan class holds at any
+    corpus size.
+
+    FP discipline: elements cast float -> double (exact) before any
+    arithmetic, all sums in double, outputs rounded to 5 — the same
+    cross-engine convention as cosine_col; summation-order ulp skew
+    is absorbed by the rounding.
+    """
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(sq).alias("_s2")
+    )
+    dims = (
+        emb.select(group_col, F.posexplode(v).alias("_pos", "_val"))
+        .groupBy(group_col, "_pos")
+        .agg(F.sum(F.col("_val").cast("double")).alias("_sv"))
+        .groupBy(group_col)
+        .agg(F.sum(F.col("_sv") * F.col("_sv")).alias("_q"))
+    )
+    n = F.col("n")
+    return (
+        norms.join(dims, group_col)
+        .select(
+            group_col,
+            "n",
+            F.round(F.col("_s2") / n, 5).alias("mean_sq_norm"),
+            F.round(F.col("_q") / (n * n), 5).alias("centroid_sq_norm"),
+            F.when(
+                n > 1,
+                F.round(
+                    (2 * n * F.col("_s2") - 2 * F.col("_q"))
+                    / (n * (n - 1)),
+                    5,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_pair_dist_sq"),
+        )
+    )

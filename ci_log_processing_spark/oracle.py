@@ -666,35 +666,45 @@ FROM st
 """
 
 
-def q_turn_latency() -> str:
+def q_turn_latency(
+    group_col: str = "sink",
+    where_sink: str | None = None,
+    pre_where: str | None = None,
+) -> str:
     """turn_latency_percentiles twin (operators/aggregate.py): the
     same value-histogram exact discrete quantile — smallest gap whose
-    running count reaches ceil(p*n), rank in integer division."""
-    return pipeline_cte() + """,
+    running count reaches ceil(p*n), rank in integer division.
+    `where_sink` filters on the CURRENT turn's sink AFTER the lead
+    window (gap semantics preserved); `pre_where` filters the routed
+    rows BEFORE it (same as filtering the operator's input df)."""
+    g = group_col
+    pre = f"WHERE {pre_where}" if pre_where else ""
+    post = f"AND sink = '{where_sink}'" if where_sink else ""
+    return pipeline_cte() + f""",
 gaps AS (
-  SELECT sink,
+  SELECT {g}, sink,
          epoch_ms(lead(filled_ts) OVER (
            PARTITION BY conv_id ORDER BY turn_idx)) - epoch_ms(filled_ts)
            AS gap_ms
-  FROM routed
+  FROM routed {pre}
 ),
 hist AS (
-  SELECT sink, gap_ms, count(*) AS c FROM gaps
-  WHERE gap_ms IS NOT NULL GROUP BY 1, 2
+  SELECT {g}, gap_ms, count(*) AS c FROM gaps
+  WHERE gap_ms IS NOT NULL {post} GROUP BY 1, 2
 ),
 cum AS (
-  SELECT sink, gap_ms,
-         sum(c) OVER (PARTITION BY sink ORDER BY gap_ms
+  SELECT {g}, gap_ms,
+         sum(c) OVER (PARTITION BY {g} ORDER BY gap_ms
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            ::BIGINT AS cum,
-         sum(c) OVER (PARTITION BY sink)::BIGINT AS n
+         sum(c) OVER (PARTITION BY {g})::BIGINT AS n
   FROM hist
 )
-SELECT sink, max(n) AS n_calls,
+SELECT {g}, max(n) AS n_calls,
        min(CASE WHEN cum >= (1 * n + 1) // 2 THEN gap_ms END) AS p50_ms,
        min(CASE WHEN cum >= (19 * n + 19) // 20 THEN gap_ms END) AS p95_ms,
        min(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap_ms END) AS p99_ms
-FROM cum GROUP BY sink
+FROM cum GROUP BY {g}
 """
 
 

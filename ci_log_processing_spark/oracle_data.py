@@ -2053,3 +2053,33 @@ SELECT b.doc_id, b.source,
             ELSE 'train' END AS split
 FROM base b LEFT JOIN hits h USING (doc_id)
 """
+
+
+def q_embedding_diversity() -> str:
+    """embedding_diversity twin (operators/similarity.py): the same
+    pair-free identity sum_{x,y}||x-y||^2 = 2n*S2 - 2*||S1||^2 —
+    per-row squared norms via list_dot_product, the centroid term
+    via unnest + generate_subscripts (zipped in one select) grouped
+    on (label, dim), both engines summing the identical
+    float->double values and rounding to 5."""
+    return """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+norms AS (
+  SELECT label, count(*) AS n, sum(list_dot_product(emb, emb)) AS s2
+  FROM e GROUP BY label
+),
+expl AS (
+  SELECT label, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos
+  FROM e
+),
+dims AS (
+  SELECT label, pos, sum(val) AS sv FROM expl GROUP BY label, pos
+),
+qq AS (SELECT label, sum(sv * sv) AS q FROM dims GROUP BY label)
+SELECT norms.label, n,
+       round(s2 / n, 5) AS mean_sq_norm,
+       round(q / (n * n), 5) AS centroid_sq_norm,
+       CASE WHEN n > 1 THEN round((2 * n * s2 - 2 * q) / (n * (n - 1)), 5)
+            ELSE 0.0 END AS mean_pair_dist_sq
+FROM norms JOIN qq USING (label)
+"""

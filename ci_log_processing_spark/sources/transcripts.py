@@ -96,7 +96,11 @@ def text_sql(dialect: str) -> str:
     eid = "event_id"
     sev = _case(eid, _SEVERITIES)
     sub = _case(eid, _SUBSYSTEMS)
-    tool = _case(eid, _TOOLS)
+    # key the tool on eid % 7 (coprime with the %12 turn-class
+    # cycle): keying on eid directly would pin every tool turn
+    # (eid % 12 = 10 => eid % 3 = 1) to the same tool, collapsing
+    # every tool-keyed analytic to one group
+    tool = _case(f"({eid} % 7)", _TOOLS)
     f2 = _fmt(dialect, "ts", 2)
 
     cast_str = (
@@ -126,7 +130,7 @@ def transcripts_sql(dialect: str = "spark", events_rel: str = "events") -> str:
     """SQL deriving the transcripts table, per dialect."""
     assert dialect in ("spark", "duckdb")
     eid = "event_id"
-    tool = _case(eid, _TOOLS)
+    tool = _case(f"({eid} % 7)", _TOOLS)  # see text_sql
     cast_uid = (
         "CAST(user_id AS STRING)" if dialect == "spark" else "CAST(user_id AS VARCHAR)"
     )

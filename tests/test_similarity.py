@@ -230,3 +230,43 @@ def test_knn_graph_multiprobe_superset_recall(spark):
     assert all(c == 4 for c in Counter(e["vec_id"] for e in g2).values())
     with _pt.raises(ValueError, match="nprobe"):
         knn_graph(emb, k_nn=2, k_clusters=2, n_iter=1, nprobe=3)
+
+
+def test_embedding_diversity_matches_numpy(spark, emb):
+    import numpy as np
+
+    from ci_log_processing_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    out = {r["label"]: r for r in embedding_diversity(emb).collect()}
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    assert set(out) == set(by_label)
+    for lab, vecs in by_label.items():
+        X = np.stack(vecs)
+        n = len(X)
+        s2 = float((X * X).sum())
+        s1 = X.sum(axis=0)
+        q = float((s1 * s1).sum())
+        r = out[lab]
+        assert r["n"] == n
+        assert r["mean_sq_norm"] == pytest.approx(s2 / n, abs=2e-5)
+        assert r["centroid_sq_norm"] == pytest.approx(
+            q / (n * n), abs=2e-5
+        )
+        # cross-check the pair-free identity against literal pairs
+        lit = sum(
+            float(((X[i] - X[j]) ** 2).sum())
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        ) / (n * (n - 1))
+        assert r["mean_pair_dist_sq"] == pytest.approx(lit, abs=2e-5)
+        assert r["mean_pair_dist_sq"] == pytest.approx(
+            (2 * n * s2 - 2 * q) / (n * (n - 1)), abs=2e-5
+        )

@@ -195,3 +195,42 @@ def test_tool_outcomes_distribution(spark, routed):
     assert out[("grep", "terminal")]["n"] == 1
     assert out[("grep", "terminal")]["frac"] == 0.5
     assert len(out) == 4
+
+
+def test_tool_latency_gap_ends_at_next_any_sink(spark):
+    """where_sink filters AFTER the lead window: a tool call's gap
+    ends at the next turn of ANY sink, not the next tool call."""
+    from datetime import datetime
+
+    from ci_log_processing_spark.operators.aggregate import (
+        turn_latency_percentiles,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        ("A", 0, "bash", "tool_calls", t0),
+        ("A", 1, None, "agent_turns", ts(3)),   # gap 3000 ms
+        ("A", 2, "bash", "tool_calls", ts(10)),
+        ("A", 3, None, "errors", ts(11)),       # gap 1000 ms
+        ("A", 4, "grep", "tool_calls", ts(20)), # terminal: no gap
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool string, sink string, "
+        "filled_ts timestamp",
+    )
+    out = {
+        r["tool"]: r
+        for r in turn_latency_percentiles(
+            df, group_col="tool", where_sink="tool_calls"
+        ).collect()
+    }
+    # grep's call has no next turn -> no gap row at all
+    assert set(out) == {"bash"}
+    assert out["bash"]["n_calls"] == 2
+    assert out["bash"]["p50_ms"] == 1000
+    assert out["bash"]["p95_ms"] == 3000
