@@ -587,3 +587,109 @@ def tool_outcomes(df: DataFrame) -> DataFrame:
             F.round(F.col("n") / F.col("n_calls"), 5).alias("frac"),
         )
     )
+
+
+def hdr_partial_buckets(
+    df: DataFrame,
+    ts_col: str = "filled_ts",
+    group_col: str = "sink",
+    sub_bits: int = 4,
+) -> DataFrame:
+    """The mergeable half of the HDR-style latency sketch: per-group
+    log-histogram bucket counts over inter-turn gaps. This is the
+    operator `turn_latency_percentiles`' own docstring points to for
+    10^12 turns: the exact value-histogram shuffles distinct gap
+    values (unbounded — microsecond timestamps make most gaps
+    unique), while this quantizes each gap to its HdrHistogram
+    bucket — top (1 + sub_bits) significant bits kept, the rest
+    zeroed — so the aggregate state per group is AT MOST
+    64 << sub_bits rows no matter the corpus, with relative value
+    error < 2^-sub_bits by construction.
+
+    count is associative/commutative, so partials from partitions,
+    days, or replayed micro-batches sum into exactly the single-pass
+    histogram (the HLL-register pattern, hll_partial_registers).
+
+    All bucket math is integer bit arithmetic identical in both
+    engines: e = length(bin(gap)) (unpadded in Spark and DuckDB),
+    shift = max(e - 1 - sub_bits, 0), bucket = (gap >> shift) <<
+    shift — the bucket LOWER BOUND is its own key and representative.
+    """
+    from pyspark.sql.window import Window
+
+    wc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = (
+        F.unix_millis(F.col("_next_ts")) - F.unix_millis(F.col(ts_col))
+    ).alias("gap_ms")
+    gaps = (
+        df.withColumn("_next_ts", F.lead(ts_col).over(wc))
+        .filter(F.col("_next_ts").isNotNull())
+        .select(group_col, gap)
+    )
+    e = F.length(F.bin(F.col("gap_ms")))
+    shift = F.greatest(e - 1 - F.lit(sub_bits), F.lit(0))
+    # the python shiftright/shiftleft wrappers only take literal
+    # shift counts; the SQL functions accept expressions
+    bucket = F.when(F.col("gap_ms") <= 0, F.col("gap_ms")).otherwise(
+        F.expr("shiftleft(shiftright(gap_ms, _sh), _sh)")
+    )
+    return (
+        gaps.withColumn("_sh", shift)
+        .select(group_col, bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hdr_percentiles_from_buckets(
+    buckets: DataFrame, group_col: str = "sink"
+) -> DataFrame:
+    """Finish the sketch: discrete quantiles over bucket lower
+    bounds — smallest bucket whose cumulative count reaches
+    ceil(p*n), the same integer rank rule as the exact operator, so
+    approx vs exact differ ONLY by the in-bucket quantization
+    (< 2^-sub_bits relative, asserted in tests). The window runs on
+    GROUP x bucket rows (bounded by 64 << sub_bits per group), never
+    on turns."""
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy(group_col)
+    cum = buckets.select(
+        group_col,
+        "bucket",
+        F.sum("c")
+        .over(wt.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+
+    def pick(num: int, den: int, name: str) -> Column:
+        rank = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.min(F.when(F.col("cum") >= rank, F.col("bucket"))).alias(
+            name
+        )
+
+    return cum.groupBy(group_col).agg(
+        F.max("n").alias("n_gaps"),
+        pick(1, 2, "p50_ms_lb"),
+        pick(19, 20, "p95_ms_lb"),
+        pick(99, 100, "p99_ms_lb"),
+    )
+
+
+def hdr_latency_percentiles(
+    df: DataFrame,
+    ts_col: str = "filled_ts",
+    group_col: str = "sink",
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Single-pass composition of the two halves above — the
+    production approximate-percentile path at 10^12 turns: one
+    conv-keyed window (shared with the rest of the pipeline), one
+    partial+final aggregate whose state is bounded buckets, one
+    group-row-sized window. Compare pipe_latency_pctl (exact twin,
+    unbounded distinct-gap state) — both are gate queries so the
+    error bound is visible in the artifacts."""
+    return hdr_percentiles_from_buckets(
+        hdr_partial_buckets(df, ts_col, group_col, sub_bits), group_col
+    )

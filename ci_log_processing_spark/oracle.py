@@ -869,3 +869,44 @@ SELECT tool, outcome, n,
        round(n / (sum(n) OVER (PARTITION BY tool))::BIGINT, 5) AS frac
 FROM grouped
 """
+
+
+def q_hdr_latency(sub_bits: int = 4) -> str:
+    """hdr_latency_percentiles twin (operators/aggregate.py): the
+    same HdrHistogram bucket quantization — keep the top
+    (1 + sub_bits) significant bits of each gap, zero the rest, the
+    bucket lower bound is its own key — then the identical
+    ceil(p*n) discrete-rank rule over bucket rows. All integer bit
+    arithmetic (length(bin(x)) is unpadded in both engines)."""
+    b = sub_bits
+    return pipeline_cte() + f""",
+gaps AS (
+  SELECT sink,
+         epoch_ms(lead(filled_ts) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx)) - epoch_ms(filled_ts)
+           AS gap_ms
+  FROM routed
+),
+bkt AS (
+  SELECT sink,
+         CASE WHEN gap_ms <= 0 THEN gap_ms
+              ELSE (gap_ms >> greatest(length(bin(gap_ms)) - 1 - {b}, 0))
+                   << greatest(length(bin(gap_ms)) - 1 - {b}, 0)
+         END AS bucket,
+         count(*) AS c
+  FROM gaps WHERE gap_ms IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT sink, bucket,
+         sum(c) OVER (PARTITION BY sink ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY sink)::BIGINT AS n
+  FROM bkt
+)
+SELECT sink, max(n) AS n_gaps,
+       min(CASE WHEN cum >= (1 * n + 1) // 2 THEN bucket END) AS p50_ms_lb,
+       min(CASE WHEN cum >= (19 * n + 19) // 20 THEN bucket END) AS p95_ms_lb,
+       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END) AS p99_ms_lb
+FROM cum GROUP BY sink
+"""

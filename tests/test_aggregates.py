@@ -390,3 +390,61 @@ def test_bigram_logprob_vs_python_reference(spark):
     assert out[2]["n_backoff"] > 0
     assert out[3]["n_backoff"] == 0
     assert out[2]["bits_per_bigram"] > out[3]["bits_per_bigram"]
+
+
+def test_hdr_latency_error_bound_and_merge(spark):
+    """The HDR sketch's per-percentile answer is the exact
+    percentile's bucket lower bound: within 2^-sub_bits relative
+    below the exact value, never above it. Partial bucket tables
+    from disjoint slices sum-merge into the single-pass histogram."""
+    import random
+
+    from ci_log_processing_spark.operators.aggregate import (
+        hdr_latency_percentiles,
+        hdr_partial_buckets,
+        hdr_percentiles_from_buckets,
+        turn_latency_percentiles,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(40):
+        t = 0
+        for i in range(30):
+            rows.append((f"c{c}", i, "tool_calls", T(2024, 1, 1, 0, 0, 0)
+                         + dt.timedelta(milliseconds=t)))
+            t += rng.randrange(1, 500_000)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, sink string, "
+        "filled_ts timestamp",
+    )
+    sub_bits = 4
+    exact = {r["sink"]: r for r in turn_latency_percentiles(df).collect()}
+    hdr = {
+        r["sink"]: r
+        for r in hdr_latency_percentiles(df, sub_bits=sub_bits).collect()
+    }
+    e, h = exact["tool_calls"], hdr["tool_calls"]
+    assert h["n_gaps"] == e["n_calls"] == 40 * 29
+    for p in ("p50", "p95", "p99"):
+        ex, lb = e[f"{p}_ms"], h[f"{p}_ms_lb"]
+        assert lb <= ex, (p, lb, ex)
+        assert ex - lb <= ex * 2.0 ** -sub_bits, (p, lb, ex)
+
+    # merge property: per-conv-slice partials sum into the same
+    # histogram (and thus the same percentiles) as the single pass
+    half_a = df.filter(df.conv_id < "c2")   # lexicographic split
+    half_b = df.filter(~(df.conv_id < "c2"))
+    import pyspark.sql.functions as F
+
+    merged = (
+        hdr_partial_buckets(half_a, sub_bits=sub_bits)
+        .unionAll(hdr_partial_buckets(half_b, sub_bits=sub_bits))
+        .groupBy("sink", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    got = {
+        r["sink"]: r
+        for r in hdr_percentiles_from_buckets(merged).collect()
+    }
+    assert got["tool_calls"].asDict() == h.asDict()
