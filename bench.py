@@ -319,6 +319,15 @@ def main():
             ["sink", "n_calls", "p50_ms", "p95_ms", "p99_ms"],
         ),
     )
+    # the bounded-state HDR sketch next to its exact twin, so the
+    # artifact shows what the quantization buys in wall time
+    bench(
+        "pipe_latency_hdr",
+        lambda: checksum(
+            entrymod.q_latency_hdr(spark, sf_dir),
+            ["sink", "n_gaps", "p50_ms_lb", "p95_ms_lb", "p99_ms_lb"],
+        ),
+    )
     bench(
         "pipe_hll_distinct",
         lambda: checksum(
@@ -423,7 +432,8 @@ def main():
     # and text_tfidf_pruned which joined mid-round-3)
     R4_QUERIES = R3_QUERIES + [
         "text_repetition_arrow", "text_tfidf_pruned",
-        "pipe_latency_pctl", "pipe_hll_distinct", "sim_knn_graph",
+        "pipe_latency_pctl", "pipe_latency_hdr", "pipe_hll_distinct",
+        "sim_knn_graph",
         "dedup_minhash_estimate", "cur_full_curation_v4",
         "text_bigram_lm", "cur_leakage_split",
     ]
