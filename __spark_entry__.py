@@ -1785,6 +1785,16 @@ def q_tool_latency(spark, sf_dir):
     )
 
 
+def q_tool_health(spark, sf_dir):
+    """Composed per-tool health table: call volume + next-turn error
+    fraction + response-latency p50/p95 in one row per tool
+    (operators/aggregate.py tool_health) — the dashboard join the
+    reference does in OpenSearch."""
+    from ci_log_processing_spark.operators.aggregate import tool_health
+
+    return tool_health(_routed(spark, sf_dir))
+
+
 def q_latency_hdr(spark, sf_dir):
     """Mergeable HDR-style log-histogram latency percentiles
     (operators/aggregate.py hdr_latency_percentiles) — the bounded-
@@ -1861,14 +1871,14 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 12 late-round-4 additions (sim_knn_graph_multiprobe,
+    # The 13 late-round-4 additions (sim_knn_graph_multiprobe,
     # cur_priority_sample, cur_perplexity_buckets,
     # cur_bloom_decontaminate, cur_temperature_mixture,
     # stream_hll_distinct, text_bigram_logprob, cur_leakage_split,
     # pipe_tool_outcomes, pipe_tool_latency, sim_embed_diversity,
-    # pipe_latency_hdr) do not fit the 50-query budget; they are
-    # local-gate green (tools/check_correctness.py) and go FIRST in
-    # round 5's rotation.
+    # pipe_latency_hdr, pipe_tool_health) do not fit the 50-query
+    # budget; they are local-gate green (tools/check_correctness.py)
+    # and go FIRST in round 5's rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
@@ -1947,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_tool_outcomes": q_tool_outcomes,
         "pipe_tool_latency": q_tool_latency,
         "pipe_latency_hdr": q_latency_hdr,
+        "pipe_tool_health": q_tool_health,
         "pipe_conv_funnel": q_conv_funnel,
         "pipe_turn_transitions": q_turn_transitions,
         "pipe_session_window": q_session_window,
@@ -2116,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
             pre_where="sink <> 'drop_queue'",
         ),
         "pipe_latency_hdr": oracle.q_hdr_latency(sub_bits=4),
+        "pipe_tool_health": oracle.q_tool_health(),
         "pipe_conv_funnel": oracle.q_conv_funnel(),
         "pipe_turn_transitions": oracle.q_turn_transitions(
             state_col="role", sink=None

@@ -693,3 +693,36 @@ def hdr_latency_percentiles(
     return hdr_percentiles_from_buckets(
         hdr_partial_buckets(df, ts_col, group_col, sub_bits), group_col
     )
+
+
+def tool_health(df: DataFrame) -> DataFrame:
+    """The operator-facing dashboard table: one row per tool with
+    call volume, next-turn error fraction, and response-latency
+    p50/p95 — tool_outcomes x turn_latency_percentiles joined on the
+    tool key. This is the composed "which tool is breaking agents
+    TODAY" view the reference answers with separate OpenSearch
+    gauges (logscraper.py:295-304) and a dashboard join.
+
+    Scale shape: both inputs ride the same conv-keyed exchange and
+    reduce to GROUP rows (tools x outcomes; tools x distinct gaps)
+    before anything joins; the final join is tool-keyed over dozens
+    of rows (broadcast at any corpus size). Tools whose every call
+    is terminal have no latency row — LEFT join, null percentiles,
+    in both engines.
+    """
+    visible = df.filter(F.col("sink") != "drop_queue")
+    out = tool_outcomes(df)
+    err = out.groupBy("tool").agg(
+        F.max("n_calls").alias("n_calls"),
+        F.round(
+            F.sum(F.when(F.col("outcome") == "errors", F.col("n")).otherwise(F.lit(0)))
+            / F.max("n_calls"),
+            5,
+        ).alias("err_frac"),
+    )
+    lat = turn_latency_percentiles(
+        visible, group_col="tool", where_sink="tool_calls"
+    ).select("tool", "p50_ms", "p95_ms")
+    return err.join(lat, "tool", "left").select(
+        "tool", "n_calls", "err_frac", "p50_ms", "p95_ms"
+    )

@@ -910,3 +910,62 @@ SELECT sink, max(n) AS n_gaps,
        min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END) AS p99_ms_lb
 FROM cum GROUP BY sink
 """
+
+
+def q_tool_health() -> str:
+    """tool_health twin (operators/aggregate.py): the tool_outcomes
+    error-fraction aggregate LEFT-joined with the per-tool latency
+    percentiles, both over the drop_queue-excluded turns; a tool
+    whose every call is terminal keeps NULL percentiles in both
+    engines."""
+    return pipeline_cte() + """,
+base AS (
+  SELECT conv_id, turn_idx, tool, sink, filled_ts
+  FROM routed WHERE sink <> 'drop_queue'
+),
+nxt AS (
+  SELECT tool,
+         coalesce(lead(sink) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx), 'terminal')
+           AS outcome,
+         sink
+  FROM base
+),
+grouped AS (
+  SELECT tool, outcome, count(*) AS n
+  FROM nxt WHERE sink = 'tool_calls' GROUP BY tool, outcome
+),
+err AS (
+  SELECT tool, sum(n)::BIGINT AS n_calls,
+         round(sum(CASE WHEN outcome = 'errors' THEN n ELSE 0 END)::BIGINT
+               / sum(n)::BIGINT, 5) AS err_frac
+  FROM grouped GROUP BY tool
+),
+gaps AS (
+  SELECT tool, sink,
+         epoch_ms(lead(filled_ts) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx)) - epoch_ms(filled_ts)
+           AS gap_ms
+  FROM base
+),
+hist AS (
+  SELECT tool, gap_ms, count(*) AS c FROM gaps
+  WHERE gap_ms IS NOT NULL AND sink = 'tool_calls' GROUP BY 1, 2
+),
+cum AS (
+  SELECT tool, gap_ms,
+         sum(c) OVER (PARTITION BY tool ORDER BY gap_ms
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY tool)::BIGINT AS n
+  FROM hist
+),
+lat AS (
+  SELECT tool,
+         min(CASE WHEN cum >= (1 * n + 1) // 2 THEN gap_ms END) AS p50_ms,
+         min(CASE WHEN cum >= (19 * n + 19) // 20 THEN gap_ms END) AS p95_ms
+  FROM cum GROUP BY tool
+)
+SELECT err.tool, n_calls, err_frac, p50_ms, p95_ms
+FROM err LEFT JOIN lat ON err.tool = lat.tool
+"""

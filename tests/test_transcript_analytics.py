@@ -234,3 +234,40 @@ def test_tool_latency_gap_ends_at_next_any_sink(spark):
     assert out["bash"]["n_calls"] == 2
     assert out["bash"]["p50_ms"] == 1000
     assert out["bash"]["p95_ms"] == 3000
+
+
+def test_tool_health_composition_and_terminal_tool(spark):
+    from datetime import datetime
+
+    from ci_log_processing_spark.operators.aggregate import tool_health
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        # bash: 2 calls -> one errors next (gap 2s), one agent next
+        # (gap 4s) => err_frac 0.5, p50 = 2000 (rank ceil(.5*2)=1)
+        ("A", 0, "bash", "tool_calls", ts(0)),
+        ("A", 1, None, "errors", ts(2)),
+        ("A", 2, "bash", "tool_calls", ts(10)),
+        ("A", 3, None, "agent_turns", ts(14)),
+        # grep: single call, conversation ends -> terminal outcome,
+        # NO gap row => null percentiles, err_frac 0.0
+        ("B", 0, "grep", "tool_calls", ts(0)),
+        # drop_queue never counts as "next"
+        ("B", 1, None, "drop_queue", ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool string, sink string, "
+        "filled_ts timestamp",
+    )
+    out = {r["tool"]: r for r in tool_health(df).collect()}
+    assert set(out) == {"bash", "grep"}
+    b = out["bash"]
+    assert (b["n_calls"], b["err_frac"], b["p50_ms"], b["p95_ms"]) == (
+        2, 0.5, 2000, 4000,
+    )
+    g = out["grep"]
+    assert (g["n_calls"], g["err_frac"]) == (1, 0.0)
+    assert g["p50_ms"] is None and g["p95_ms"] is None
