@@ -1837,6 +1837,73 @@ def q_stream_hll(spark, sf_dir):
     return spark.createDataFrame(rows, "sink string, hll_distinct double")
 
 
+def q_stream_hdr(spark, sf_dir):
+    """Streaming HDR latency sketch with cross-batch gap bridging
+    (streaming/hdr_stream.py): every conversation is SPLIT across
+    two micro-batches — wave 0 carries turns below the conv's split
+    point, wave 1 the rest, order forced via file mtimes — and the
+    streamed sketch must still hash-equal the single-pass batch twin
+    (oracle.q_hdr_latency). The split point is each conv's first
+    turn_idx >= 40 whose timestamp PARSES, which is the module's
+    documented arrival contract: a segment opening with a parseable
+    ts makes the per-batch forward-fill and preamble routing
+    byte-identical to the global run, so the only cross-batch
+    information is the bridge gap the persisted state carries."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.plans.pipeline import DEFAULT_REF_YEAR
+    from ci_log_processing_spark.sources.derived import conv_meta_sql
+    from ci_log_processing_spark.streaming.hdr_stream import (
+        run_streaming_hdr,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    meta = spark.sql(conv_meta_sql("spark", "events"))
+    ok = (
+        ts_cascade_col(F.col("text"), DEFAULT_REF_YEAR).isNotNull()
+        & (F.col("turn_idx") >= 40)
+    )
+    split = (
+        t.withColumn("_cand", F.when(ok, F.col("turn_idx")))
+        .groupBy("conv_id")
+        .agg(F.min("_cand").alias("_split"))
+    )
+    tt = t.join(split, "conv_id", "left")
+    w0 = tt.filter(
+        F.col("turn_idx") < F.coalesce(F.col("_split"), F.lit(1 << 30))
+    ).drop("_split")
+    w1 = tt.filter(
+        F.col("turn_idx") >= F.coalesce(F.col("_split"), F.lit(1 << 30))
+    ).drop("_split")
+    work = tempfile.mkdtemp(prefix="gate_shdr_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+
+        def _write_wave(df, name, mtime):
+            tmp = os.path.join(work, "w_" + name)
+            df.coalesce(1).write.parquet(tmp)
+            pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(in_dir, name + ".parquet")
+            shutil.copy(os.path.join(tmp, pq[0]), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_wave(w0, "w0", 1_000_000)
+        _write_wave(w1, "w1", 2_000_000)
+        out = run_streaming_hdr(
+            spark, in_dir, os.path.join(work, "out"), sub_bits=4, meta=meta
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "sink string, n_gaps long, p50_ms_lb long, p95_ms_lb long, "
+        "p99_ms_lb long",
+    )
+
+
 def q_temperature_mixture(spark, sf_dir):
     """tau=0.5 temperature mixture rebalancing (operators/curation.py
     sqrt_temperature_mixture)."""
@@ -1871,14 +1938,15 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 13 late-round-4 additions (sim_knn_graph_multiprobe,
+    # The 14 late-round-4 additions (sim_knn_graph_multiprobe,
     # cur_priority_sample, cur_perplexity_buckets,
     # cur_bloom_decontaminate, cur_temperature_mixture,
     # stream_hll_distinct, text_bigram_logprob, cur_leakage_split,
     # pipe_tool_outcomes, pipe_tool_latency, sim_embed_diversity,
-    # pipe_latency_hdr, pipe_tool_health) do not fit the 50-query
-    # budget; they are local-gate green (tools/check_correctness.py)
-    # and go FIRST in round 5's rotation.
+    # pipe_latency_hdr, pipe_tool_health, stream_latency_hdr) do
+    # not fit the 50-query budget; they are local-gate green
+    # (tools/check_correctness.py) and go FIRST in round 5's
+    # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
@@ -1982,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["op_range_join_incidents"] = q_range_join_incidents
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_hll_distinct"] = q_stream_hll
+    qs["stream_latency_hdr"] = q_stream_hdr
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
     qs["stream_session_window"] = q_stream_session_window
@@ -2141,6 +2210,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["op_range_join_incidents"] = oracle.q_range_join_incidents()
     sqls["stream_follow_route"] = oracle.q_stream_follow()
     sqls["stream_hll_distinct"] = oracle.q_hll_distinct(include_exact=False)
+    sqls["stream_latency_hdr"] = oracle.q_hdr_latency(sub_bits=4)
     sqls["stream_session_window"] = oracle.q_stream_session_window()
     sqls["stream_interval_join"] = oracle.q_stream_interval_join()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()

@@ -626,16 +626,24 @@ def hdr_partial_buckets(
         .filter(F.col("_next_ts").isNotNull())
         .select(group_col, gap)
     )
-    e = F.length(F.bin(F.col("gap_ms")))
-    shift = F.greatest(e - 1 - F.lit(sub_bits), F.lit(0))
-    # the python shiftright/shiftleft wrappers only take literal
-    # shift counts; the SQL functions accept expressions
-    bucket = F.when(F.col("gap_ms") <= 0, F.col("gap_ms")).otherwise(
-        F.expr("shiftleft(shiftright(gap_ms, _sh), _sh)")
+    return hdr_bucket_counts(gaps, group_col, "gap_ms", sub_bits)
+
+
+def hdr_bucket_counts(
+    gaps: DataFrame, group_col: str, gap_col: str, sub_bits: int
+) -> DataFrame:
+    """Quantize a (group, gap) relation to HDR bucket counts — the
+    shared bucket math for the batch sketch and the streaming
+    per-micro-batch partials (streaming/hdr_stream.py). Pure-SQL
+    expression (the python shiftright/shiftleft wrappers only take
+    literal shift counts; the SQL functions accept expressions)."""
+    sh = f"greatest(length(bin({gap_col})) - 1 - {sub_bits}, 0)"
+    bucket = F.expr(
+        f"CASE WHEN {gap_col} <= 0 THEN {gap_col} "
+        f"ELSE shiftleft(shiftright({gap_col}, {sh}), {sh}) END"
     )
     return (
-        gaps.withColumn("_sh", shift)
-        .select(group_col, bucket.alias("bucket"))
+        gaps.select(group_col, bucket.alias("bucket"))
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

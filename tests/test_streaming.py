@@ -501,3 +501,70 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) >= 3
+
+
+def test_streaming_hdr_bridges_gaps_across_idle_batches(spark, tmp_path):
+    """Three waves; conv X appears in waves 0 and 2 only. The bridge
+    gap for X must come from wave 0's persisted state surviving the
+    idle middle batch (latest-per-conv = max batch id), and the
+    merged sketch must equal the single-pass batch operator."""
+    import os as _os
+    import shutil as _shutil
+    from datetime import datetime
+
+    from ci_log_processing_spark.operators.aggregate import (
+        hdr_latency_percentiles,
+    )
+    from ci_log_processing_spark.streaming.hdr_stream import (
+        run_streaming_hdr,
+    )
+
+    def ts(mins):
+        return datetime(2024, 1, 1, 0, mins, 0)
+
+    def line(mins):
+        # format 2 parses in the cascade -> every segment opens with
+        # a parseable ts, satisfying the arrival contract
+        return ts(mins).strftime("%Y-%m-%d %H:%M:%S.%f") + " | msg body"
+
+    def rows(conv, idxs):
+        return [(conv, i, "assistant", line(10 * i), None, ts(0))
+                for i in idxs]
+
+    waves = [
+        rows("X", [0, 1]) + rows("Y", [0, 1, 2]),
+        rows("Y", [3, 4]),                      # X idle this batch
+        rows("X", [2, 3]) + rows("Y", [5]),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, w in enumerate(waves):
+        tmp = str(tmp_path / f"w_{i}")
+        spark.createDataFrame(w, schema).coalesce(1).write.parquet(tmp)
+        pq = [f for f in _os.listdir(tmp) if f.endswith(".parquet")]
+        dst = str(in_dir / f"w{i}.parquet")
+        _shutil.copy(_os.path.join(tmp, pq[0]), dst)
+        _os.utime(dst, (1_000_000 * (i + 1),) * 2)
+
+    meta = spark.createDataFrame([("X",), ("Y",)], "conv_id string")
+    streamed = {
+        r["sink"]: r.asDict()
+        for r in run_streaming_hdr(
+            spark, str(in_dir), str(tmp_path / "out"), sub_bits=4,
+            meta=meta,
+        ).collect()
+    }
+    allrows = spark.createDataFrame(sum(waves, []), schema)
+    batch = {
+        r["sink"]: r.asDict()
+        for r in hdr_latency_percentiles(
+            full_pipeline(allrows, spark, meta=meta), sub_bits=4
+        ).collect()
+    }
+    assert streamed == batch
+    # every turn has a successor except each conv's last: 10 turns,
+    # 2 convs -> 8 gaps, of which X's 1->2 and Y's 2->3, 4->5 cross
+    # batch boundaries
+    assert sum(r["n_gaps"] for r in streamed.values()) == 8
