@@ -1738,6 +1738,27 @@ def q_leakage_split(spark, sf_dir):
     return leakage_safe_split(_docs(spark, sf_dir))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance weights (operators/curation.py
+    dsir_importance), target = the 'src0' docs."""
+    from ci_log_processing_spark.operators.curation import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(docs, docs.filter(F.col("source") == "src0"))
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR top-fraction selection via the distributed
+    histogram-threshold (operators/curation.py dsir_sample) — the
+    oracle's global window proves the equivalence."""
+    from ci_log_processing_spark.operators.curation import dsir_sample
+
+    docs = _docs(spark, sf_dir)
+    return dsir_sample(
+        docs, docs.filter(F.col("source") == "src0"), keep_permille=250
+    )
+
+
 def q_dedup_minhash_estimate(spark, sf_dir):
     """Signature-estimated near-dup pairs (operators/dedup.py
     minhash_estimate_pairs) — the verify-free LSH tail."""
@@ -2121,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_unigram_logprob": q_text_unigram,
             "text_bigram_logprob": q_text_bigram,
             "cur_leakage_split": q_leakage_split,
+            "cur_dsir_weights": q_dsir_weights,
+            "cur_dsir_sample": q_dsir_sample,
             "text_quality": q_quality,
             "text_model_quality": q_model_quality,
             "text_tfidf": q_tfidf,
@@ -2327,6 +2350,8 @@ def oracle_sql() -> dict[str, str]:
             "text_unigram_logprob": od.q_unigram_logprob(),
             "text_bigram_logprob": od.q_bigram_logprob(),
             "cur_leakage_split": od.q_leakage_safe_split(),
+            "cur_dsir_weights": od.q_dsir_weights(),
+            "cur_dsir_sample": od.q_dsir_sample(),
             "text_quality": od.q_quality(),
             "text_model_quality": od.q_model_quality(),
             "text_tfidf": od.q_tfidf_top_terms(3),

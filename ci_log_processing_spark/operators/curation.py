@@ -1067,3 +1067,192 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def _bigram_buckets(
+    text_col: str, n_buckets: int, seed: str
+) -> Column:
+    """Hashed-bigram feature buckets for DSIR: bucket(w1, w2) =
+    h32(seed || ':' || w1 || ' ' || w2) mod n_buckets, one int per
+    bigram INSTANCE (positions matter — repeated bigrams vote
+    repeatedly, the paper's bag-of-hashed-ngrams). Empty array for
+    docs with < 2 tokens. Pure per-row codegen — zero shuffle."""
+    from .dedup import h32
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.pmod(
+                h32(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.element_at(toks, i),
+                        F.lit(" "),
+                        F.element_at(toks, i + 1),
+                    )
+                ),
+                F.lit(n_buckets),
+            ).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    seed: str = "dsir1",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS): score every
+    raw document by how much more likely its hashed-bigram features
+    are under a small TARGET corpus (the distribution you want more
+    of — curated wiki, textbooks, an in-domain seed set) than under
+    the raw crawl itself. The standard modern alternative to
+    classifier-based quality gates: no trained model, just two
+    feature histograms.
+
+    Both distributions are Laplace-smoothed (+1 per bucket) and
+    surprisal is QUANTIZED to whole bits with the binary-digit-count
+    trick unigram_logprob uses (length(bin(x)) — no libm), so the
+    weight is exact integer arithmetic both engines reproduce
+    bit-for-bit:
+
+      bits_side(b)   = length(bin(total_side + n_buckets))
+                       - length(bin(cnt_side[b] + 1))
+      dbits(b)       = bits_raw(b) - bits_target(b)      # log-ratio
+      dsir_bits(doc) = sum over the doc's bigram instances of dbits
+
+    Scale shape: per-row bucket arrays (zero shuffle), then TWO
+    bucket-keyed partial+final aggregates whose outputs are <=
+    n_buckets rows each — the "model" is tiny BY CONSTRUCTION (the
+    hashing collapses any vocabulary into n_buckets cells; same
+    bounded-state argument as the HDR sketch and kmeans centroids).
+    The <= n_buckets-row log-ratio table broadcasts back onto the
+    instance stream (map-side, no shuffle), and the per-doc sum is
+    ONE doc-keyed combine-friendly aggregate. The raw corpus is
+    scanned twice (model build + scoring) — the deliberate trade at
+    100 TB: a second columnar scan beats persisting the token-sized
+    exploded instance stream.
+
+    Output: (doc_id, n_pairs, dsir_bits, bits_per_pair); docs with
+    < 2 tokens are absent (no bigram evidence to weigh).
+    """
+    if n_buckets < 1:
+        raise ValueError("dsir_importance: n_buckets must be >= 1")
+    buckets = _bigram_buckets(text_col, n_buckets, seed)
+    inst = docs.select("doc_id", F.explode(buckets).alias("b"))
+    raw_cnt = inst.groupBy("b").agg(F.count(F.lit(1)).alias("raw_n"))
+    tgt_cnt = (
+        target.select(F.explode(buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_n"))
+    )
+    raw_tot = raw_cnt.agg(F.sum("raw_n").alias("raw_total"))
+    tgt_tot = tgt_cnt.agg(
+        F.coalesce(F.sum("tgt_n"), F.lit(0)).alias("tgt_total")
+    )
+    # every scored instance's bucket exists on the raw side by
+    # construction (instances come from the raw corpus); the target
+    # side may miss a bucket -> Laplace 0+1
+    blen = lambda c: F.length(F.bin(c))  # noqa: E731
+    ratio = (
+        raw_cnt.join(tgt_cnt, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                (
+                    blen(F.col("raw_total") + F.lit(n_buckets))
+                    - blen(F.col("raw_n") + 1)
+                )
+                - (
+                    blen(F.col("tgt_total") + F.lit(n_buckets))
+                    - blen(F.coalesce(F.col("tgt_n"), F.lit(0)) + 1)
+                )
+            )
+            .cast("long")
+            .alias("dbits"),
+        )
+    )
+    return (
+        inst.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("dbits").alias("dsir_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "dsir_bits",
+            F.round(
+                F.col("dsir_bits") / F.col("n_pairs"), 5
+            ).alias("bits_per_pair"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    keep_permille: int = 250,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    seed: str = "dsir1",
+) -> DataFrame:
+    """DSIR selection: keep the top keep_permille/1000 of scoreable
+    documents by importance weight (dsir_bits DESC, doc_id ASC tie
+    break) — the deterministic analog of the paper's
+    sample-proportional-to-weight draw, same shape as
+    quality_top_fraction's gate but over the DSIR weight.
+
+    The global top-fraction is computed WITHOUT a global sort: the
+    weight is a small integer, so its value histogram is tiny —
+    bucket counts by dsir_bits (partial+final aggregate, volume =
+    distinct weight values), a cumulative count over that
+    value-ordered table (single-partition window over bounded rows,
+    same class as latency_percentiles' histogram), broadcast back,
+    and a per-VALUE row_number window (hash-partitioned on
+    dsir_bits) decides only the boundary value's admissions:
+    selected iff above_cnt + rank_within_value <= m. One data-sized
+    doc-keyed exchange total beyond dsir_importance's own.
+
+    m = ceil(keep_permille * n_scoreable / 1000), integer-exact in
+    both engines as (n * keep_permille + 999) div 1000.
+
+    Output: the selected rows of dsir_importance.
+    """
+    if not (0 <= keep_permille <= 1000):
+        raise ValueError("dsir_sample: keep_permille must be in [0, 1000]")
+    w = dsir_importance(
+        docs, target, n_buckets=n_buckets, text_col=text_col, seed=seed
+    )
+    m_row = w.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.expr(f"(_n * {keep_permille} + 999) div 1000").alias("_m")
+    )
+    hist = w.groupBy("dsir_bits").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_above = (
+        Window.orderBy(F.desc("dsir_bits"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "dsir_bits",
+        F.coalesce(F.sum("_cnt").over(w_above), F.lit(0)).alias("_above"),
+    )
+    rv = F.row_number().over(
+        Window.partitionBy("dsir_bits").orderBy("doc_id")
+    )
+    return (
+        w.join(F.broadcast(cum), "dsir_bits")
+        .crossJoin(F.broadcast(m_row))
+        .withColumn("_rv", rv)
+        .filter(F.col("_above") + F.col("_rv") <= F.col("_m"))
+        .select("doc_id", "n_pairs", "dsir_bits", "bits_per_pair")
+    )

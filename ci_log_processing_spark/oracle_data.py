@@ -2083,3 +2083,80 @@ SELECT norms.label, n,
             ELSE 0.0 END AS mean_pair_dist_sq
 FROM norms JOIN qq USING (label)
 """
+
+
+def _dsir_weights_cte(
+    target_source: str, n_buckets: int, seed: str
+) -> str:
+    """Shared weight CTE chain for the two DSIR twins: hashed-bigram
+    buckets (same h32 % n_buckets as _bigram_buckets), Laplace-
+    smoothed whole-bit log-ratio per bucket, per-doc instance sum."""
+    h = _H32.format(x=f"'{seed}:' || l[i] || ' ' || l[i + 1]")
+    src = "'" + target_source.replace("'", "''") + "'"
+    return f"""
+toks AS (
+  SELECT doc_id, source, {_TOKS} AS l FROM documents
+),
+inst AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                i -> ({h}) % {n_buckets})) AS b
+  FROM toks WHERE len(l) >= 2
+),
+raw AS (SELECT b, count(*) AS raw_n FROM inst GROUP BY 1),
+tgt AS (
+  SELECT b, count(*) AS tgt_n FROM inst
+  WHERE source = {src} GROUP BY 1
+),
+rt AS (SELECT sum(raw_n)::BIGINT AS raw_total FROM raw),
+tt AS (SELECT coalesce(sum(tgt_n), 0)::BIGINT AS tgt_total FROM tgt),
+ratio AS (
+  SELECT raw.b,
+         (length(bin(rt.raw_total + {n_buckets}))
+          - length(bin(raw.raw_n + 1)))
+       - (length(bin(tt.tgt_total + {n_buckets}))
+          - length(bin(coalesce(tgt.tgt_n, 0) + 1))) AS dbits
+  FROM raw LEFT JOIN tgt USING (b), rt, tt
+),
+w AS (
+  SELECT doc_id, count(*) AS n_pairs,
+         sum(dbits)::BIGINT AS dsir_bits,
+         round(sum(dbits)::BIGINT / count(*), 5) AS bits_per_pair
+  FROM inst JOIN ratio USING (b)
+  GROUP BY doc_id
+)"""
+
+
+def q_dsir_weights(
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    seed: str = "dsir1",
+) -> str:
+    """dsir_importance twin (operators/curation.py): hashed-bigram
+    DSIR importance weights, target = the docs of one source."""
+    return f"""
+WITH {_dsir_weights_cte(target_source, n_buckets, seed)}
+SELECT doc_id, n_pairs, dsir_bits, bits_per_pair FROM w
+"""
+
+
+def q_dsir_sample(
+    target_source: str = "src0",
+    keep_permille: int = 250,
+    n_buckets: int = 1024,
+    seed: str = "dsir1",
+) -> str:
+    """dsir_sample twin: global top-fraction by (dsir_bits DESC,
+    doc_id) with m = ceil(keep_permille * n / 1000) — the oracle runs
+    the naive global window the distributed histogram-threshold
+    version provably equals."""
+    return f"""
+WITH {_dsir_weights_cte(target_source, n_buckets, seed)},
+m AS (SELECT (count(*) * {keep_permille} + 999) // 1000 AS m FROM w),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY dsir_bits DESC, doc_id) AS rn
+  FROM w
+)
+SELECT doc_id, n_pairs, dsir_bits, bits_per_pair
+FROM r, m WHERE r.rn <= m.m
+"""

@@ -373,3 +373,92 @@ def test_leakage_safe_split_short_docs_never_quarantined(spark):
     }
     # permille=0: nobody is test -> nobody can be quarantined
     assert set(out2.values()) == {"train"}
+
+
+def _py_dsir_weights(rows, target_ids, n_buckets=64, seed="dsir1"):
+    """Pure-Python reference for dsir_importance: same h32 bucket,
+    same Laplace whole-bit quantization."""
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def bl(x):
+        return x.bit_length()  # == length(bin(x)) for x >= 1
+
+    def buckets(text):
+        toks = text.lower().split(" ")
+        return [
+            h32(f"{seed}:{toks[i]} {toks[i + 1]}") % n_buckets
+            for i in range(len(toks) - 1)
+        ]
+
+    raw_cnt, tgt_cnt = {}, {}
+    for doc_id, text in rows:
+        for b in buckets(text):
+            raw_cnt[b] = raw_cnt.get(b, 0) + 1
+            if doc_id in target_ids:
+                tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    rt, tt = sum(raw_cnt.values()), sum(tgt_cnt.values())
+    out = {}
+    for doc_id, text in rows:
+        bs = buckets(text)
+        if not bs:
+            continue
+        s = sum(
+            (bl(rt + n_buckets) - bl(raw_cnt[b] + 1))
+            - (bl(tt + n_buckets) - bl(tgt_cnt.get(b, 0) + 1))
+            for b in bs
+        )
+        out[doc_id] = (len(bs), s)
+    return out
+
+
+def test_dsir_weights_match_python_reference(spark):
+    from ci_log_processing_spark.operators.curation import (
+        dsir_importance,
+        dsir_sample,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "alpha beta gamma delta"),
+        (2, "noise junk spam noise junk"),
+        (3, "alpha beta alpha beta alpha beta"),
+        (4, "solo"),  # < 2 tokens: no bigram evidence, absent
+        (5, "spam junk noise spam"),
+    ]
+    target_ids = {0, 1}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id").isin(list(target_ids)))
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["dsir_bits"])
+        for r in dsir_importance(docs, target, n_buckets=64).collect()
+    }
+    assert got == _py_dsir_weights(rows, target_ids)
+    # target-like docs must outrank the junk docs per pair
+    ref = _py_dsir_weights(rows, target_ids)
+    per_pair = {d: s / n for d, (n, s) in ref.items()}
+    assert per_pair[3] > per_pair[2] and per_pair[0] > per_pair[5]
+
+    # selection: m = ceil(kp * n_scoreable / 1000) rows, the top ones
+    sel = dsir_sample(
+        docs, target, keep_permille=400, n_buckets=64
+    ).collect()
+    n_scoreable = len(ref)  # 5 docs have bigrams
+    m = -(-(400 * n_scoreable) // 1000)
+    assert len(sel) == m
+    order = sorted(ref, key=lambda d: (-ref[d][1], d))
+    assert {r["doc_id"] for r in sel} == set(order[:m])
+
+
+def test_dsir_sample_validates_permille(spark):
+    import pytest
+
+    from ci_log_processing_spark.operators.curation import dsir_sample
+
+    docs = spark.createDataFrame(
+        [(0, "a b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        dsir_sample(docs, docs, keep_permille=1001)
