@@ -1311,6 +1311,29 @@ def q_bloom_decontaminate(spark, sf_dir):
     return bloom_decontaminate(_docs(spark, sf_dir), BLOOM_SNIPPETS)
 
 
+# k=3 shingles: the synthetic docs' 3-grams repeat corpus-wide (5-grams
+# are near-unique), so this set flags dozens of docs and the 5-token
+# first snippet yields ADJACENT flagged positions whose islands merge
+SPAN_SNIPPETS = [
+    "slow hash batch filter value",
+    "part filter scan",
+    "row column sort",
+    "stream table hash",
+    "window fast query",
+]
+
+
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination excision (operators/curation.py
+    decontaminate_spans): cut the contaminated k-token spans out,
+    keep the document."""
+    from ci_log_processing_spark.operators.curation import (
+        decontaminate_spans,
+    )
+
+    return decontaminate_spans(_docs(spark, sf_dir), SPAN_SNIPPETS, k=3)
+
+
 def q_priority_sample(spark, sf_dir):
     """Duffield-Lund-Thorup priority sampling, 10 docs per source
     (operators/curation.py priority_sample)."""
@@ -2114,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_line_dedup": q_line_dedup,
             "cur_decontaminate": q_decontaminate,
             "cur_bloom_decontaminate": q_bloom_decontaminate,
+            "cur_decontaminate_spans": q_decontaminate_spans,
             "cur_priority_sample": q_priority_sample,
             "cur_temperature_mixture": q_temperature_mixture,
             "cur_full_curation_v4": q_full_curation_v4,
@@ -2303,6 +2327,9 @@ def oracle_sql() -> dict[str, str]:
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),
             "cur_bloom_decontaminate": od.q_bloom_decontaminate(
                 _bloom_bits(BLOOM_SNIPPETS)
+            ),
+            "cur_decontaminate_spans": od.q_decontaminate_spans(
+                SPAN_SNIPPETS, k=3
             ),
             "cur_priority_sample": od.q_priority_sample(10),
             "cur_temperature_mixture": od.q_sqrt_temperature_mixture(),

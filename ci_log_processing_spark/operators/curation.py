@@ -1256,3 +1256,137 @@ def dsir_sample(
         .filter(F.col("_above") + F.col("_rv") <= F.col("_m"))
         .select("doc_id", "n_pairs", "dsir_bits", "bits_per_pair")
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark_snippets: list[str],
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination EXCISION: instead of dropping every
+    document that overlaps the benchmark suite (decontaminate /
+    overlap_decontaminate — wasteful when one quoted test question
+    sits inside an otherwise-good page), cut out exactly the
+    contaminated token spans and keep the rest — the surgical variant
+    of Lee et al. 2022's substring excision, aimed at a TEST set
+    rather than at corpus-internal duplicates.
+
+    A position is contaminated iff its k-token shingle (lowercased,
+    duplicate_spans' md5 span key) appears anywhere in the benchmark
+    suite's own k-token shingles; overlapping/touching flagged
+    positions merge into maximal intervals via the same
+    gaps-and-islands window dedup.duplicate_spans uses, and the
+    ORIGINAL-case tokens inside merged intervals are removed.
+
+    Scale shape: the benchmark shingle-hash set is a driver-built
+    LITERAL (benchmark suites are tiny — same argument as
+    decontaminate's snippet chain; a corpus-sized test set would swap
+    in a broadcast semi-join without touching the rest of the plan),
+    so flagging is a per-row filter on the positional-shingle stream
+    — zero shuffle. The only exchanges are the doc-keyed island
+    window + span aggregate over FLAGGED positions (hit-volume, not
+    corpus-volume) and the doc-keyed join back; the rebuild is
+    per-row codegen (covered-position array + indexed filter).
+
+    Output, one row per input doc: (doc_id, n_spans,
+    n_tokens_removed, clean_text) — clean docs pass through with 0 /
+    0 / original text.
+    """
+    import hashlib
+
+    if k < 1:
+        raise ValueError("decontaminate_spans: k must be >= 1")
+    test_hashes: list[str] = []
+    for s in benchmark_snippets:
+        toks = s.lower().split(" ")
+        for i in range(len(toks) - k + 1):
+            test_hashes.append(
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            )
+    if not test_hashes:
+        raise ValueError(
+            f"decontaminate_spans: no snippet has >= {k} tokens"
+        )
+    test_hashes = sorted(set(test_hashes))
+
+    toks_lower = tokens_col(F.col(text_col))
+    n = F.size(toks_lower)
+    spans = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks_lower, i, k)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hits = (
+        docs.select("doc_id", F.posexplode(spans).alias("pos", "h"))
+        .filter(F.col("h").isin(test_hashes))
+        .select("doc_id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w_prev)
+    islands = hits.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + 1, 1
+            ).otherwise(0)
+        )
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island"),
+    )
+    merged = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (k - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.collect_list(F.struct("s", "e")).alias("_spans"),
+        )
+    )
+    covered = F.flatten(
+        F.transform(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+            lambda sp: F.sequence(sp["s"], sp["e"]),
+        )
+    )
+    toks_orig = F.split(F.col(text_col), " ")
+    return (
+        docs.select("doc_id", text_col)
+        .join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_tokens_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.array_join(
+                F.filter(
+                    toks_orig,
+                    lambda t, i: ~F.array_contains(covered, i),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -2160,3 +2160,90 @@ r AS (
 SELECT doc_id, n_pairs, dsir_bits, bits_per_pair
 FROM r, m WHERE r.rn <= m.m
 """
+
+
+def q_decontaminate_spans(benchmark_snippets: list[str], k: int = 5) -> str:
+    """decontaminate_spans twin (operators/curation.py): same
+    driver-built md5 shingle-hash set (python md5 == both engines'
+    md5), positional k-shingles over lowercased tokens, gaps-and-
+    islands merge, and an original-case token rebuild that drops
+    covered positions."""
+    import hashlib
+
+    hashes: set[str] = set()
+    for s in benchmark_snippets:
+        toks = s.lower().split(" ")
+        for i in range(len(toks) - k + 1):
+            hashes.add(
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            )
+    if not hashes:
+        raise ValueError(f"no snippet has >= {k} tokens")
+    in_list = ", ".join("'" + h + "'" for h in sorted(hashes))
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS lo,
+         string_split(lower(text), ' ') AS ll
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, ph.p AS pos, ph.h AS h FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ll) >= {k} THEN
+             list_transform(generate_series(1, len(ll) - {k - 1}),
+               i -> struct_pack(p := i - 1,
+                 h := md5(array_to_string(
+                        list_slice(ll, i, i + {k - 1}), ' '))))
+             ELSE [] END) AS ph
+    FROM d
+  )
+),
+hits AS (SELECT doc_id, pos FROM pos WHERE h IN ({in_list})),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {k - 1}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -2) + 1 THEN 1 ELSE 0 END AS is_start
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {k - 1} AS e
+  FROM isl2 GROUP BY 1, 2
+),
+spans AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(e - s + 1)::BIGINT AS n_tokens_removed
+  FROM merged GROUP BY doc_id
+),
+tokpos AS (
+  SELECT doc_id, unnest(lo) AS tok,
+         generate_subscripts(lo, 1) - 1 AS p
+  FROM d
+),
+covered AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS p FROM merged
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.p
+  FROM tokpos t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.p IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(s.n_tokens_removed, 0)::BIGINT AS n_tokens_removed,
+       coalesce(cl.clean_text, '') AS clean_text
+FROM d LEFT JOIN spans s USING (doc_id)
+       LEFT JOIN clean cl ON d.doc_id = cl.doc_id
+"""

@@ -462,3 +462,50 @@ def test_dsir_sample_validates_permille(spark):
     )
     with pytest.raises(ValueError):
         dsir_sample(docs, docs, keep_permille=1001)
+
+
+def test_decontaminate_spans_excision(spark):
+    from ci_log_processing_spark.operators.curation import (
+        decontaminate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # two hits at pos 1 and 3 (k=2): [1,2] and [3,4] touch ->
+            # ONE merged island covering tokens 1..4
+            (0, "keep The Quick brown Fox jumps end"),
+            (1, "totally clean document here"),
+            (2, "the quick brown fox"),  # everything after pos 0? no:
+            # hits at 0 and 2 -> island [0,3] covers the WHOLE doc
+            (3, "x y"),  # shorter than any shingle overlap
+        ],
+        "doc_id long, text string",
+    )
+    # k=2 shingles of the snippet: "the quick","quick brown","brown fox"
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(
+            docs, ["the quick brown fox"], k=2
+        ).collect()
+    }
+    assert len(out) == 4
+    # doc 0: flagged positions 1,2,3 (lowercased match) -> one island
+    # [1, 4]; original-CASE tokens removed, 'keep'+'jumps'+'end' stay
+    assert out[0]["n_spans"] == 1
+    assert out[0]["n_tokens_removed"] == 4
+    assert out[0]["clean_text"] == "keep jumps end"
+    # doc 1: untouched, original text (case preserved) passes through
+    assert out[1]["n_spans"] == 0
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[1]["clean_text"] == "totally clean document here"
+    # doc 2: the whole doc is one contaminated island -> empty rebuild
+    assert out[2]["n_spans"] == 1
+    assert out[2]["n_tokens_removed"] == 4
+    assert out[2]["clean_text"] == ""
+    # doc 3: no shingle of length 2 matches
+    assert out[3]["clean_text"] == "x y"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decontaminate_spans(docs, ["short"], k=5)  # no >=5-token snippet
