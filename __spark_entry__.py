@@ -917,6 +917,46 @@ def q_stream_neardup(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long")
 
 
+def q_stream_cms(spark, sf_dir):
+    """Streaming count-min heavy hitters (streaming/cms_stream.py):
+    the corpus arrives as TWO micro-batches (odd/even doc_id, so
+    every hot token's count straddles the batch boundary), per-batch
+    exact-count + CMS-cell partials sum-merge, and the result must
+    hash-equal the single-pass DuckDB sketch over all docs — the
+    linearity proof, not just plumbing."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.cms_stream import (
+        run_streaming_cms,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="gate_scms_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+
+        def _write_wave(df, name, mtime):
+            tmp = os.path.join(work, "w_" + name)
+            df.coalesce(1).write.parquet(tmp)
+            pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(in_dir, name + ".parquet")
+            shutil.copy(os.path.join(tmp, pq[0]), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_wave(docs.filter(F.col("doc_id") % 2 == 0), "w0", 1_000_000)
+        _write_wave(docs.filter(F.col("doc_id") % 2 == 1), "w1", 2_000_000)
+        out = run_streaming_cms(spark, in_dir, os.path.join(work, "out"))
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "token string, exact_n long, cms_n long, inflation long, rank int",
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import incremental_dedup
     from ci_log_processing_spark.sources.corpus import load_corpus
@@ -2094,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["op_range_join_incidents"] = q_range_join_incidents
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_hll_distinct"] = q_stream_hll
+    qs["stream_cms_heavy"] = q_stream_cms
     qs["stream_latency_hdr"] = q_stream_hdr
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
@@ -2288,6 +2329,9 @@ def oracle_sql() -> dict[str, str]:
             "stream_neardup_ingest": od.q_stream_neardup(
                 threshold=0.6, candidate_cap=64
             ),
+            # the streamed CMS must equal the SINGLE-PASS sketch:
+            # same oracle as the batch entry, different engine path
+            "stream_cms_heavy": od.q_cms_token_counts(),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_minhash_estimate": od.q_dedup_minhash_estimate(0.5),

@@ -907,30 +907,49 @@ def cms_token_counts(
     """
     if width < 1 or depth < 1:
         raise ValueError("cms_token_counts: width/depth must be >= 1")
-    from .dedup import h32
-
     toks = docs.select(
         F.explode(tokens_col(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
-    cells = F.array(
-        *[
-            F.pmod(
-                h32(
-                    F.concat(
-                        F.lit(f"{seed}{i}:"), F.col("token")
-                    )
-                ),
-                F.lit(width),
-            ).cast("int")
-            for i in range(depth)
-        ]
-    )
+    cells = cms_cell_array(width, depth, seed)
     sketch = (
         exact.select("exact_n", F.posexplode(cells).alias("i", "cell"))
         .groupBy("i", "cell")
         .agg(F.sum("exact_n").alias("cell_n"))
     )
+    return cms_estimate(exact, sketch, candidates_k, width, depth, seed)
+
+
+def cms_cell_array(width: int, depth: int, seed: str) -> Column:
+    """The depth hash cells of F.col('token') — ONE definition shared
+    by the batch sketch, the streaming per-batch partials, and the
+    DuckDB twin, so the cell layout can never drift between them."""
+    from .dedup import h32
+
+    return F.array(
+        *[
+            F.pmod(
+                h32(F.concat(F.lit(f"{seed}{i}:"), F.col("token"))),
+                F.lit(width),
+            ).cast("int")
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_estimate(
+    exact: DataFrame,
+    sketch: DataFrame,
+    candidates_k: int,
+    width: int,
+    depth: int,
+    seed: str,
+) -> DataFrame:
+    """Finish a CMS query: top-k candidates from the exact (token,
+    exact_n) table (heap TakeOrderedAndProject, never a global sort),
+    min over the candidate's depth cells from the broadcast sketch.
+    Shared by cms_token_counts and the streaming partial merge."""
+    cells = cms_cell_array(width, depth, seed)
     order = [F.desc("exact_n"), F.asc("token")]
     top = exact.orderBy(*order).limit(candidates_k)
     est = (

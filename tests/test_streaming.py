@@ -568,3 +568,54 @@ def test_streaming_hdr_bridges_gaps_across_idle_batches(spark, tmp_path):
     # 2 convs -> 8 gaps, of which X's 1->2 and Y's 2->3, 4->5 cross
     # batch boundaries
     assert sum(r["n_gaps"] for r in streamed.values()) == 8
+
+
+def test_streaming_cms_equals_batch_and_survives_replay(spark, tmp_path):
+    """The streamed CMS partial merge must equal the single-pass batch
+    sketch (linearity), and a FULL REPLAY (fresh checkpoint, same
+    output dir — every batch re-processed) must leave the answer
+    unchanged: '+' is not idempotent, so this exercises the
+    batch-addressed overwrite bookkeeping, not the algebra."""
+    import shutil
+
+    from ci_log_processing_spark.operators.curation import cms_token_counts
+    from ci_log_processing_spark.streaming.cms_stream import (
+        run_streaming_cms,
+    )
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} tok{i % 7} filler{i} tok0")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for w, (lo, hi, mt) in enumerate([(0, 30, 1_000_000), (30, 60, 2_000_000)]):
+        tmp = str(tmp_path / f"w_{w}")
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(tmp)
+        pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = str(in_dir / f"w{w}.parquet")
+        shutil.copy(os.path.join(tmp, pq[0]), dst)
+        os.utime(dst, (mt, mt))
+
+    out_dir = str(tmp_path / "out")
+    got = run_streaming_cms(
+        spark, str(in_dir), out_dir, candidates_k=5, width=32, depth=3
+    ).collect()
+    want = cms_token_counts(
+        docs, candidates_k=5, width=32, depth=3
+    ).collect()
+    key = lambda r: (r["rank"], r["token"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # CMS one-sided error: estimate never undercounts
+    assert all(r["inflation"] >= 0 for r in got)
+
+    # full replay: wipe ONLY the checkpoint; both batches re-run and
+    # overwrite their own partial dirs — double-merge would inflate
+    shutil.rmtree(os.path.join(out_dir, "_stream_ckpt"))
+    again = run_streaming_cms(
+        spark, str(in_dir), out_dir, candidates_k=5, width=32, depth=3
+    ).collect()
+    assert sorted(again, key=key) == sorted(want, key=key)
