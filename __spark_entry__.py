@@ -2022,15 +2022,16 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 14 late-round-4 additions (sim_knn_graph_multiprobe,
+    # The 18 late-round-4 additions (sim_knn_graph_multiprobe,
     # cur_priority_sample, cur_perplexity_buckets,
     # cur_bloom_decontaminate, cur_temperature_mixture,
     # stream_hll_distinct, text_bigram_logprob, cur_leakage_split,
     # pipe_tool_outcomes, pipe_tool_latency, sim_embed_diversity,
-    # pipe_latency_hdr, pipe_tool_health, stream_latency_hdr) do
-    # not fit the 50-query budget; they are local-gate green
-    # (tools/check_correctness.py) and go FIRST in round 5's
-    # rotation.
+    # pipe_latency_hdr, pipe_tool_health, stream_latency_hdr,
+    # cur_dsir_weights, cur_dsir_sample, cur_decontaminate_spans,
+    # stream_cms_heavy) do not fit the 50-query budget; they are
+    # local-gate green (tools/check_correctness.py) and go FIRST in
+    # round 5's rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",

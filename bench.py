@@ -371,6 +371,20 @@ def main():
             ["doc_id", "source", "split"],
         ),
     )
+    bench(
+        "cur_dsir_sample",
+        lambda: checksum(
+            entrymod.q_dsir_sample(spark, sf_dir),
+            ["doc_id", "n_pairs", "dsir_bits", "bits_per_pair"],
+        ),
+    )
+    bench(
+        "cur_decontaminate_spans",
+        lambda: checksum(
+            entrymod.q_decontaminate_spans(spark, sf_dir),
+            ["doc_id", "n_spans", "n_tokens_removed", "clean_text"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -436,6 +450,7 @@ def main():
         "sim_knn_graph",
         "dedup_minhash_estimate", "cur_full_curation_v4",
         "text_bigram_lm", "cur_leakage_split",
+        "cur_dsir_sample", "cur_decontaminate_spans",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

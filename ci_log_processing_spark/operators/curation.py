@@ -1250,8 +1250,17 @@ def dsir_sample(
     """
     if not (0 <= keep_permille <= 1000):
         raise ValueError("dsir_sample: keep_permille must be in [0, 1000]")
-    w = dsir_importance(
-        docs, target, n_buckets=n_buckets, text_col=text_col, seed=seed
+    from .dedup import _register_persist
+
+    # the weights table feeds THREE consumers (m, the value
+    # histogram, the final join) and Catalyst does not reuse the
+    # subtree — persist the doc-sized result so the corpus-scan
+    # pipeline underneath runs once (tfidf's tf-table pattern);
+    # release with dedup.release_persisted() after consuming
+    w = _register_persist(
+        dsir_importance(
+            docs, target, n_buckets=n_buckets, text_col=text_col, seed=seed
+        )
     )
     m_row = w.agg(F.count(F.lit(1)).alias("_n")).select(
         F.expr(f"(_n * {keep_permille} + 999) div 1000").alias("_m")

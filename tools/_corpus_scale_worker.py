@@ -248,6 +248,46 @@ def main():
             .collect(),
             warmup=True,
         )
+        # round-4 restart tier: DSIR selection (two bucket aggregates
+        # + broadcast ratio + doc agg + histogram threshold) and span
+        # excision (positional-shingle scan + hit-sized windows).
+        # k=2 spans: a specific 2-gram of the ~400-word vocab occurs
+        # ~6e-6/position, so the flag stream stays hit-sized while
+        # the SCAN stays corpus-sized — the shape being measured.
+        from ci_log_processing_spark.operators.curation import (
+            decontaminate_spans,
+            dsir_sample,
+        )
+
+        def _dsir():
+            r = (
+                dsir_sample(
+                    corpus,
+                    corpus.filter(F.col("source") == "s0"),
+                    keep_permille=250,
+                )
+                .select(F.bit_xor(F.xxhash64("doc_id", "dsir_bits")))
+                .collect()
+            )
+            _dedup.release_persisted()  # free the weights cache
+            return r
+
+        t("dsir_sample", _dsir, warmup=True)
+        span_snips = [
+            "the scan", "row batch", "hash join", "value query",
+            "fast slow", "agg window", "stream group", "order column",
+        ]
+        t(
+            "decontaminate_spans",
+            lambda: decontaminate_spans(corpus, span_snips, k=2)
+            .select(
+                F.bit_xor(
+                    F.xxhash64("doc_id", "n_spans", "n_tokens_removed")
+                )
+            )
+            .collect(),
+            warmup=True,
+        )
         # round-4 LM tier: vocab-keyed aggregates + instance joins —
         # the shuffle-heaviest of the per-doc scorers
         from ci_log_processing_spark.operators.textstats import (
