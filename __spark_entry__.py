@@ -1311,6 +1311,44 @@ def q_full_curation_v4(spark, sf_dir):
     return priority_sample(kept3, k=20)
 
 
+def q_full_curation_v5(spark, sf_dir):
+    """Round-4-restart composition: span-level decontamination
+    EXCISION -> DSIR importance selection over the CLEANED corpus ->
+    deterministic global training-shuffle order. The excised text
+    feeds the DSIR feature model, so the stages compose (cutting a
+    span changes the doc's bigram histogram and can change the
+    survivor set) — the hash check runs the whole chain end-to-end
+    against one DuckDB CTE pipeline.
+
+    The cleaned corpus is persisted between stages here; at 100 TB
+    the excision pass is an ETL WRITE (TrainingShardSink-style
+    materialization) that downstream stages re-scan — the cache
+    stands in for that boundary, not for a driver-side shortcut."""
+    from ci_log_processing_spark.operators.curation import (
+        decontaminate_spans,
+        dsir_sample,
+        shuffle_index,
+    )
+    from ci_log_processing_spark.operators.dedup import _register_persist
+
+    docs = _docs(spark, sf_dir)
+    cleaned = _register_persist(
+        decontaminate_spans(docs, SPAN_SNIPPETS, k=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "source")
+    )
+    sel = dsir_sample(
+        cleaned,
+        cleaned.filter(F.col("source") == "src0"),
+        keep_permille=500,
+    )
+    return shuffle_index(
+        sel.select("doc_id", "dsir_bits"),
+        shard_size=100,
+        payload_cols=("dsir_bits",),
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     from ci_log_processing_spark.operators.textstats import (
         attach_c4_lines,
@@ -2022,16 +2060,16 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 18 late-round-4 additions (sim_knn_graph_multiprobe,
+    # The 19 late-round-4 additions (sim_knn_graph_multiprobe,
     # cur_priority_sample, cur_perplexity_buckets,
     # cur_bloom_decontaminate, cur_temperature_mixture,
     # stream_hll_distinct, text_bigram_logprob, cur_leakage_split,
     # pipe_tool_outcomes, pipe_tool_latency, sim_embed_diversity,
     # pipe_latency_hdr, pipe_tool_health, stream_latency_hdr,
     # cur_dsir_weights, cur_dsir_sample, cur_decontaminate_spans,
-    # stream_cms_heavy) do not fit the 50-query budget; they are
-    # local-gate green (tools/check_correctness.py) and go FIRST in
-    # round 5's rotation.
+    # stream_cms_heavy, cur_full_curation_v5) do not fit the 50-query
+    # budget; they are local-gate green (tools/check_correctness.py)
+    # and go FIRST in round 5's rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
@@ -2183,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_priority_sample": q_priority_sample,
             "cur_temperature_mixture": q_temperature_mixture,
             "cur_full_curation_v4": q_full_curation_v4,
+            "cur_full_curation_v5": q_full_curation_v5,
             "cur_cms_tokens": q_cms_tokens,
             "cur_curriculum_order": q_curriculum_order,
             "cur_perplexity_buckets": q_perplexity_buckets,
@@ -2382,6 +2421,9 @@ def oracle_sql() -> dict[str, str]:
             "cur_curriculum_order": od.q_curriculum_order(),
             "cur_full_curation_v4": od.q_full_curation_v4(
                 _bloom_bits(BLOOM_SNIPPETS), 20
+            ),
+            "cur_full_curation_v5": od.q_full_curation_v5(
+                SPAN_SNIPPETS, k=3, keep_permille=500
             ),
             "cur_perplexity_buckets": od.q_perplexity_buckets(3),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),

@@ -385,6 +385,13 @@ def main():
             ["doc_id", "n_spans", "n_tokens_removed", "clean_text"],
         ),
     )
+    bench(
+        "cur_full_curation_v5",
+        lambda: checksum(
+            entrymod.q_full_curation_v5(spark, sf_dir),
+            ["doc_id", "dsir_bits", "global_idx", "shard"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -451,6 +458,7 @@ def main():
         "dedup_minhash_estimate", "cur_full_curation_v4",
         "text_bigram_lm", "cur_leakage_split",
         "cur_dsir_sample", "cur_decontaminate_spans",
+        "cur_full_curation_v5",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

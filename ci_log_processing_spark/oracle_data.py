@@ -2086,16 +2086,21 @@ FROM norms JOIN qq USING (label)
 
 
 def _dsir_weights_cte(
-    target_source: str, n_buckets: int, seed: str
+    target_source: str,
+    n_buckets: int,
+    seed: str,
+    rel: str = "documents",
 ) -> str:
-    """Shared weight CTE chain for the two DSIR twins: hashed-bigram
+    """Shared weight CTE chain for the DSIR twins: hashed-bigram
     buckets (same h32 % n_buckets as _bigram_buckets), Laplace-
-    smoothed whole-bit log-ratio per bucket, per-doc instance sum."""
+    smoothed whole-bit log-ratio per bucket, per-doc instance sum.
+    `rel` lets a composed pipeline (q_full_curation_v5) run the
+    chain over an upstream CTE instead of the raw table."""
     h = _H32.format(x=f"'{seed}:' || l[i] || ' ' || l[i + 1]")
     src = "'" + target_source.replace("'", "''") + "'"
     return f"""
 toks AS (
-  SELECT doc_id, source, {_TOKS} AS l FROM documents
+  SELECT doc_id, source, {_TOKS} AS l FROM {rel}
 ),
 inst AS (
   SELECT doc_id, source,
@@ -2162,12 +2167,12 @@ FROM r, m WHERE r.rn <= m.m
 """
 
 
-def q_decontaminate_spans(benchmark_snippets: list[str], k: int = 5) -> str:
-    """decontaminate_spans twin (operators/curation.py): same
-    driver-built md5 shingle-hash set (python md5 == both engines'
-    md5), positional k-shingles over lowercased tokens, gaps-and-
-    islands merge, and an original-case token rebuild that drops
-    covered positions."""
+def _spans_ctes(benchmark_snippets: list[str], k: int = 5) -> str:
+    """The decontaminate_spans CTE chain (driver-built md5 shingle
+    set, positional shingles, island merge, original-case rebuild),
+    ending at `spans` (per-doc interval stats) and `clean` (per-doc
+    rebuilt text) over base relation `d` — shared by the standalone
+    twin and the composed q_full_curation_v5."""
     import hashlib
 
     hashes: set[str] = set()
@@ -2180,8 +2185,7 @@ def q_decontaminate_spans(benchmark_snippets: list[str], k: int = 5) -> str:
     if not hashes:
         raise ValueError(f"no snippet has >= {k} tokens")
     in_list = ", ".join("'" + h + "'" for h in sorted(hashes))
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id, text, string_split(text, ' ') AS lo,
          string_split(lower(text), ' ') AS ll
   FROM documents
@@ -2239,11 +2243,62 @@ kept AS (
 clean AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
   FROM kept GROUP BY doc_id
-)
+)"""
+
+
+def q_decontaminate_spans(benchmark_snippets: list[str], k: int = 5) -> str:
+    """decontaminate_spans twin (operators/curation.py): same
+    driver-built md5 shingle-hash set (python md5 == both engines'
+    md5), positional k-shingles over lowercased tokens, gaps-and-
+    islands merge, and an original-case token rebuild that drops
+    covered positions."""
+    return f"""
+WITH {_spans_ctes(benchmark_snippets, k)}
 SELECT d.doc_id,
        coalesce(s.n_spans, 0)::BIGINT AS n_spans,
        coalesce(s.n_tokens_removed, 0)::BIGINT AS n_tokens_removed,
        coalesce(cl.clean_text, '') AS clean_text
 FROM d LEFT JOIN spans s USING (doc_id)
        LEFT JOIN clean cl ON d.doc_id = cl.doc_id
+"""
+
+
+def q_full_curation_v5(
+    benchmark_snippets: list[str],
+    k: int = 3,
+    target_source: str = "src0",
+    keep_permille: int = 500,
+    n_buckets: int = 1024,
+    seed: str = "dsir1",
+    shard_size: int = 100,
+    shuffle_seed: str = "shuf1",
+) -> str:
+    """q_full_curation_v5 twin (__spark_entry__): the round-4-restart
+    chain composed end-to-end — span-level decontamination EXCISION
+    (the cleaned text, not a drop flag, feeds downstream), DSIR
+    importance selection over the CLEANED corpus (weights change
+    when spans are cut — the composition is not order-free), and the
+    deterministic global shuffle order over the survivors. The
+    oracle states DSIR's top-fraction and the shuffle as global
+    windows; the Spark side computes both distributed."""
+    key = f"md5('{shuffle_seed}' || CAST(doc_id AS VARCHAR))"
+    rn = f"row_number() OVER (ORDER BY {key}, doc_id)"
+    return f"""
+WITH {_spans_ctes(benchmark_snippets, k)},
+cleaned AS (
+  SELECT d.doc_id, coalesce(cl.clean_text, '') AS text, doc.source
+  FROM d LEFT JOIN clean cl USING (doc_id)
+  JOIN documents doc ON d.doc_id = doc.doc_id
+),
+{_dsir_weights_cte(target_source, n_buckets, seed, rel="cleaned")},
+m AS (SELECT (count(*) * {keep_permille} + 999) // 1000 AS m FROM w),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY dsir_bits DESC, doc_id) AS rn
+  FROM w
+),
+sel AS (SELECT doc_id, dsir_bits FROM r, m WHERE r.rn <= m.m)
+SELECT doc_id, dsir_bits,
+       {rn} - 1 AS global_idx,
+       CAST(floor(({rn} - 1) / {shard_size}) AS BIGINT) AS shard
+FROM sel
 """
