@@ -1088,32 +1088,32 @@ def leakage_safe_split(
     )
 
 
-def _bigram_buckets(
-    text_col: str, n_buckets: int, seed: str
-) -> Column:
+def _bigram_buckets(toks: Column, n_buckets: int, seed: str) -> Column:
     """Hashed-bigram feature buckets for DSIR: bucket(w1, w2) =
     h32(seed || ':' || w1 || ' ' || w2) mod n_buckets, one int per
     bigram INSTANCE (positions matter — repeated bigrams vote
     repeatedly, the paper's bag-of-hashed-ngrams). Empty array for
-    docs with < 2 tokens. Pure per-row codegen — zero shuffle."""
+    docs with < 2 tokens. Pure per-row expression — zero shuffle.
+
+    `toks` must be the token ARRAY column. The pairs come from
+    zip_with over two slices of it — both slices are top-level
+    children evaluated ONCE per row, and the lambda touches only its
+    two element arguments. The first version indexed back into the
+    captured tokenizer expression with element_at(tokens(text), i):
+    interpreted HOF lambdas re-evaluate captured child expressions
+    PER ELEMENT, so every bigram position re-split the whole
+    document — O(len^2) per doc, measured as a >40x slowdown at 5M
+    docs before it was caught."""
     from .dedup import h32
 
-    toks = tokens_col(F.col(text_col))
     n = F.size(toks)
-    # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.pmod(
-                h32(
-                    F.concat(
-                        F.lit(f"{seed}:"),
-                        F.element_at(toks, i),
-                        F.lit(" "),
-                        F.element_at(toks, i + 1),
-                    )
-                ),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.pmod(
+                h32(F.concat(F.lit(f"{seed}:"), a, F.lit(" "), b)),
                 F.lit(n_buckets),
             ).cast("int"),
         ),
@@ -1164,11 +1164,24 @@ def dsir_importance(
     """
     if n_buckets < 1:
         raise ValueError("dsir_importance: n_buckets must be >= 1")
-    buckets = _bigram_buckets(text_col, n_buckets, seed)
-    inst = docs.select("doc_id", F.explode(buckets).alias("b"))
+
+    def _inst(df: DataFrame) -> DataFrame:
+        # tokenize in ONE projection, bucket over the bound attribute
+        # in the NEXT — _bigram_buckets' contract (see its docstring)
+        toked = df.select(
+            "doc_id", tokens_col(F.col(text_col)).alias("_t")
+        )
+        return toked.select(
+            "doc_id",
+            F.explode(
+                _bigram_buckets(F.col("_t"), n_buckets, seed)
+            ).alias("b"),
+        )
+
+    inst = _inst(docs)
     raw_cnt = inst.groupBy("b").agg(F.count(F.lit(1)).alias("raw_n"))
     tgt_cnt = (
-        target.select(F.explode(buckets).alias("b"))
+        _inst(target)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("tgt_n"))
     )
@@ -1338,7 +1351,14 @@ def decontaminate_spans(
         )
     test_hashes = sorted(set(test_hashes))
 
-    toks_lower = tokens_col(F.col(text_col))
+    # tokenize in its own projection and shingle over the BOUND
+    # attribute: interpreted HOF lambdas re-evaluate captured child
+    # expressions per element, so slicing the split() expression
+    # directly re-tokenizes the doc at every position — O(len^2)
+    # (see _bigram_buckets). The multiple top-level references to
+    # _lt (size + sequence bound + lambda) keep CollapseProject from
+    # inlining the tokenizer back in.
+    toks_lower = F.col("_lt")
     n = F.size(toks_lower)
     spans = F.when(
         n >= k,
@@ -1350,7 +1370,10 @@ def decontaminate_spans(
         ),
     ).otherwise(F.array().cast("array<string>"))
     hits = (
-        docs.select("doc_id", F.posexplode(spans).alias("pos", "h"))
+        docs.select(
+            "doc_id", tokens_col(F.col(text_col)).alias("_lt")
+        )
+        .select("doc_id", F.posexplode(spans).alias("pos", "h"))
         .filter(F.col("h").isin(test_hashes))
         .select("doc_id", "pos")
     )

@@ -255,3 +255,72 @@ def test_temperature_mixture_matches_python_reference(spark, sizes):
         if h32(f"temp{i}") < rate[src_of[i]] * 4294967296.0
     }
     assert out == expect
+
+
+def _py_decontaminate_spans(rows, snippets, k):
+    """Pure-Python reference of decontaminate_spans: same lowercased
+    shingle membership, same island merge, same original-case
+    rebuild."""
+    test = set()
+    for s in snippets:
+        t = s.lower().split(" ")
+        for i in range(len(t) - k + 1):
+            test.add(" ".join(t[i : i + k]))
+    out = {}
+    for doc_id, text in rows:
+        lo = text.split(" ")
+        ll = text.lower().split(" ")
+        hits = [
+            i
+            for i in range(len(ll) - k + 1)
+            if " ".join(ll[i : i + k]) in test
+        ]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        covered = {i for s, e in spans for i in range(s, e + 1)}
+        clean = " ".join(t for i, t in enumerate(lo) if i not in covered)
+        out[doc_id] = (
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+            clean,
+        )
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+)
+def test_decontaminate_spans_matches_python(spark, data):
+    from ci_log_processing_spark.operators.curation import (
+        decontaminate_spans,
+    )
+
+    vocab = ["aa", "Bb", "CC", "dd"]  # mixed case: rebuild preserves it
+    word = st.sampled_from(vocab)
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+    rows = [
+        (i, data.draw(doc)) for i in range(data.draw(st.integers(3, 8)))
+    ]
+    snippet = data.draw(st.lists(word, min_size=2, max_size=5).map(" ".join))
+    k = data.draw(st.integers(2, 3))
+    if len(snippet.split(" ")) < k:
+        snippet = snippet + " " + snippet  # ensure >= k tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_tokens_removed"],
+            r["clean_text"],
+        )
+        for r in decontaminate_spans(docs, [snippet], k=k).collect()
+    }
+    assert got == _py_decontaminate_spans(rows, [snippet], k)
