@@ -119,10 +119,13 @@ def overlap_decontaminate(
     """
     from .dedup import shingles_col, tokens_col
 
-    sh = lambda df: df.select(  # noqa: E731
-        "doc_id",
-        shingles_col(tokens_col(F.col(text_col)), k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    sh = lambda df: (  # noqa: E731
+        df.select("doc_id", tokens_col(F.col(text_col)).alias("_lt"))
+        .select(
+            "doc_id", shingles_col(F.col("_lt"), k).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+    )
     bench_grams = (
         sh(benchmark)
         .select(F.explode("shingles").alias("s"))
@@ -816,12 +819,25 @@ def bloom_decontaminate(
             cond = cond & F.array_contains(bits_lit, pos)
         return cond
 
-    sh = shingles_col(tokens_col(F.col(text_col)), k=shingle_k)
-    hits = F.filter(sh, _member)
-    return docs.select(
+    # staged projections: tokens, then shingles over the bound
+    # attribute, then ONE evaluation of the membership-filtered size
+    # — interpreted HOF lambdas re-evaluate captured expressions per
+    # element, and the two n_hit consumers would otherwise run the
+    # whole shingle+filter pipeline twice per row (this exact shape
+    # measured 87 s -> re-check per_op_sampling after the fix)
+    shingled = docs.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("_lt")
+    ).select(
+        "doc_id", shingles_col(F.col("_lt"), k=shingle_k).alias("_sh")
+    )
+    counted = shingled.select(
         "doc_id",
-        (F.size(hits) > 0).alias("bloom_hit"),
-        F.size(hits).alias("n_hit_shingles"),
+        F.size(F.filter(F.col("_sh"), _member)).alias("n_hit_shingles"),
+    )
+    return counted.select(
+        "doc_id",
+        (F.col("n_hit_shingles") > 0).alias("bloom_hit"),
+        "n_hit_shingles",
     )
 
 
@@ -1067,7 +1083,14 @@ def leakage_safe_split(
         id_col,
         F.col(group_col).alias("grp"),
         (u % 1000 < test_permille).alias("is_test"),
-        shingles_col(tokens_col(F.col(text_col)), k).alias("sh"),
+        tokens_col(F.col(text_col)).alias("_lt"),
+    ).select(
+        id_col,
+        "grp",
+        "is_test",
+        # shingle over the bound token attribute — never the split()
+        # expression (per-element re-tokenization; see _bigram_buckets)
+        shingles_col(F.col("_lt"), k).alias("sh"),
     )
     ex = base.select(id_col, "is_test", F.explode("sh").alias("s"))
     test_sh = ex.filter(F.col("is_test")).select("s").distinct()

@@ -112,10 +112,19 @@ def shingled_docs(
     impl="native": the pure-Catalyst shingles_col expression.
     """
     if impl == "native":
-        toks = tokens_col(F.col("text"))
-        return docs.select(
-            "doc_id", shingles_col(toks, k).alias("shingles")
-        ).filter(F.size("shingles") > 0)
+        # tokens in their own projection: shingles_col's interpreted
+        # lambda re-evaluates captured children per element, so
+        # passing split(text) directly re-tokenizes at every shingle
+        # position (part of the measured 13.7x vs Arrow)
+        return (
+            docs.select(
+                "doc_id", tokens_col(F.col("text")).alias("_lt")
+            )
+            .select(
+                "doc_id", shingles_col(F.col("_lt"), k).alias("shingles")
+            )
+            .filter(F.size("shingles") > 0)
+        )
     from pyspark.sql.types import (
         ArrayType,
         LongType,
@@ -1106,7 +1115,10 @@ def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    toks = tokens_col(F.col("text"))
+    # tokens materialized in their own projection — slicing the
+    # split() expression inside the interpreted lambda re-tokenizes
+    # the doc at every position, O(len^2) (see curation._bigram_buckets)
+    toks = F.col("_lt")
     n = F.size(toks)
     # explicit short-doc guard: sequence(1, 0) DESCENDS in Spark
     # (it would yield [1, 0], then slice(_, 0, _) throws)
@@ -1120,7 +1132,9 @@ def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     pos = _register_persist(
-        docs.select("doc_id", F.posexplode(spans).alias("pos", "h"))
+        docs.select(
+            "doc_id", tokens_col(F.col("text")).alias("_lt")
+        ).select("doc_id", F.posexplode(spans).alias("pos", "h"))
     )
     dup = (
         pos.groupBy("h")
