@@ -1091,6 +1091,17 @@ def q_overlap_decontaminate(spark, sf_dir):
     return overlap_decontaminate(docs, bench, k=5, threshold=0.5)
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    from ci_log_processing_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 31 == 0)
+    return fuzzy_decontaminate(corpus, bench, threshold=0.5, k=5)
+
+
 def q_top_ngrams(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import top_ngrams
 
@@ -2226,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_curriculum_order": q_curriculum_order,
             "cur_perplexity_buckets": q_perplexity_buckets,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
+            "cur_fuzzy_decontaminate": q_fuzzy_decontaminate,
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_source_caps": q_source_caps,
             "cur_length_quantiles": q_length_quantiles,
@@ -2427,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "cur_perplexity_buckets": od.q_perplexity_buckets(3),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
+            "cur_fuzzy_decontaminate": od.q_fuzzy_decontaminate(0.5),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_source_caps": od.q_source_caps(40),
             "cur_length_quantiles": od.q_length_quantiles(),

@@ -1446,21 +1446,141 @@ def decontaminate_spans(
         )
     )
     toks_orig = F.split(F.col(text_col), " ")
-    return (
+    # covered staged into its own bound column: referencing the
+    # flatten/transform chain inside the interpreted filter() lambda
+    # would re-expand every merged span ONCE PER TOKEN of the doc
+    # (the same HOF re-evaluation pitfall as the shingle call sites;
+    # see PLANS.md). n_tokens_removed is read as size(_cov) — equal
+    # by construction since merged islands are disjoint — so _cov is
+    # referenced TWICE, which stops CollapseProject from inlining
+    # the non-cheap chain back into the lambda.
+    staged = (
         docs.select("doc_id", text_col)
         .join(merged, "doc_id", "left")
         .select(
             "doc_id",
+            text_col,
             F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
-            F.coalesce(F.col("n_tokens_removed"), F.lit(0))
+            covered.alias("_cov"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "n_spans",
+        F.size("_cov").cast("long").alias("n_tokens_removed"),
+        F.array_join(
+            F.filter(
+                toks_orig,
+                lambda t, i: ~F.array_contains(F.col("_cov"), i),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH FUZZY decontamination: flag corpus documents that
+    are NEAR-duplicates of any benchmark document — the
+    Brown et al. 2020 / Touvron et al. 2023 recipe for test-set
+    leakage that exact-shingle overlap misses (paraphrased or
+    lightly-edited benchmark copies). Complements `decontaminate`
+    (exact snippet containment) and `overlap_decontaminate`
+    (containment ratio): this one catches whole-document near-dups.
+
+    Candidate rule: a (corpus doc, benchmark doc) pair is a candidate
+    iff any of the N_BANDS LSH band keys collide — the signature
+    machinery is dedup._lsh_shingles_and_bands, the same
+    MINHASH_PARAMS / N_BANDS / ROWS_PER_BAND constants as
+    minhash_lsh_pairs, so the decontamination tier can never drift
+    from the dedup tier. Candidates are exact-verified with true
+    shingle Jaccard (LSH-then-verify), so a flag means
+    jaccard >= threshold among banded candidates; band recall is
+    probabilistic by construction and the DuckDB oracle twin
+    implements the identical rule so the loss is measured, not
+    hidden.
+
+    Scale shape: the benchmark side is tiny (benchmark suites), so
+    its band table and shingle arrays BROADCAST; the corpus side's
+    shingles -> 16 permutation mins -> band keys are all per-row
+    expressions over bound attributes (zero corpus exchange), and
+    candidate generation is one broadcast hash join. The verify join
+    broadcasts the candidate list (hit volume) back onto a single
+    corpus shingle scan, the per-doc rollup aggregates hit volume
+    only, and the final flag table broadcast-joins onto the corpus.
+    At 100 TB: two corpus scans, zero corpus-sized shuffles.
+
+    Output, one row per corpus doc: (doc_id, n_bench_matches,
+    best_jaccard, contaminated) — clean docs 0 / 0.0 / false.
+    """
+    from .dedup import _lsh_shingles_and_bands
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("fuzzy_decontaminate: threshold in (0, 1]")
+    d = docs.select("doc_id", F.col(text_col).alias("text"))
+    b = benchmark.select(
+        F.col("doc_id").alias("bench_id"), F.col(text_col).alias("text")
+    )
+    arr_c, bands_c = _lsh_shingles_and_bands(d, k)
+    arr_b, bands_b = _lsh_shingles_and_bands(
+        b.withColumnRenamed("bench_id", "doc_id"), k
+    )
+    cand = (
+        bands_c.join(
+            F.broadcast(
+                bands_b.select(
+                    F.col("doc_id").alias("bench_id"), "band", "key"
+                )
+            ),
+            ["band", "key"],
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sh_c = arr_c.select(
+        "doc_id",
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
+    )
+    sh_b = arr_b.select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    matched = (
+        sh_c.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(sh_b), "bench_id")
+        .select(
+            "doc_id",
+            F.round(
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    flags = matched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(flags), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_matches", F.lit(0))
             .cast("long")
-            .alias("n_tokens_removed"),
-            F.array_join(
-                F.filter(
-                    toks_orig,
-                    lambda t, i: ~F.array_contains(covered, i),
-                ),
-                " ",
-            ).alias("clean_text"),
+            .alias("n_bench_matches"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
         )
     )

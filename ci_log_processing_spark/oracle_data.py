@@ -2302,3 +2302,82 @@ SELECT doc_id, dsir_bits,
        CAST(floor(({rn} - 1) / {shard_size}) AS BIGINT) AS shard
 FROM sel
 """
+
+
+def q_fuzzy_decontaminate(threshold: float = 0.5) -> str:
+    """Twin of curation.fuzzy_decontaminate (MinHash-LSH near-dup
+    decontamination): benchmark = every doc_id % 31 == 0 raw
+    document; corpus = the planted dedup corpus (CORPUS_SQL), so
+    verbatim benchmark leaks, their exact copies and their
+    near-copies are all present. Same MINHASH_PARAMS / N_BANDS /
+    ROWS_PER_BAND banding on BOTH sides, candidates = any band-key
+    collision, verified by exact shingle Jaccard >= threshold."""
+    perm_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_key = (
+        "md5(array_to_string(list_slice(sig, "
+        f"b.band * {ROWS_PER_BAND} + 1, "
+        f"b.band * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ','))"
+    )
+    bands_src = f"(SELECT unnest(range({N_BANDS})) AS band) b"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+bench AS (
+  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 31 = 0
+),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM corpus),
+shb AS (SELECT bench_id, unnest({_SHINGLES}) AS s FROM bench),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+sizesb AS (SELECT bench_id, count(*) AS n FROM shb GROUP BY 1),
+perms AS (SELECT * FROM (VALUES {perm_rows}) p(j, a, b)),
+mins AS (
+  SELECT sh.doc_id, p.j,
+         min((p.a * {_H32.format(x='sh.s')} + p.b) % {MERSENNE_P}) AS mh
+  FROM sh, perms p GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM mins GROUP BY 1),
+bandsc AS (
+  SELECT doc_id, b.band, {band_key} AS key FROM sigs, {bands_src}
+),
+minsb AS (
+  SELECT shb.bench_id, p.j,
+         min((p.a * {_H32.format(x='shb.s')} + p.b) % {MERSENNE_P}) AS mh
+  FROM shb, perms p GROUP BY 1, 2
+),
+sigsb AS (
+  SELECT bench_id, list(mh ORDER BY j) AS sig FROM minsb GROUP BY 1
+),
+bandsb AS (
+  SELECT bench_id, b.band, {band_key} AS key FROM sigsb, {bands_src}
+),
+cand AS (
+  SELECT DISTINCT c.doc_id, bb.bench_id
+  FROM bandsc c JOIN bandsb bb ON c.band = bb.band AND c.key = bb.key
+),
+inter AS (
+  SELECT cand.doc_id, cand.bench_id, count(*) AS i
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_id
+  JOIN shb b2 ON b2.bench_id = cand.bench_id AND a.s = b2.s
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_id,
+         round(i.i / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_id
+  JOIN sizesb sb ON sb.bench_id = i.bench_id
+  WHERE round(i.i / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) >= {threshold}
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+         max(jaccard) AS best_jaccard
+  FROM jac GROUP BY 1
+)
+SELECT c.doc_id,
+       coalesce(p.n_bench_matches, 0) AS n_bench_matches,
+       coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+       coalesce(p.n_bench_matches, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN per p USING (doc_id)
+"""

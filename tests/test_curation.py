@@ -509,3 +509,52 @@ def test_decontaminate_spans_excision(spark):
 
     with pytest.raises(ValueError):
         decontaminate_spans(docs, ["short"], k=5)  # no >=5-token snippet
+
+
+def test_fuzzy_decontaminate_near_dup_and_plan(spark):
+    from ci_log_processing_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),  # verbatim benchmark leak
+            (2, base + " phi chi"),  # near-dup of the benchmark
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "tiny doc"),  # < 5 tokens, never judged but listed
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    q = fuzzy_decontaminate(docs, bench, threshold=0.5, k=5)
+    out = {r["doc_id"]: r for r in q.collect()}
+    assert sorted(out) == [1, 2, 3, 4]  # one row per corpus doc
+    assert out[1]["contaminated"] and out[1]["best_jaccard"] == 1.0
+    # doc 2: 18 of its 18 base shingles shared, 2 extra -> 16/18? —
+    # assert the rule, not the arithmetic: flagged, 0 < j < 1
+    assert out[2]["contaminated"]
+    assert 0.5 <= out[2]["best_jaccard"] < 1.0
+    assert out[2]["n_bench_matches"] == 1
+    assert not out[3]["contaminated"] and out[3]["best_jaccard"] == 0.0
+    assert not out[4]["contaminated"]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # every join broadcasts (bench bands, candidates, flags) — the
+    # corpus is never the build side and never sort-merge-joined
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fuzzy_decontaminate_rejects_bad_threshold(spark):
+    from ci_log_processing_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        fuzzy_decontaminate(docs, docs, threshold=0.0)
