@@ -1091,6 +1091,29 @@ def q_overlap_decontaminate(spark, sf_dir):
     return overlap_decontaminate(docs, bench, k=5, threshold=0.5)
 
 
+def q_conv_select(spark, sf_dir):
+    """Per-conversation quality roll-up + training-selection flag
+    (operators/sft.py conversation_select) — document-level curation
+    lifted to the conversation grain over the routed pipeline."""
+    from ci_log_processing_spark.operators.sft import conversation_select
+
+    return conversation_select(
+        _routed(spark, sf_dir),
+        min_turns=5,
+        max_error_frac=0.2,
+        min_tool_calls=1,
+    )
+
+
+def q_context_windows(spark, sf_dir):
+    """Sliding-context SFT example construction (operators/sft.py
+    context_windows): previous <=4 visible turns as 'role: message'
+    context for every visible assistant turn."""
+    from ci_log_processing_spark.operators.sft import context_windows
+
+    return context_windows(_routed(spark, sf_dir), n_context=4)
+
+
 def q_fuzzy_decontaminate(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import (
         fuzzy_decontaminate,
@@ -2238,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_perplexity_buckets": q_perplexity_buckets,
             "cur_overlap_decontaminate": q_overlap_decontaminate,
             "cur_fuzzy_decontaminate": q_fuzzy_decontaminate,
+            "cur_conv_select": q_conv_select,
+            "cur_context_windows": q_context_windows,
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_source_caps": q_source_caps,
             "cur_length_quantiles": q_length_quantiles,
@@ -2440,6 +2465,8 @@ def oracle_sql() -> dict[str, str]:
             "cur_perplexity_buckets": od.q_perplexity_buckets(3),
             "cur_overlap_decontaminate": od.q_overlap_decontaminate(0.5),
             "cur_fuzzy_decontaminate": od.q_fuzzy_decontaminate(0.5),
+            "cur_conv_select": oracle.q_conversation_select(5, 0.2, 1),
+            "cur_context_windows": oracle.q_context_windows(4),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_source_caps": od.q_source_caps(40),
             "cur_length_quantiles": od.q_length_quantiles(),

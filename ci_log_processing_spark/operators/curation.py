@@ -1336,9 +1336,10 @@ def decontaminate_spans(
     of Lee et al. 2022's substring excision, aimed at a TEST set
     rather than at corpus-internal duplicates.
 
-    A position is contaminated iff its k-token shingle (lowercased,
-    duplicate_spans' md5 span key) appears anywhere in the benchmark
-    suite's own k-token shingles; overlapping/touching flagged
+    A position is contaminated iff its k-token shingle (lowercased)
+    appears anywhere in the benchmark suite's own k-token shingles
+    (keyed by xxhash64 over per-token hashes — long arithmetic, no
+    per-position string allocation); overlapping/touching flagged
     positions merge into maximal intervals via the same
     gaps-and-islands window dedup.duplicate_spans uses, and the
     ORIGINAL-case tokens inside merged intervals are removed.
@@ -1357,47 +1358,71 @@ def decontaminate_spans(
     n_tokens_removed, clean_text) — clean docs pass through with 0 /
     0 / original text.
     """
-    import hashlib
-
     if k < 1:
         raise ValueError("decontaminate_spans: k must be >= 1")
-    test_hashes: list[str] = []
-    for s in benchmark_snippets:
-        toks = s.lower().split(" ")
-        for i in range(len(toks) - k + 1):
-            test_hashes.append(
-                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
-            )
-    if not test_hashes:
-        raise ValueError(
-            f"decontaminate_spans: no snippet has >= {k} tokens"
-        )
-    test_hashes = sorted(set(test_hashes))
 
-    # tokenize in its own projection and shingle over the BOUND
-    # attribute: interpreted HOF lambdas re-evaluate captured child
-    # expressions per element, so slicing the split() expression
-    # directly re-tokenizes the doc at every position — O(len^2)
-    # (see _bigram_buckets). The multiple top-level references to
-    # _lt (size + sequence bound + lambda) keep CollapseProject from
-    # inlining the tokenizer back in.
-    toks_lower = F.col("_lt")
-    n = F.size(toks_lower)
+    # Span keys are LONG-typed: per-token xxhash64, then xxhash64
+    # over each k-slice of the token-hash array. The earlier
+    # md5(concat_ws(slice)) key allocated a joined string AND a
+    # 32-char hex string per position — at 5M docs that is ~1e9
+    # short-lived strings, and the flag scan ran memory-bound
+    # (CORPUS_SCALING per_op_r4b). Hashing longs allocates one
+    # k-long slice per position and nothing else. The key is an
+    # implementation detail — membership means "this k-shingle's
+    # TEXT appears in the benchmark" and the DuckDB twin checks
+    # exactly that via its own (md5) proxy, so the engines agree
+    # unless xxhash64 collides where text differs (~1e-8 at 1e9
+    # positions, and deterministic if it ever happens).
+    #
+    # The benchmark keys are computed by the SAME Catalyst
+    # expression over the literal snippet list (xxhash64 has no
+    # stable cross-language twin worth hand-rolling) — a one-row-ish
+    # driver job over tiny data, same class as the quantizer fit.
+    spark = docs.sparkSession
+
+    def _hashed_toks(df: DataFrame, keep: str) -> DataFrame:
+        # two staged projections: tokens, then per-token hashes —
+        # interpreted HOF lambdas re-evaluate captured children per
+        # element, so the hash transform must run over the BOUND
+        # token attribute, and the slice below over the BOUND hash
+        # attribute (see _bigram_buckets / PLANS.md)
+        return df.select(
+            keep, tokens_col(F.col(text_col)).alias("_lt")
+        ).select(
+            keep,
+            F.transform("_lt", lambda t: F.xxhash64(t)).alias("_hs"),
+        )
+
+    hs = F.col("_hs")
+    n = F.size(hs)
     spans = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks_lower, i, k)).cast("binary")
-            ),
+            lambda i: F.xxhash64(F.slice(hs, i, k)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    hits = (
-        docs.select(
-            "doc_id", tokens_col(F.col(text_col)).alias("_lt")
+    ).otherwise(F.array().cast("array<long>"))
+
+    snip_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(benchmark_snippets)],
+        f"snip_id long, {text_col} string",
+    )
+    test_keys = sorted(
+        r[0]
+        for r in _hashed_toks(snip_df, "snip_id")
+        .select(F.explode(spans).alias("h"))
+        .distinct()
+        .collect()
+    )
+    if not test_keys:
+        raise ValueError(
+            f"decontaminate_spans: no snippet has >= {k} tokens"
         )
+
+    hits = (
+        _hashed_toks(docs, "doc_id")
         .select("doc_id", F.posexplode(spans).alias("pos", "h"))
-        .filter(F.col("h").isin(test_hashes))
+        .filter(F.col("h").isin(test_keys))
         .select("doc_id", "pos")
     )
     w_prev = (

@@ -1,0 +1,136 @@
+"""Training-example construction from routed transcripts — the step
+that turns the log pipeline's output into model-ready data, bridging
+the reference's log-shipping semantics (routing, per-sink counts;
+logsender.py:467-495) to the training-data tier.
+
+Two operators:
+
+* conversation_select — per-conversation quality roll-up + selection
+  flag (the transcript-level analog of document-level curation:
+  pick conversations worth training on).
+* context_windows — sliding-context SFT example construction: for
+  every visible assistant turn, the previous N visible turns as the
+  prompt context and the turn itself as the target.
+
+Both are pure DataFrame compositions whose ONLY exchange is the
+conv-keyed hash partition the parse->route pipeline already
+established — at 100 TB they ride the existing partitioning with
+zero additional corpus-sized shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def conversation_select(
+    routed: DataFrame,
+    min_turns: int = 5,
+    max_error_frac: float = 0.2,
+    min_tool_calls: int = 1,
+) -> DataFrame:
+    """Per-conversation quality roll-up over the routed table, with a
+    deterministic training-selection flag: a conversation is selected
+    iff it has >= min_turns VISIBLE turns (drop_queue excluded), its
+    error fraction (errors / visible) is <= max_error_frac, and it
+    contains >= min_tool_calls tool-call turns. This is document-
+    level curation lifted to the conversation grain — the unit a
+    transcript-SFT corpus actually samples.
+
+    Scale shape: ONE count-only groupBy on conv_id. The routed
+    pipeline already hash-partitions on conv_id (operators/skew.py),
+    so the aggregate's exchange is reused where the plan allows and
+    the partial aggregation is map-side everywhere else; output is
+    one row per conversation. No joins, no windows.
+
+    Output: (conv_id, n_turns, n_visible, n_errors, n_tool_calls,
+    n_dropped, error_frac, selected).
+    """
+    if min_turns < 1:
+        raise ValueError("conversation_select: min_turns must be >= 1")
+    visible = F.col("n_visible")
+    per = routed.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("sink") != "drop_queue").cast("long")).alias(
+            "n_visible"
+        ),
+        F.sum((F.col("sink") == "errors").cast("long")).alias("n_errors"),
+        F.sum((F.col("sink") == "tool_calls").cast("long")).alias(
+            "n_tool_calls"
+        ),
+        F.sum((F.col("sink") == "drop_queue").cast("long")).alias(
+            "n_dropped"
+        ),
+    )
+    error_frac = F.when(
+        visible > 0,
+        F.round(F.col("n_errors") / visible.cast("double"), 5),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "conv_id",
+        "n_turns",
+        "n_visible",
+        "n_errors",
+        "n_tool_calls",
+        "n_dropped",
+        error_frac.alias("error_frac"),
+        (
+            (visible >= min_turns)
+            & (error_frac <= max_error_frac)
+            & (F.col("n_tool_calls") >= min_tool_calls)
+        ).alias("selected"),
+    )
+
+
+def context_windows(
+    routed: DataFrame, n_context: int = 4
+) -> DataFrame:
+    """Sliding-context SFT example construction: one training example
+    per visible ASSISTANT turn, whose prompt context is the previous
+    <= n_context visible turns rendered as 'role: message' lines and
+    whose target is the turn's own message. Dropped turns (the
+    drop_queue sink) are excluded BEFORE the window, so context never
+    leaks preamble/empty/no-metadata rows — the same visibility rule
+    the sinks enforce.
+
+    Scale shape: one conv-keyed window (rowsBetween -n_context..-1)
+    over the pipeline's existing conv_id partitioning; collect_list
+    over the ordered frame is per-frame-bounded state (<= n_context
+    rows), and the assistant filter happens after the window without
+    a second exchange. No joins, nothing corpus-sized on the driver.
+
+    Output: (conv_id, turn_idx, n_context_turns, context, target);
+    context is '' for a conversation-opening assistant turn.
+    """
+    if n_context < 1:
+        raise ValueError("context_windows: n_context must be >= 1")
+    visible = routed.filter(F.col("sink") != "drop_queue").select(
+        "conv_id", "turn_idx", "role", "message"
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-n_context, -1)
+    )
+    ctx = F.collect_list(
+        F.concat_ws(": ", F.col("role"), F.col("message"))
+    ).over(w)
+    return (
+        visible.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "message",
+            ctx.alias("_ctx"),
+        )
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size("_ctx").alias("n_context_turns"),
+            F.array_join(F.col("_ctx"), "\n").alias("context"),
+            F.col("message").alias("target"),
+        )
+    )

@@ -969,3 +969,68 @@ lat AS (
 SELECT err.tool, n_calls, err_frac, p50_ms, p95_ms
 FROM err LEFT JOIN lat ON err.tool = lat.tool
 """
+
+
+def q_conversation_select(
+    min_turns: int = 5,
+    max_error_frac: float = 0.2,
+    min_tool_calls: int = 1,
+) -> str:
+    """conversation_select twin (operators/sft.py): per-conversation
+    sink roll-up + the deterministic training-selection predicate
+    (visible >= min_turns AND error_frac <= max AND tool calls >=
+    min). error_frac is 0.0 for all-dropped conversations in both
+    engines."""
+    return pipeline_cte() + f""",
+per AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_turns,
+         sum(CASE WHEN sink <> 'drop_queue' THEN 1 ELSE 0 END)::BIGINT
+           AS n_visible,
+         sum(CASE WHEN sink = 'errors' THEN 1 ELSE 0 END)::BIGINT
+           AS n_errors,
+         sum(CASE WHEN sink = 'tool_calls' THEN 1 ELSE 0 END)::BIGINT
+           AS n_tool_calls,
+         sum(CASE WHEN sink = 'drop_queue' THEN 1 ELSE 0 END)::BIGINT
+           AS n_dropped
+  FROM routed GROUP BY conv_id
+),
+frac AS (
+  SELECT *,
+         CASE WHEN n_visible > 0
+              THEN round(n_errors / CAST(n_visible AS DOUBLE), 5)
+              ELSE 0.0 END AS error_frac
+  FROM per
+)
+SELECT conv_id, n_turns, n_visible, n_errors, n_tool_calls, n_dropped,
+       error_frac,
+       (n_visible >= {min_turns} AND error_frac <= {max_error_frac}
+        AND n_tool_calls >= {min_tool_calls}) AS selected
+FROM frac
+"""
+
+
+def q_context_windows(n_context: int = 4) -> str:
+    """context_windows twin (operators/sft.py): visible turns only,
+    a conv-keyed ROWS BETWEEN n PRECEDING AND 1 PRECEDING list over
+    'role: message' lines, examples emitted for assistant turns.
+    DuckDB's list() over an empty frame is NULL -> coalesced to the
+    empty context Spark's collect_list produces."""
+    return pipeline_cte() + f""",
+visible AS (
+  SELECT conv_id, turn_idx, role, message
+  FROM routed WHERE sink <> 'drop_queue'
+),
+w AS (
+  SELECT conv_id, turn_idx, role, message,
+         list(role || ': ' || message) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {n_context} PRECEDING AND 1 PRECEDING) AS ctx
+  FROM visible
+)
+SELECT conv_id, turn_idx,
+       coalesce(len(ctx), 0)::BIGINT AS n_context_turns,
+       coalesce(array_to_string(ctx, chr(10)), '') AS context,
+       message AS target
+FROM w WHERE role = 'assistant'
+"""

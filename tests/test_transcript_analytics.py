@@ -271,3 +271,67 @@ def test_tool_health_composition_and_terminal_tool(spark):
     g = out["grep"]
     assert (g["n_calls"], g["err_frac"]) == (1, 0.0)
     assert g["p50_ms"] is None and g["p95_ms"] is None
+
+
+def test_conversation_select_rollup_and_flag(spark, routed):
+    from ci_log_processing_spark.operators.sft import conversation_select
+
+    _, rows = routed
+    out = {
+        r["conv_id"]: r
+        for r in conversation_select(
+            _df(spark, rows), min_turns=3, max_error_frac=0.25,
+            min_tool_calls=1,
+        ).collect()
+    }
+    a = out["A"]  # 5 visible, 1 error (0.2), 4 tool calls -> selected
+    assert (a["n_turns"], a["n_visible"], a["n_errors"]) == (5, 5, 1)
+    assert a["error_frac"] == 0.2 and a["selected"]
+    b = out["B"]  # 3 visible, 1 dropped, 2 tool calls, no errors
+    assert (b["n_visible"], b["n_dropped"]) == (3, 1)
+    assert b["selected"]
+    c = out["C"]  # 2 visible < min_turns, 0 tool calls
+    assert not c["selected"] and c["error_frac"] == 0.0
+
+
+def test_conversation_select_all_dropped_conv(spark):
+    from ci_log_processing_spark.operators.sft import conversation_select
+
+    rows = [("Z", 0, "user", None, "", "drop_queue")]
+    df = spark.createDataFrame(rows, ROUTED_SCHEMA)
+    r = conversation_select(df, min_turns=1).collect()[0]
+    # error_frac must be 0.0 (not a div-by-zero) and never selected
+    assert r["n_visible"] == 0 and r["error_frac"] == 0.0
+    assert not r["selected"]
+
+
+def test_context_windows_frames_and_visibility(spark, routed):
+    from ci_log_processing_spark.operators.sft import context_windows
+
+    _, rows = routed
+    out = context_windows(_df(spark, rows), n_context=2).collect()
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    # only assistant turns produce examples
+    assert all(k in by_key for k in [("A", 0), ("A", 4), ("B", 1)])
+    assert ("B", 0) not in by_key and ("C", 0) not in by_key
+    # opening assistant turn: empty context
+    r = by_key[("A", 0)]
+    assert r["n_context_turns"] == 0 and r["context"] == ""
+    # frame is the previous <=2 VISIBLE turns, in turn order
+    r = by_key[("A", 4)]
+    assert r["n_context_turns"] == 2
+    assert r["context"] == "assistant: q1\nassistant: q2"
+    assert r["target"] == "done"
+    # B's dropped turn_idx=3 never appears in any context
+    assert all("drop" not in r["context"] for r in out)
+
+
+def test_context_windows_single_exchange_plan(spark, routed):
+    from ci_log_processing_spark.operators.sft import context_windows
+
+    _, rows = routed
+    q = context_windows(_df(spark, rows), n_context=4)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # one conv-keyed exchange feeding the window; no joins at all
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan, plan
