@@ -79,15 +79,21 @@ def tokens_col(text: Column) -> Column:
 def shingles_col(toks: Column, k: int = 5) -> Column:
     """Distinct k-token shingles; [] when the doc has < k tokens.
 
-    Catalyst reference implementation: per row this allocates one
-    k-slice array + one joined string per shingle inside interpreted
-    higher-order exprs — measured 13.7x slower than shingled_docs'
-    Arrow path at 600k docs (74.6 s vs 5.4 s, local[32]); kept as
-    the pure-JVM twin the parity test checks the Arrow path against.
+    Catalyst reference implementation, kept as the pure-JVM twin the
+    parity test checks the Arrow path against. The per-shingle slice
+    is UNROLLED into k element_at arguments: inside an interpreted
+    HOF lambda, Slice with a non-literal start allocates a boxed
+    copy of the window at every position, and the A/B on the
+    (identical-shape) decontaminate_spans flag scan measured 12.7x
+    (16.0 s -> 1.26 s at 650k docs, local[32]) for exactly this
+    swap. element_at reads the backing array in place — the only
+    remaining allocation is the joined shingle string itself.
     """
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
     )
     return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
@@ -1126,8 +1132,14 @@ def duplicate_spans(docs: DataFrame, k: int = 20) -> DataFrame:
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
+            # slice unrolled into k element_at args — interpreted
+            # Slice with a lambda-var start allocates a boxed window
+            # copy per position (12.7x measured; see shingles_col).
+            # Same joined string -> same md5 -> same oracle key.
             lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ).cast("binary")
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))

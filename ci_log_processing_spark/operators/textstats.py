@@ -781,7 +781,14 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    # n_total = total token INSTANCES — summing doc lengths gives the
+    # same number as summing vocab counts without re-deriving the
+    # whole explode->count->exchange vocab lineage a third time (the
+    # original vocab.agg(sum(cnt)) form planned THREE full corpus
+    # explodes + two tok exchanges; this is one explode-free scan)
+    total = docs.select(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_total")
+    )
     bits = F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt")))
     return (
         toks.join(vocab, "tok")
