@@ -2094,16 +2094,19 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 19 late-round-4 additions (sim_knn_graph_multiprobe,
-    # cur_priority_sample, cur_perplexity_buckets,
-    # cur_bloom_decontaminate, cur_temperature_mixture,
-    # stream_hll_distinct, text_bigram_logprob, cur_leakage_split,
-    # pipe_tool_outcomes, pipe_tool_latency, sim_embed_diversity,
-    # pipe_latency_hdr, pipe_tool_health, stream_latency_hdr,
-    # cur_dsir_weights, cur_dsir_sample, cur_decontaminate_spans,
-    # stream_cms_heavy, cur_full_curation_v5) do not fit the 50-query
-    # budget; they are local-gate green (tools/check_correctness.py)
-    # and go FIRST in round 5's rotation.
+    # The 28 late-round-4 additions (cur_bloom_decontaminate,
+    # cur_cms_tokens, cur_context_windows, cur_conv_select,
+    # cur_curriculum_order, cur_decontaminate_spans, cur_dsir_sample,
+    # cur_dsir_weights, cur_full_curation_v4, cur_full_curation_v5,
+    # cur_fuzzy_decontaminate, cur_leakage_split,
+    # cur_perplexity_buckets, cur_priority_sample,
+    # cur_temperature_mixture, pipe_agent_loops, pipe_conv_funnel,
+    # pipe_latency_hdr, pipe_tool_health, pipe_tool_latency,
+    # pipe_tool_outcomes, pipe_turn_transitions, sim_embed_diversity,
+    # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
+    # stream_latency_hdr, text_bigram_logprob) do not fit the 50-query
+    # budget; they are local-gate green (tools/check_correctness.py,
+    # 128/128) and go FIRST in round 5's rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
