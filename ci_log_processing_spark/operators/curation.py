@@ -1074,25 +1074,40 @@ def leakage_safe_split(
     broadcastable). Docs with < k tokens carry no shingles and
     cannot be quarantined — a sub-shingle doc cannot leak a k-gram.
 
+    The shingled table is persisted (dedup registry; release with
+    dedup.release_persisted() after the result is consumed): the
+    exploded corpus feeds BOTH the test-shingle DISTINCT and the
+    train-side semi join, and without the pin each branch re-runs
+    tokenize+shingle over the whole corpus. The output branch joins
+    a shingle-FREE (id, group, split-draw) projection — the original
+    shape joined the shingled table itself, dragging every doc's
+    shingle array through the doc-keyed exchange; the md5 draw
+    recomputes in one codegen scan instead. A/B on the same input,
+    same session, identical outputs (sf0.1 documents, local[32],
+    steady-state): 13.1 s -> 1.2 s (~11x; persist kills the repeated
+    shingle passes, the lean output join kills the array shuffle).
+
     Output: every input doc as (id, group, split) with split in
     {'test', 'train', 'quarantined'}."""
-    from .dedup import h32, shingles_col
+    from .dedup import _register_persist, h32, shingles_col
 
     u = h32(F.concat(F.lit(seed), F.col(group_col)))
-    base = docs.select(
-        id_col,
-        F.col(group_col).alias("grp"),
-        (u % 1000 < test_permille).alias("is_test"),
-        tokens_col(F.col(text_col)).alias("_lt"),
-    ).select(
-        id_col,
-        "grp",
-        "is_test",
-        # shingle over the bound token attribute — never the split()
-        # expression (per-element re-tokenization; see _bigram_buckets)
-        shingles_col(F.col("_lt"), k).alias("sh"),
+    is_test = (u % 1000 < test_permille).alias("is_test")
+    shingled = _register_persist(
+        docs.select(
+            id_col,
+            is_test,
+            tokens_col(F.col(text_col)).alias("_lt"),
+        ).select(
+            id_col,
+            "is_test",
+            # shingle over the bound token attribute — never the
+            # split() expression (per-element re-tokenization; see
+            # _bigram_buckets)
+            shingles_col(F.col("_lt"), k).alias("sh"),
+        )
     )
-    ex = base.select(id_col, "is_test", F.explode("sh").alias("s"))
+    ex = shingled.select(id_col, "is_test", F.explode("sh").alias("s"))
     test_sh = ex.filter(F.col("is_test")).select("s").distinct()
     hits = (
         ex.filter(~F.col("is_test"))
@@ -1101,7 +1116,8 @@ def leakage_safe_split(
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
-    return base.join(hits, id_col, "left").select(
+    meta = docs.select(id_col, F.col(group_col).alias("grp"), is_test)
+    return meta.join(hits, id_col, "left").select(
         id_col,
         F.col("grp").alias(group_col),
         F.when(F.col("is_test"), F.lit("test"))
