@@ -1049,6 +1049,24 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(_docs(spark, sf_dir))
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality filter (operators/textstats.py
+    gopher_rules — Rae et al. 2021 table A1): per-rule 0/1 flags +
+    conjunction keep, one zero-shuffle projection."""
+    from ci_log_processing_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def q_gopher_funnel(spark, sf_dir):
+    """Filter-attrition funnel over the Gopher rules
+    (operators/textstats.py gopher_funnel): isolated-fail count per
+    rule + cumulative survivors in fixed stage order."""
+    from ci_log_processing_spark.operators.textstats import gopher_funnel
+
+    return gopher_funnel(_docs(spark, sf_dir))
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + domain blocklist + URL-level keep-first
     dedup (operators/urls.py) over the deterministic planted urls."""
@@ -2290,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_dsir_weights": q_dsir_weights,
             "cur_dsir_sample": q_dsir_sample,
             "text_quality": q_quality,
+            "text_gopher_rules": q_gopher_rules,
+            "cur_gopher_funnel": q_gopher_funnel,
             "text_model_quality": q_model_quality,
             "text_tfidf": q_tfidf,
             "text_tfidf_pruned": q_tfidf_pruned,
@@ -2510,6 +2530,8 @@ def oracle_sql() -> dict[str, str]:
             "cur_dsir_weights": od.q_dsir_weights(),
             "cur_dsir_sample": od.q_dsir_sample(),
             "text_quality": od.q_quality(),
+            "text_gopher_rules": od.q_gopher_rules(),
+            "cur_gopher_funnel": od.q_gopher_funnel(),
             "text_model_quality": od.q_model_quality(),
             "text_tfidf": od.q_tfidf_top_terms(3),
             "text_tfidf_pruned": od.q_tfidf_top_terms(3, max_df_frac=0.5),

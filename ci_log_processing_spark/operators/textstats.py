@@ -916,3 +916,164 @@ def bigram_logprob(
             ).alias("bits_per_bigram"),
         )
     )
+
+
+# Gopher rule filtering (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): the
+# canonical rule-based document filter a 100 TB pretraining corpus is
+# cleaned with before any model-based scoring. Thresholds below are
+# the paper's; the required-stopword set is the paper's 8-word list.
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+_BULLET_RX = r"^\s*[-*•]"
+_ELLIPSIS_RX = r"(\.\.\.|…)\s*$"
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> DataFrame:
+    """Gopher rule-based quality filter — per-document rule flags
+    plus the conjunction `keep`.
+
+    Rules (each emitted as its own 0/1 column so the attrition
+    funnel can attribute drops to a specific rule):
+      r_word_count   min_words <= n_words <= max_words
+      r_mean_word_len  min <= mean word length <= max
+      r_symbol       (# + ...) per word < 0.1
+      r_bullet       < 90% of lines start with a bullet
+      r_ellipsis     < 30% of lines end with an ellipsis
+      r_alpha        > 80% of words contain an [a-z] letter
+      r_stopwords    >= 2 distinct required stopwords present
+
+    Scale shape: one projection over the corpus scan — zero
+    shuffles, zero joins, all whole-stage-codegen array/regexp
+    expressions (the same tier as quality_scores / c4_line_filter).
+    Ratios are rounded to 6 dp BEFORE threshold comparison so the
+    Spark and DuckDB engines take the same branch on boundary
+    values. Reference analogue: the reference drops empty/DEBUG
+    lines by fixed rules (logsender.py:394-428); this is the same
+    rule-gate pattern at document granularity.
+    """
+    t = F.col(text_col)
+    words = F.filter(tokens(t), lambda x: x != "")
+    n_words = F.size(words)
+    nw_d = F.greatest(n_words.cast("double"), F.lit(1.0))
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(words, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long"),
+        ).cast("double")
+        / nw_d,
+        6,
+    )
+    n_sym = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    ) + F.regexp_count(t, F.lit("…"))
+    symbol_ratio = F.round(n_sym.cast("double") / nw_d, 6)
+    lines = F.split(t, "\n")
+    nl_d = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    bullet_ratio = F.round(
+        F.size(
+            F.filter(lines, lambda x: F.regexp_like(x, F.lit(_BULLET_RX)))
+        ).cast("double")
+        / nl_d,
+        6,
+    )
+    ellipsis_ratio = F.round(
+        F.size(
+            F.filter(lines, lambda x: F.regexp_like(x, F.lit(_ELLIPSIS_RX)))
+        ).cast("double")
+        / nl_d,
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(
+            F.filter(words, lambda x: F.regexp_like(x, F.lit("[a-z]")))
+        ).cast("double")
+        / nw_d,
+        6,
+    )
+    stop_hits = None
+    for s in GOPHER_REQUIRED_STOPWORDS:
+        hit = F.array_contains(words, s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol": symbol_ratio < 0.1,
+        "r_bullet": bullet_ratio < 0.9,
+        "r_ellipsis": ellipsis_ratio < 0.3,
+        "r_alpha": alpha_ratio > 0.8,
+        "r_stopwords": None,  # filled below (needs stop_hits)
+    }
+    rules["r_stopwords"] = stop_hits >= 2
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stopword_hits"),
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+# stage order for the attrition funnel — fixed so funnel rows are
+# deterministic and the oracle can enumerate the same VALUES list
+GOPHER_RULE_ORDER = (
+    "r_word_count",
+    "r_mean_word_len",
+    "r_symbol",
+    "r_bullet",
+    "r_ellipsis",
+    "r_alpha",
+    "r_stopwords",
+)
+
+
+def gopher_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Filter-attrition funnel over the Gopher rules: for each rule,
+    how many documents fail it IN ISOLATION, and how many survive
+    rules 1..i applied CUMULATIVELY in GOPHER_RULE_ORDER. The
+    curation observability table every corpus-cleaning run wants
+    next to its keep-rate.
+
+    Shape: gopher_rules' zero-shuffle projection -> ONE global
+    aggregate (7 isolated-fail sums + 7 cumulative-survive sums +
+    count, all partial-aggregated map-side) -> a 7-row stack of the
+    single result row. Nothing after the scan touches more than one
+    row per partition.
+    """
+    flags = gopher_rules(docs, text_col=text_col)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    cum = None
+    for i, r in enumerate(GOPHER_RULE_ORDER):
+        aggs.append(F.sum(1 - F.col(r)).alias(f"fail_{i}"))
+        cum = F.col(r) if cum is None else cum * F.col(r)
+        aggs.append(F.sum(cum).alias(f"cum_{i}"))
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i + 1}, '{r}', fail_{i}, cum_{i}"
+        for i, r in enumerate(GOPHER_RULE_ORDER)
+    )
+    return one.select(
+        F.col("n_docs"),
+        F.expr(
+            f"stack({len(GOPHER_RULE_ORDER)}, {stack_args})"
+            " AS (stage_idx, stage, n_fail_alone, n_survive_cum)"
+        ),
+    ).select("stage_idx", "stage", "n_fail_alone", "n_survive_cum", "n_docs")

@@ -2381,3 +2381,105 @@ SELECT c.doc_id,
        coalesce(p.n_bench_matches, 0) > 0 AS contaminated
 FROM corpus c LEFT JOIN per p USING (doc_id)
 """
+
+
+_GOPHER_WORDS = f"list_filter({_TOKS}, x -> x <> '')"
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _gopher_flags_sql(
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+) -> str:
+    """Shared per-document Gopher rule-flag derivation (twin of
+    operators/textstats.py gopher_rules): same tokenization, same
+    6-dp rounding BEFORE every threshold comparison, rule flags as
+    0/1 ints."""
+    w = _GOPHER_WORDS
+    hits = " + ".join(
+        f"CAST(list_contains(w, '{s}') AS INT)" for s in _GOPHER_STOPS
+    )
+    return f"""
+base AS (
+  SELECT doc_id, {w} AS w,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '#')) +
+         len(regexp_extract_all(text, '\\.\\.\\.')) +
+         len(regexp_extract_all(text, '…')) AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    round(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+          / greatest(CAST(len(w) AS DOUBLE), 1.0), 6) AS mean_word_len,
+    round(n_sym / greatest(CAST(len(w) AS DOUBLE), 1.0), 6) AS symbol_ratio,
+    round(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+          / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS bullet_ratio,
+    round(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+          / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS ellipsis_ratio,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          / greatest(CAST(len(w) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+    CAST({hits} AS INT) AS stopword_hits
+  FROM base
+),
+flags AS (
+  SELECT *,
+    CAST(n_words >= {min_words} AND n_words <= {max_words} AS INT)
+      AS r_word_count,
+    CAST(mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl} AS INT)
+      AS r_mean_word_len,
+    CAST(symbol_ratio < 0.1 AS INT) AS r_symbol,
+    CAST(bullet_ratio < 0.9 AS INT) AS r_bullet,
+    CAST(ellipsis_ratio < 0.3 AS INT) AS r_ellipsis,
+    CAST(alpha_ratio > 0.8 AS INT) AS r_alpha,
+    CAST(stopword_hits >= 2 AS INT) AS r_stopwords
+  FROM m
+)"""
+
+
+def q_gopher_rules() -> str:
+    """gopher_rules twin (operators/textstats.py): Rae et al. 2021
+    rule filter, per-rule 0/1 flags + conjunction keep."""
+    return f"""
+WITH {_gopher_flags_sql()}
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_ratio, stopword_hits,
+       r_word_count, r_mean_word_len, r_symbol, r_bullet, r_ellipsis,
+       r_alpha, r_stopwords,
+       CAST(r_word_count * r_mean_word_len * r_symbol * r_bullet *
+            r_ellipsis * r_alpha * r_stopwords AS INT) AS keep
+FROM flags
+"""
+
+
+_GOPHER_ORDER = (
+    "r_word_count", "r_mean_word_len", "r_symbol", "r_bullet",
+    "r_ellipsis", "r_alpha", "r_stopwords",
+)
+
+
+def q_gopher_funnel() -> str:
+    """gopher_funnel twin: isolated-fail count per rule + cumulative
+    survivors of rules 1..i in the fixed stage order."""
+    aggs = ["CAST(count(*) AS BIGINT) AS n_docs"]
+    cum: list[str] = []
+    for i, r in enumerate(_GOPHER_ORDER):
+        cum.append(r)
+        aggs.append(f"CAST(sum(1 - {r}) AS BIGINT) AS fail_{i}")
+        aggs.append(
+            f"CAST(sum({' * '.join(cum)}) AS BIGINT) AS cum_{i}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage_idx, '{r}' AS stage,"
+        f" fail_{i} AS n_fail_alone, cum_{i} AS n_survive_cum, n_docs"
+        " FROM agg"
+        for i, r in enumerate(_GOPHER_ORDER)
+    )
+    return f"""
+WITH {_gopher_flags_sql()},
+agg AS (SELECT {', '.join(aggs)} FROM flags)
+{rows}
+"""
