@@ -685,6 +685,25 @@ def q_ann_bucketed(spark, sf_dir):
     return bucketed_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ/ADC approximate nearest neighbors (operators/similarity.py
+    pq_ann_topk, Jégou et al. 2011): per-subspace deterministic
+    k-medians codebooks, corpus encoded to m codes, ADC shortlist of
+    50 candidates per query, exact-distance re-rank (IVFADC+R)."""
+    from ci_log_processing_spark.operators.similarity import pq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        m=4,
+        k_codes=8,
+        n_iter=2,
+        k=10,
+        rerank=50,
+    )
+
+
 def q_kmeans_fit(spark, sf_dir):
     """Deterministic k-medians fit (operators/similarity.py
     kmeans_fit) — the IVF coarse-quantizer training loop, fully
@@ -2259,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+            "sim_ann_pq": q_ann_pq,
             "sim_kmeans_fit": q_kmeans_fit,
             "sim_knn_graph": q_knn_graph,
             "sim_embed_diversity": q_embed_diversity,
@@ -2451,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_brute_force": od.q_ann_brute_force(10, 5),
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
+            "sim_ann_pq": od.q_pq_ann(4, 8, 2, 64, 5, 10, rerank=50),
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
             "sim_knn_graph": od.q_knn_graph(5, 8, 2),
             "sim_embed_diversity": od.q_embedding_diversity(),

@@ -46,7 +46,10 @@ def main():
     from ci_log_processing_spark.plans.pipeline import full_pipeline
     from ci_log_processing_spark.operators.aggregate import hourly_agg
     from ci_log_processing_spark.operators.dedup import minhash_lsh_pairs
-    from ci_log_processing_spark.operators.similarity import brute_force_topk
+    from ci_log_processing_spark.operators.similarity import (
+        brute_force_topk,
+        pq_ann_topk,
+    )
     from ci_log_processing_spark.operators.textstats import quality_scores
     from ci_log_processing_spark.sources.corpus import load_corpus
     from ci_log_processing_spark.sources.transcripts import load_transcripts
@@ -118,6 +121,18 @@ def main():
             emb, emb.filter(F.col("vec_id") < 16), k=10
         ).count(),
     )
+    bench(
+        "ann_pq_rerank",
+        lambda: pq_ann_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 16),
+            m=4,
+            k_codes=8,
+            n_iter=2,
+            k=10,
+            rerank=50,
+        ).count(),
+    )
     # ANN fitness is recall vs the exact answer at a fixed probe
     # budget, not just determinism — measure recall@10 for the
     # bucketed (nprobe=1 by construction) and IVF (nprobe=2,4)
@@ -148,6 +163,19 @@ def main():
         ),
         "ivf_nprobe4": _recall(
             ivf_multiprobe_topk(emb, ann_q, k=10, nprobe=4)
+        ),
+        # PQ quantization collapses fine ranking (many corpus rows
+        # share a code tuple) so pure ADC sits near the cell-occupancy
+        # floor; the exact re-rank of a 50-candidate ADC shortlist
+        # (IVFADC+R) is the production recall — report both so the
+        # probe/rerank trade is visible per round
+        "pq_adc": _recall(
+            pq_ann_topk(emb, ann_q, m=4, k_codes=8, n_iter=2, k=10)
+        ),
+        "pq_adc_rerank50": _recall(
+            pq_ann_topk(
+                emb, ann_q, m=4, k_codes=8, n_iter=2, k=10, rerank=50
+            )
         ),
     }
     truth.unpersist()

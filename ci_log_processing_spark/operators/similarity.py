@@ -696,3 +696,194 @@ def embedding_diversity(
             .alias("mean_pair_dist_sq"),
         )
     )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    dim-D embedding into m contiguous subvectors and fit the
+    deterministic k-medians quantizer INDEPENDENTLY in each
+    subspace. Returns m codebooks of k x (D/m) centroids.
+
+    Each fit is the same oracle-replayable kmeans_centroids loop
+    (seed by (md5(id), id), round-5 argmin with index tie-break,
+    element-wise median update), run over a sliced view of the
+    corpus — so the whole PQ index build stays bit-reproducible in
+    DuckDB. Cost: m fits x n_iter (scan + partial/final aggregate);
+    at 100 TB the fit runs on a deterministic md5-threshold sample,
+    the encode pass below is what touches the full corpus.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq_codebooks: m={m} must divide the embedding dim {dim}"
+        )
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            id_col,
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_centroids(sub, k=k, n_iter=n_iter, id_col=id_col,
+                             vec_col=vec_col)
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as m small codes (argmin centroid per
+    subspace — same round-5 + index tie-break as kmeans_fit) and
+    carry the RECONSTRUCTED vector (concat of the chosen centroids).
+
+    The reconstruction is what ADC distance is computed against; it
+    is built from codebook literals, so downstream distance folds
+    are pure codegen expressions over (query, recon) — the corpus
+    embedding column itself is no longer needed after this
+    projection (at scale: store the m byte-codes, 64x smaller than
+    the float vector, and materialize recon on the fly exactly as
+    here). Zero shuffles.
+    """
+    d_sub = len(books[0][0])
+    code_cols = []
+    recon_parts = []
+    for j, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+        code = _argmin_centroid(sub, book)["b"]
+        code_cols.append(code.alias(f"c{j}"))
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
+        )
+        recon_parts.append(F.element_at(book_lit, code + 1))
+    return emb.select(
+        id_col,
+        *code_cols,
+        F.concat(*recon_parts).alias("recon"),
+    )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    k: int = 10,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors: rank the corpus for
+    each query by squared distance to the PQ RECONSTRUCTION of each
+    corpus vector (asymmetric distance computation — the query stays
+    exact, only the corpus side is quantized, Jégou et al. 2011).
+
+    With ``rerank=R`` (Jégou's IVFADC+R) the ADC pass only builds a
+    per-query shortlist of R candidates, which is then re-ranked by
+    EXACT distance against the original vectors. Quantization error
+    collapses fine-grained ranking (many corpus points share one
+    code tuple), so pure ADC recall is bounded by cell occupancy;
+    the shortlist + exact re-rank recovers it — measured 0.07 → 0.6+
+    recall@10 at sf0.001 (see tests). Output then carries
+    ``exact_dist`` instead of ``adc_dist``.
+
+    The distance fold runs over the full concatenated reconstruction
+    in one linear pass (NOT per-subspace partial sums) so the float
+    addition order matches the DuckDB twin's list_sum exactly;
+    round-5 before ranking, neighbor-id tie-break. Scale shape:
+    queries broadcast, corpus scanned once through the zero-shuffle
+    encode projection, one per-query window over the scored rows —
+    identical plan skeleton to brute_force_topk but over 64x-smaller
+    effective state (codes instead of vectors), which is the entire
+    point of PQ at 100 TB. The re-rank stage joins the tiny
+    (n_queries x R) shortlist back to the corpus BROADCAST — the
+    corpus never shuffles; at scale this is the candidate-fetch
+    point-lookup every PQ serving system does. Recall vs brute
+    force is measured in bench extras next to the IVF/bucketed
+    variants.
+    """
+    from pyspark.sql.window import Window
+
+    books = pq_codebooks(
+        emb, m=m, k=k_codes, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    coded = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("recon"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        5,
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    exact = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("n_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        5,
+    )
+    cand = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("n_emb"),
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", exact.alias("exact_dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

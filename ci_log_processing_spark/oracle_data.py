@@ -2483,3 +2483,141 @@ WITH {_gopher_flags_sql()},
 agg AS (SELECT {', '.join(aggs)} FROM flags)
 {rows}
 """
+
+
+def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int, n_iter: int) -> str:
+    """One subspace's unrolled k-medians chain for the PQ twin —
+    the _kmeans_ctes recipe over a 1-based inclusive list slice of
+    the embedding, with the CHOSEN CENTROID carried through the
+    final assignment (the reconstruction needs it)."""
+    dist = (
+        "round(list_sum(list_transform(range(1, len(e.emb) + 1), "
+        "i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]))), 5)"
+    )
+
+    def assign(cent_rel: str, name: str, keep_centroid: bool) -> str:
+        extra = ", c.centroid AS centroid" if keep_centroid else ""
+        return f"""
+{name}_all AS (
+  SELECT e.vec_id, e.emb, c.bkt, {dist} AS dist{extra},
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dist} ASC, c.bkt ASC) AS rnk
+  FROM e_{j} e, {cent_rel} c
+),
+{name} AS (SELECT * EXCLUDE (rnk) FROM {name}_all WHERE rnk = 1)"""
+
+    parts = [
+        f"""
+e_{j} AS (
+  SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS emb FROM embeddings
+),
+cent_{j}_0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+           AS bkt,
+         emb AS centroid
+  FROM e_{j}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            "," + assign(f"cent_{j}_{i - 1}", f"a_{j}_{i}", False)
+        )
+        parts.append(f""",
+med_{j}_{i} AS (
+  SELECT bkt, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT bkt, pos, median(v) AS cv FROM (
+      SELECT bkt, unnest(generate_series(1, len(emb))) AS pos,
+             unnest(emb) AS v
+      FROM a_{j}_{i}
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+cent_{j}_{i} AS (
+  SELECT p.bkt, coalesce(n.centroid, p.centroid) AS centroid
+  FROM cent_{j}_{i - 1} p LEFT JOIN med_{j}_{i} n USING (bkt)
+)""")
+    parts.append("," + assign(f"cent_{j}_{n_iter}", f"fin_{j}", True))
+    return "".join(parts)
+
+
+def q_pq_ann(
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_queries: int = 5,
+    topk: int = 10,
+    rerank: int | None = None,
+) -> str:
+    """pq_ann_topk twin (operators/similarity.py): per-subspace
+    k-medians codebooks -> nearest-code assignment -> ADC distance
+    of the exact query against the concatenated reconstruction,
+    one linear list_sum fold over all dim positions (the same float
+    addition order as the Spark aggregate), round-5, id tie-break.
+    With rerank=R: ADC builds a per-query shortlist of R rows which
+    is re-ranked by exact round-5 distance against the original
+    embeddings (IVFADC+R), id tie-break at both stages."""
+    d_sub = dim // m
+    chains = ",".join(
+        _pq_subspace_ctes(j, j * d_sub + 1, (j + 1) * d_sub, k_codes, n_iter)
+        for j in range(m)
+    )
+    recon = " || ".join(f"f{j}.centroid" for j in range(m))
+    joins = "".join(
+        f" JOIN fin_{j} f{j} USING (vec_id)" for j in range(1, m)
+    )
+    head = f"""
+WITH {chains.lstrip()[0:]},
+recon AS (
+  SELECT f0.vec_id, {recon} AS recon
+  FROM fin_0 f0{joins}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, {dim} + 1),
+           i -> (q.qe[i] - r.recon[i]) * (q.qe[i] - r.recon[i]))), 5)
+           AS adc_dist
+  FROM recon r, q
+  WHERE r.vec_id <> q.query_id
+),
+rnk AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)"""
+    if rerank is None:
+        return (
+            head
+            + f"""
+SELECT query_id, neighbor_id, adc_dist, rank FROM rnk WHERE rank <= {topk}
+"""
+        )
+    return (
+        head
+        + f""",
+shortlist AS (
+  SELECT query_id, neighbor_id FROM rnk WHERE rank <= {rerank}
+),
+cand AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_sum(list_transform(range(1, {dim} + 1),
+           i -> (q.qe[i] - ne[i]) * (q.qe[i] - ne[i]))), 5) AS exact_dist
+  FROM shortlist s
+  JOIN q USING (query_id)
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS ne FROM embeddings) e
+    ON e.vec_id = s.neighbor_id
+),
+rnk2 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY exact_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, exact_dist, rank FROM rnk2 WHERE rank <= {topk}
+"""
+    )
