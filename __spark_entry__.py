@@ -671,6 +671,40 @@ def q_embed_near_dup_capped(spark, sf_dir):
     )
 
 
+def q_srp_near_dup(spark, sf_dir):
+    """SRP-LSH embedding near-dup (operators/similarity.py
+    srp_near_dup_pairs, Charikar 2002): 24-bit random-hyperplane
+    signature, 8 bands (recall 0.86 at the 0.30 boundary, Charikar
+    collision bound), band-collision candidates, exact cosine
+    verify — needs no precomputed cluster column, unlike
+    dedup_embedding_cosine's label buckets."""
+    from ci_log_processing_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    return srp_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.30, n_bits=24, bands=8
+    )
+
+
+def q_srp_near_dup_capped(spark, sf_dir):
+    """srp_near_dup_pairs with the deterministic hash sub-split on
+    hot (band, key) cells — cap 24 is below the largest gate-scale
+    cells (up to ~49 rows), so the sub-split path is actually
+    exercised, same policy as dedup_embedding_cosine_capped."""
+    from ci_log_processing_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    return srp_near_dup_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.30,
+        n_bits=24,
+        bands=8,
+        bucket_cap=24,
+    )
+
+
 def q_ann_brute_force(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import brute_force_topk
 
@@ -2139,7 +2173,8 @@ _VERIFY_FIRST = (
     # cur_perplexity_buckets, cur_priority_sample,
     # cur_temperature_mixture, pipe_agent_loops, pipe_conv_funnel,
     # pipe_latency_hdr, pipe_tool_health, pipe_tool_latency,
-    # pipe_tool_outcomes, pipe_turn_transitions, sim_embed_diversity,
+    # pipe_tool_outcomes, pipe_turn_transitions, sim_ann_pq,
+    # sim_embed_diversity,
     # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
     # stream_latency_hdr, text_bigram_logprob) do not fit the 50-query
     # budget; they are local-gate green (tools/check_correctness.py,
@@ -2275,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_keep_best": q_dedup_keep_best,
             "dedup_embedding_cosine": q_embed_near_dup,
             "dedup_embedding_cosine_capped": q_embed_near_dup_capped,
+            "dedup_embedding_srp": q_srp_near_dup,
+            "dedup_embedding_srp_capped": q_srp_near_dup_capped,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -2472,6 +2509,10 @@ def oracle_sql() -> dict[str, str]:
             "sim_ann_bucketed": od.q_ann_bucketed(10, 5),
             "sim_ann_ivf_multiprobe": od.q_ann_ivf_multiprobe(10, 5, 2),
             "sim_ann_pq": od.q_pq_ann(4, 8, 2, 64, 5, 10, rerank=50),
+            "dedup_embedding_srp": od.q_srp_near_dup(0.30, 24, 8, 64),
+            "dedup_embedding_srp_capped": od.q_srp_near_dup(
+                0.30, 24, 8, 64, bucket_cap=24
+            ),
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
             "sim_knn_graph": od.q_knn_graph(5, 8, 2),
             "sim_embed_diversity": od.q_embedding_diversity(),

@@ -293,6 +293,144 @@ def embedding_near_dup_pairs(
     return _bucket_pair_join(keyed, ["bkt"], threshold)
 
 
+def srp_planes(
+    n_bits: int, dim: int, seed: str = "srp"
+) -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes for signed-random-
+    projection LSH (Charikar 2002 random-hyperplane family; ±1
+    entries are the standard practical substitute for Gaussian
+    rows). Entry (p, i) is +1 iff the first hex nibble of
+    md5("{seed}_{p}_{i}") is odd — a pure function of (seed, p, i),
+    so the Spark operator and the DuckDB twin inline the SAME plane
+    constants (shared parameters, like the bloom bit positions) and
+    stay bit-reproducible with no RNG state anywhere."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}_{p}_{i}".encode()).hexdigest()[0], 16)
+            % 2
+            == 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_bits)
+    ]
+
+
+def srp_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.30,
+    n_bits: int = 24,
+    bands: int = 8,
+    bucket_cap: int | None = None,
+    seed: str = "srp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH —
+    the cosine-metric sibling of minhash-LSH (Jaccard) and simhash
+    (text): each vector gets an n_bits signature (sign of the dot
+    with a fixed Rademacher hyperplane, P[bits differ] = angle/pi),
+    the signature is split into `bands` keys, vectors colliding in
+    ANY band become a candidate pair, and candidates are verified
+    with exact cosine >= threshold. Recall at the threshold boundary
+    follows the Charikar collision bound 1-(1-p^rpb)^bands with
+    p = 1 - acos(threshold)/pi — measured at sf0.001: 0.42 for
+    16 bits/4 bands, 0.86 for the default 24 bits/8 bands (3-bit
+    band keys), 1.00 for 32/16; pick more+narrower bands for recall,
+    fewer+wider for candidate volume.
+
+    vs embedding_near_dup_pairs (coarse-bucket all-pairs): SRP needs
+    NO precomputed cluster/label column — the hyperplanes partition
+    the sphere data-independently — and candidate volume is the band
+    collision count, not sum over buckets of n^2 (measured at
+    sf0.01: 29k candidates vs the label-bucket join's 1.25M pair
+    comparisons, with the verify filter deciding final semantics).
+
+    Scale shape: the signature is a zero-shuffle per-row expression
+    chain (n_bits folds of length dim, all codegen); the band
+    explode multiplies rows by `bands`; the candidate join shuffles
+    on (band, key); the duplicate-candidate collapse is a distinct
+    over verified pairs. A degenerate band key (e.g. a mass of
+    near-identical boilerplate vectors) concentrates one cell —
+    `bucket_cap` applies the same deterministic hash sub-split as
+    embedding_near_dup_pairs_capped, bounding any cell at ~cap^2
+    comparisons with the oracle implementing the identical rule.
+
+    The dot sign is taken on the round-5 value (same cross-engine FP
+    discipline as cosine_col) so Spark and DuckDB agree at the
+    sign boundary.
+    """
+    if n_bits < 1 or bands < 1 or n_bits % bands != 0:
+        raise ValueError(
+            f"srp_near_dup_pairs: bands={bands} must divide n_bits={n_bits}"
+        )
+    rpb = n_bits // bands
+    dim = len(emb.select(vec_col).first()[0])
+    planes = srp_planes(n_bits, dim, seed)
+
+    def bit(p: int) -> Column:
+        lit = F.array(*[F.lit(v) for v in planes[p]])
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    lit,
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            5,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *[bit(p).alias(f"b{p}") for p in range(n_bits)],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"b{b * rpb + i}") for i in range(rpb)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sig.select(
+        "vec_id", "embedding", F.explode(band_structs).alias("bk")
+    ).select(
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        "vec_id",
+        "embedding",
+    )
+    if bucket_cap is not None:
+        from .dedup import h32
+
+        sizes = keyed.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        nsub = F.ceil(F.col("n") / F.lit(float(bucket_cap))).cast("long")
+        keyed = keyed.join(F.broadcast(sizes), ["band", "key"]).select(
+            "band",
+            "key",
+            F.pmod(h32(F.col("vec_id").cast("string")), nsub).alias("sub"),
+            "vec_id",
+            "embedding",
+        )
+        return _bucket_pair_join(
+            keyed, ["band", "key", "sub"], threshold
+        ).distinct()
+    return _bucket_pair_join(keyed, ["band", "key"], threshold).distinct()
+
+
 def _sqdist_to_lit(vec: Column, cent: list[float]) -> Column:
     """Squared euclidean distance from an array column to a Python
     centroid, rounded to 5 decimals (same cross-engine FP discipline

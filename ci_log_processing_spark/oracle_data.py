@@ -2485,6 +2485,80 @@ agg AS (SELECT {', '.join(aggs)} FROM flags)
 """
 
 
+def q_srp_near_dup(
+    threshold: float = 0.30,
+    n_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    bucket_cap: int | None = None,
+    seed: str = "srp",
+) -> str:
+    """srp_near_dup_pairs twin (operators/similarity.py): the SAME
+    deterministic Rademacher plane constants (srp_planes — a shared
+    parameter, like the bloom bit positions), independently applied:
+    per-bit sign of the round-5 dot, band keys via string concat,
+    DISTINCT band-collision candidates, exact round-5 cosine verify.
+    With bucket_cap: the identical hash sub-split rule as
+    q_embed_near_dup_capped on (band, key) cells."""
+    from .operators.similarity import srp_planes
+
+    rpb = n_bits // bands
+    planes = srp_planes(n_bits, dim, seed)
+
+    def plane_lit(p: int) -> str:
+        return (
+            "[" + ",".join(str(v) for v in planes[p]) + "]::DOUBLE[]"
+        )
+
+    bit_exprs = ",\n    ".join(
+        f"CASE WHEN round(list_sum(list_transform(range(1, {dim} + 1),"
+        f" i -> emb[i] * ({plane_lit(p)})[i])), 5) >= 0"
+        f" THEN '1' ELSE '0' END AS b{p}"
+        for p in range(n_bits)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + "||".join(f"b{b * rpb + i}" for i in range(rpb))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    cos = (
+        "round(list_dot_product(ea.emb, eb.emb) /"
+        " (sqrt(list_dot_product(ea.emb, ea.emb)) *"
+        " sqrt(list_dot_product(eb.emb, eb.emb))), 5)"
+    )
+    if bucket_cap is None:
+        pair_src, sub_eq, cap_ctes = "keyed", "", ""
+    else:
+        h = _H32.format(x="CAST(vec_id AS VARCHAR)")
+        cap_ctes = f""",
+s AS (SELECT band, key, count(*) AS n FROM keyed GROUP BY 1, 2),
+capped AS (
+  SELECT k.vec_id, k.band, k.key,
+         {h} % CAST(ceil(n / {bucket_cap}.0) AS BIGINT) AS sub
+  FROM keyed k JOIN s USING (band, key)
+)"""
+        pair_src, sub_eq = "capped", " AND x.sub = y.sub"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sig AS (
+  SELECT vec_id, {bit_exprs}
+  FROM e
+),
+keyed AS (
+  {band_selects}
+){cap_ctes},
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM {pair_src} x JOIN {pair_src} y
+    ON x.band = y.band AND x.key = y.key{sub_eq} AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, {cos} AS cosine
+FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+WHERE {cos} >= {threshold}
+"""
+
+
 def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int, n_iter: int) -> str:
     """One subspace's unrolled k-medians chain for the PQ twin —
     the _kmeans_ctes recipe over a 1-based inclusive list slice of

@@ -336,3 +336,79 @@ def test_pq_codebooks_shape_and_divisibility(spark, emb):
 
     with pytest.raises(ValueError, match="must divide"):
         pq_codebooks(emb, m=5)
+
+
+def test_srp_near_dup_recall_and_precision(spark, emb):
+    """SRP-LSH pairs (srp_near_dup_pairs): every returned pair must
+    be a TRUE >= threshold pair (precision 1.0 — the exact-cosine
+    verify guarantees it), recall vs exhaustive all-pairs well above
+    half, and the output is deterministic (fixed Rademacher planes,
+    no RNG)."""
+    import itertools
+    import math
+
+    from ci_log_processing_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(d / (na * nb), 5)
+
+    exact = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[i], vecs[j]) >= 0.30
+    }
+
+    got_rows = srp_near_dup_pairs(
+        emb, threshold=0.30, n_bits=24, bands=8
+    ).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in got_rows}
+    assert all(a < b for a, b in got)
+    # precision 1.0: the verify step admits only true pairs
+    assert got <= exact
+    # no duplicate pair rows despite multi-band collisions
+    assert len(got_rows) == len(got)
+    # Charikar bound at the 0.30 boundary for 3-bit x 8 bands is
+    # ~0.66 on boundary pairs; measured 0.86 over the full >= 0.30
+    # set (higher-cosine pairs collide more often)
+    recall = len(got) / max(len(exact), 1)
+    assert recall > 0.6, f"SRP recall {recall:.2f} too low"
+
+    again = {
+        (r["vec_a"], r["vec_b"])
+        for r in srp_near_dup_pairs(
+            emb, threshold=0.30, n_bits=24, bands=8
+        ).collect()
+    }
+    assert got == again
+
+
+def test_srp_capped_subset_and_divisibility(spark, emb):
+    from ci_log_processing_spark.operators.similarity import (
+        srp_near_dup_pairs,
+    )
+
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in srp_near_dup_pairs(emb, threshold=0.30).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in srp_near_dup_pairs(
+            emb, threshold=0.30, bucket_cap=10
+        ).collect()
+    }
+    # the sub-split can only DROP pairs (straddling sub-buckets),
+    # never invent them
+    assert capped <= full
+    assert len(capped) < len(full)  # cap 10 < gate cell sizes -> fires
+
+    with pytest.raises(ValueError, match="must divide"):
+        srp_near_dup_pairs(emb, bands=5, n_bits=16)
