@@ -705,6 +705,39 @@ def q_srp_near_dup_capped(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """Composed IVF+PQ ANN (operators/similarity.py ivfpq_ann_topk,
+    the IVFADC shape): coarse k-medians inverted lists restrict each
+    query to nprobe=2 of 8 lists, PQ/ADC ranks inside the probed
+    lists, exact re-rank of the 50-candidate shortlist."""
+    from ci_log_processing_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=2,
+        k_coarse=8,
+        m=4,
+        k_codes=8,
+        n_iter=2,
+        rerank=50,
+    )
+
+
+def q_contrastive_triplets(spark, sf_dir):
+    """Hard-negative contrastive triplet mining (operators/
+    similarity.py contrastive_triplets): one SRP-LSH candidate pass
+    serves each anchor its best positive (cosine >= 0.35) and its
+    hardest in-candidate negative (< 0.35)."""
+    from ci_log_processing_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    return contrastive_triplets(_emb(spark, sf_dir), t_pos=0.35)
+
+
 def q_ann_brute_force(spark, sf_dir):
     from ci_log_processing_spark.operators.similarity import brute_force_topk
 
@@ -2174,7 +2207,8 @@ _VERIFY_FIRST = (
     # cur_temperature_mixture, pipe_agent_loops, pipe_conv_funnel,
     # pipe_latency_hdr, pipe_tool_health, pipe_tool_latency,
     # pipe_tool_outcomes, pipe_turn_transitions, sim_ann_pq,
-    # sim_embed_diversity,
+    # sim_ann_ivfpq, dedup_embedding_srp, dedup_embedding_srp_capped,
+    # cur_contrastive_triplets, sim_embed_diversity,
     # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
     # stream_latency_hdr, text_bigram_logprob) do not fit the 50-query
     # budget; they are local-gate green (tools/check_correctness.py,
@@ -2312,6 +2346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine_capped": q_embed_near_dup_capped,
             "dedup_embedding_srp": q_srp_near_dup,
             "dedup_embedding_srp_capped": q_srp_near_dup_capped,
+            "cur_contrastive_triplets": q_contrastive_triplets,
+            "sim_ann_ivfpq": q_ann_ivfpq,
             "sim_ann_brute_force": q_ann_brute_force,
             "sim_ann_bucketed": q_ann_bucketed,
             "sim_ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -2512,6 +2548,12 @@ def oracle_sql() -> dict[str, str]:
             "dedup_embedding_srp": od.q_srp_near_dup(0.30, 24, 8, 64),
             "dedup_embedding_srp_capped": od.q_srp_near_dup(
                 0.30, 24, 8, 64, bucket_cap=24
+            ),
+            "cur_contrastive_triplets": od.q_contrastive_triplets(
+                0.35, 24, 8, 64
+            ),
+            "sim_ann_ivfpq": od.q_ivfpq_ann(
+                8, 4, 8, 2, 64, 5, 10, nprobe=2, rerank=50
             ),
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
             "sim_knn_graph": od.q_knn_graph(5, 8, 2),

@@ -48,6 +48,7 @@ def main():
     from ci_log_processing_spark.operators.dedup import minhash_lsh_pairs
     from ci_log_processing_spark.operators.similarity import (
         brute_force_topk,
+        ivfpq_ann_topk,
         pq_ann_topk,
     )
     from ci_log_processing_spark.operators.textstats import quality_scores
@@ -175,6 +176,21 @@ def main():
         "pq_adc_rerank50": _recall(
             pq_ann_topk(
                 emb, ann_q, m=4, k_codes=8, n_iter=2, k=10, rerank=50
+            )
+        ),
+        # R is the recall dial: sf0.1's clusters hold ~200 vectors,
+        # so R=200 covers a whole cluster while still being a
+        # per-query constant (the re-rank cost is queries x R, not
+        # corpus-sized)
+        "pq_adc_rerank200": _recall(
+            pq_ann_topk(
+                emb, ann_q, m=4, k_codes=8, n_iter=2, k=10, rerank=200
+            )
+        ),
+        "ivfpq_nprobe2_rerank50": _recall(
+            ivfpq_ann_topk(
+                emb, ann_q, k=10, nprobe=2, m=4, k_codes=8, n_iter=2,
+                rerank=50,
             )
         ),
     }

@@ -431,6 +431,261 @@ def srp_near_dup_pairs(
     return _bucket_pair_join(keyed, ["band", "key"], threshold).distinct()
 
 
+def ivfpq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    k_coarse: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed ANN (the IVFADC architecture, Jégou et al.
+    2011; what FAISS runs at billion scale): a coarse k-medians
+    quantizer partitions the corpus into k_coarse inverted lists,
+    each query probes only its nprobe nearest lists, and ranking
+    INSIDE the probed lists uses the PQ/ADC distance (optionally
+    re-ranked exactly via `rerank`, = IVFADC+R).
+
+    Deviation from the paper, stated plainly: PQ codebooks are fit
+    on RAW vectors, not per-list residuals — residual codebooks
+    would need k_coarse×m fits and per-list encode arithmetic for a
+    quantization-error win that matters at billion scale, while raw
+    fits keep the whole index build replayable by the one DuckDB
+    twin. The SHAPE is the paper's: probe restriction multiplies
+    with code compression.
+
+    Scale shape: both quantizers are driver-sized literal tables
+    (collecting them is the point); the corpus pass is ONE
+    zero-shuffle projection (coarse argmin + PQ codes + recon); the
+    probe assignment is a per-query expression over centroid
+    literals (array_sort of k_coarse (dist, idx) structs, slice
+    nprobe, explode) — broadcast; the candidate join is an equi-join
+    on the list id, which at 100 TB is partition pruning over a
+    corpus laid out by list id, exactly like ivf_multiprobe_topk.
+    ADC ranks ~nprobe/k_coarse of the corpus per query instead of
+    all of it — the two knobs (nprobe, rerank) trade recall for
+    scan fraction and are measured in bench extras.
+    """
+    from pyspark.sql.window import Window
+
+    coarse = kmeans_centroids(
+        emb, k=k_coarse, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_codebooks(
+        emb, m=m, k=k_codes, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    # ONE zero-shuffle corpus projection: PQ codes + reconstruction
+    # (keep_vec carries the raw vector for the rerank fetch) chained
+    # with the coarse-list assignment — no self-join anywhere
+    assigned = pq_encode(
+        emb, books, id_col=id_col, vec_col=vec_col, keep_vec=True
+    ).select(
+        id_col,
+        _argmin_centroid(F.col(vec_col), coarse)["b"].alias("bkt"),
+        "recon",
+    )
+
+    # per-query probe list: rank ALL coarse centroids by round-5
+    # distance with index tie-break (the same (d, b) struct order
+    # _argmin_centroid uses), keep the nprobe best, explode
+    cl = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in coarse])
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
+                lambda j: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("q_emb"),
+                                F.element_at(cl, j + 1),
+                                lambda x, y: (x.cast("double") - y)
+                                * (x.cast("double") - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ),
+                        5,
+                    ).alias("d"),
+                    j.alias("b"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    ).select(
+        "query_id",
+        "q_emb",
+        F.explode(F.transform(ranked, lambda s: s["b"])).alias("bkt"),
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("recon"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        5,
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "bkt")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    # same re-fetch shape as pq_ann_topk: the (n_queries x R)
+    # shortlist broadcasts back against the corpus for exact vectors
+    # instead of dragging two dim-sized arrays through the ADC
+    # window exchange
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    exact = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("n_emb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        5,
+    )
+    cand = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("n_emb"),
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("q_emb"),
+                )
+            ),
+            "query_id",
+        )
+        .select("query_id", "neighbor_id", exact.alias("exact_dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    t_pos: float = 0.35,
+    n_bits: int = 24,
+    bands: int = 8,
+    seed: str = "srp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) training triplets for
+    contrastive embedding training: per anchor, the BEST positive
+    (highest cosine >= t_pos) and the HARDEST negative (highest
+    cosine < t_pos) — hard negatives, not random ones, are what make
+    a contrastive batch informative, and the hardest ones live
+    exactly in the LSH candidate set (similar enough to collide in a
+    band, below the positive threshold).
+
+    Both roles come from ONE SRP candidate pass (threshold=-1 keeps
+    every verified candidate with its cosine): each undirected
+    candidate pair serves both members as anchors, then two
+    row_number windows per anchor pick best-positive and
+    hardest-negative with (cosine desc, id asc) determinism. Anchors
+    missing either role are dropped (inner join) — a triplet needs
+    both sides.
+
+    Scale shape: everything up to the windows is srp_near_dup_pairs
+    (zero-shuffle signature, band-keyed join, one distinct
+    exchange); the union doubles candidate rows, the two windows
+    share one anchor-keyed exchange, and the final join is
+    anchor-keyed on two already-partitioned sides. No all-pairs
+    anywhere.
+
+    Output: (anchor_id, pos_id, pos_cos, neg_id, neg_cos).
+    """
+    from pyspark.sql.window import Window
+
+    cand = srp_near_dup_pairs(
+        emb,
+        threshold=-1.0,
+        n_bits=n_bits,
+        bands=bands,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    both = cand.select(
+        F.col("vec_a").alias("anchor_id"),
+        F.col("vec_b").alias("other_id"),
+        "cosine",
+    ).unionByName(
+        cand.select(
+            F.col("vec_b").alias("anchor_id"),
+            F.col("vec_a").alias("other_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("other_id")
+    )
+    pos = (
+        both.filter(F.col("cosine") >= t_pos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        both.filter(F.col("cosine") < t_pos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id")
+
+
 def _sqdist_to_lit(vec: Column, cent: list[float]) -> Column:
     """Squared euclidean distance from an array column to a Python
     centroid, rounded to 5 decimals (same cross-engine FP discipline
@@ -881,6 +1136,7 @@ def pq_encode(
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Encode every vector as m small codes (argmin centroid per
     subspace — same round-5 + index tie-break as kmeans_fit) and
@@ -905,10 +1161,12 @@ def pq_encode(
             *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
         )
         recon_parts.append(F.element_at(book_lit, code + 1))
+    keep = [F.col(vec_col)] if keep_vec else []
     return emb.select(
         id_col,
         *code_cols,
         F.concat(*recon_parts).alias("recon"),
+        *keep,
     )
 
 

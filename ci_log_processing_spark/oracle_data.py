@@ -2559,6 +2559,136 @@ WHERE {cos} >= {threshold}
 """
 
 
+def q_ivfpq_ann(
+    k_coarse: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_queries: int = 5,
+    topk: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = None,
+) -> str:
+    """ivfpq_ann_topk twin (operators/similarity.py): the shared
+    unrolled k-medians chain supplies BOTH the coarse inverted-list
+    assignment (`final`) and the query probe ranking
+    (`cent_{n_iter}`); the per-subspace PQ chains supply the
+    reconstruction; ADC ranks only rows whose list id is among the
+    query's nprobe nearest, with the same round-5 + id tie-break
+    discipline at every ranking step; rerank=R re-ranks the ADC
+    shortlist by exact distance."""
+    d_sub = dim // m
+    pq_chains = ",".join(
+        _pq_subspace_ctes(j, j * d_sub + 1, (j + 1) * d_sub, k_codes, n_iter)
+        for j in range(m)
+    )
+    recon = " || ".join(f"f{j}.centroid" for j in range(m))
+    pq_joins = "".join(
+        f" JOIN fin_{j} f{j} USING (vec_id)" for j in range(1, m)
+    )
+    cdist = (
+        "round(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (q.qe[i] - c.centroid[i]) * (q.qe[i] - c.centroid[i]))), 5)"
+    ).format(d=dim)
+    head = f"""{_kmeans_ctes(k_coarse, n_iter)},
+{pq_chains.lstrip()},
+recon AS (
+  SELECT f0.vec_id, {recon} AS recon
+  FROM fin_0 f0{pq_joins}
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {n_queries}
+),
+probe_all AS (
+  SELECT q.query_id, q.qe, c.bkt,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cdist} ASC, c.bkt ASC) AS rnk
+  FROM q, cent_{n_iter} c
+),
+probe AS (SELECT query_id, qe, bkt FROM probe_all WHERE rnk <= {nprobe}),
+corpus AS (
+  SELECT f.vec_id, f.bkt, r.recon, e.emb AS ne
+  FROM final f JOIN recon r USING (vec_id) JOIN e USING (vec_id)
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, {dim} + 1),
+           i -> (p.qe[i] - c.recon[i]) * (p.qe[i] - c.recon[i]))), 5)
+           AS adc_dist,
+         c.ne, p.qe
+  FROM corpus c JOIN probe p ON c.bkt = p.bkt AND c.vec_id <> p.query_id
+),
+rnk AS (
+  SELECT query_id, neighbor_id, adc_dist, ne, qe,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)"""
+    if rerank is None:
+        return (
+            head
+            + f"""
+SELECT query_id, neighbor_id, adc_dist, rank FROM rnk
+WHERE rank <= {topk}
+"""
+        )
+    return (
+        head
+        + f""",
+cand AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(range(1, {dim} + 1),
+           i -> (qe[i] - ne[i]) * (qe[i] - ne[i]))), 5) AS exact_dist
+  FROM rnk WHERE rank <= {rerank}
+),
+rnk2 AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY exact_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, exact_dist, rank FROM rnk2 WHERE rank <= {topk}
+"""
+    )
+
+
+def q_contrastive_triplets(
+    t_pos: float = 0.35,
+    n_bits: int = 24,
+    bands: int = 8,
+    dim: int = 64,
+) -> str:
+    """contrastive_triplets twin (operators/similarity.py): the full
+    SRP candidate set (threshold -1 keeps every band collision with
+    its cosine) serves both pair members as anchors; per anchor the
+    best positive (cosine >= t_pos) and hardest negative (< t_pos)
+    are picked by (cosine DESC, id ASC) row_number; anchors missing
+    either role drop out via the inner join."""
+    return f"""
+WITH nd AS ({q_srp_near_dup(-1.0, n_bits, bands, dim)}),
+both_roles AS (
+  SELECT vec_a AS anchor_id, vec_b AS other_id, cosine FROM nd
+  UNION ALL
+  SELECT vec_b AS anchor_id, vec_a AS other_id, cosine FROM nd
+),
+pos AS (
+  SELECT anchor_id, other_id AS pos_id, cosine AS pos_cos,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, other_id ASC) AS rnk
+  FROM both_roles WHERE cosine >= {t_pos}
+),
+neg AS (
+  SELECT anchor_id, other_id AS neg_id, cosine AS neg_cos,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, other_id ASC) AS rnk
+  FROM both_roles WHERE cosine < {t_pos}
+)
+SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+WHERE p.rnk = 1 AND n.rnk = 1
+"""
+
+
 def _pq_subspace_ctes(j: int, lo: int, hi: int, k: int, n_iter: int) -> str:
     """One subspace's unrolled k-medians chain for the PQ twin —
     the _kmeans_ctes recipe over a 1-based inclusive list slice of

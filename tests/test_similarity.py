@@ -412,3 +412,94 @@ def test_srp_capped_subset_and_divisibility(spark, emb):
 
     with pytest.raises(ValueError, match="must divide"):
         srp_near_dup_pairs(emb, bands=5, n_bits=16)
+
+
+def test_contrastive_triplets_invariants(spark, emb):
+    """Triplets (contrastive_triplets): pos_cos >= t_pos > neg_cos,
+    per-anchor uniqueness, determinism, and agreement with a pure-
+    Python reduction of the same SRP candidate set (best positive /
+    hardest negative by (cosine desc, id asc))."""
+    from ci_log_processing_spark.operators.similarity import (
+        contrastive_triplets,
+        srp_near_dup_pairs,
+    )
+
+    t_pos = 0.35
+    out = contrastive_triplets(emb, t_pos=t_pos).collect()
+    assert out, "no triplets mined at sf0.001"
+    anchors = [r["anchor_id"] for r in out]
+    assert len(anchors) == len(set(anchors))
+    for r in out:
+        assert r["pos_cos"] >= t_pos
+        assert r["neg_cos"] < t_pos
+        assert r["anchor_id"] not in (r["pos_id"], r["neg_id"])
+
+    # pure-Python reference over the identical candidate set
+    cand = srp_near_dup_pairs(emb, threshold=-1.0).collect()
+    roles = {}
+    for r in cand:
+        for a, o in ((r["vec_a"], r["vec_b"]), (r["vec_b"], r["vec_a"])):
+            roles.setdefault(a, []).append((r["cosine"], o))
+    expect = {}
+    for a, lst in roles.items():
+        pos = sorted(
+            [(c, o) for c, o in lst if c >= t_pos],
+            key=lambda x: (-x[0], x[1]),
+        )
+        neg = sorted(
+            [(c, o) for c, o in lst if c < t_pos],
+            key=lambda x: (-x[0], x[1]),
+        )
+        if pos and neg:
+            expect[a] = (pos[0][1], pos[0][0], neg[0][1], neg[0][0])
+    got = {
+        r["anchor_id"]: (r["pos_id"], r["pos_cos"], r["neg_id"], r["neg_cos"])
+        for r in out
+    }
+    assert got == expect
+
+    again = {
+        r["anchor_id"]: (r["pos_id"], r["pos_cos"], r["neg_id"], r["neg_cos"])
+        for r in contrastive_triplets(emb, t_pos=t_pos).collect()
+    }
+    assert got == again
+
+
+def test_ivfpq_recall_dials_and_exhaustive_limit(spark, emb):
+    """IVF+PQ composed ANN (ivfpq_ann_topk): recall rises with both
+    dials (nprobe widens the probed lists, rerank deepens the exact
+    re-rank), and at nprobe=k_coarse with rerank=corpus the result
+    recovers the exact answer (recall 1.0) — the composition
+    degrades gracefully to brute force."""
+    from ci_log_processing_spark.operators.similarity import (
+        ivfpq_ann_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df_rows):
+        per = {}
+        for r in df_rows:
+            per.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert all(len(v) == 10 for v in per.values())
+        return sum(len(per[k_] & truth[k_]) for k_ in truth) / 30
+
+    kw = dict(k=10, k_coarse=8, m=4, k_codes=8, n_iter=2)
+    rows = ivfpq_ann_topk(emb, q, nprobe=2, rerank=50, **kw).collect()
+    r_base = recall(rows)
+    # exact re-rank must beat pure ADC at the same probe budget
+    r_adc = recall(ivfpq_ann_topk(emb, q, nprobe=2, **kw).collect())
+    assert r_base > r_adc
+    # probing every list + re-ranking every candidate IS brute force
+    r_full = recall(
+        ivfpq_ann_topk(emb, q, nprobe=8, rerank=499, **kw).collect()
+    )
+    assert r_full == 1.0
+
+    again = ivfpq_ann_topk(emb, q, nprobe=2, rerank=50, **kw).collect()
+    key = lambda rs: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rs}
+    assert key(rows) == key(again)
