@@ -1568,6 +1568,16 @@ def q_perplexity_buckets(spark, sf_dir):
     return perplexity_buckets(_docs(spark, sf_dir), n_buckets=3)
 
 
+def q_data_card(spark, sf_dir):
+    """Per-source corpus data card (operators/curation.py data_card):
+    one corpus scan -> volume, token mass, exact p50 length, round-5
+    mean quality, exact-dup doc fraction, modal language per
+    source."""
+    from ci_log_processing_spark.operators.curation import data_card
+
+    return data_card(_docs(spark, sf_dir))
+
+
 def q_stratified_downsample(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import (
         stratified_downsample,
@@ -2378,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_conv_select": q_conv_select,
             "cur_context_windows": q_context_windows,
             "cur_stratified_downsample": q_stratified_downsample,
+            "cur_data_card": q_data_card,
             "cur_source_caps": q_source_caps,
             "cur_length_quantiles": q_length_quantiles,
             "cur_token_histogram": q_token_histogram,
@@ -2595,6 +2606,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_conv_select": oracle.q_conversation_select(5, 0.2, 1),
             "cur_context_windows": oracle.q_context_windows(4),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
+            "cur_data_card": od.q_data_card(),
             "cur_source_caps": od.q_source_caps(40),
             "cur_length_quantiles": od.q_length_quantiles(),
             "cur_token_histogram": od.q_token_histogram(16),

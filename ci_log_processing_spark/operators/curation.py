@@ -1633,3 +1633,78 @@ def fuzzy_decontaminate(
             ),
         )
     )
+
+
+def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus DATA CARD — the one-pass summary a corpus
+    steward publishes next to a training mix (per source: volume,
+    token mass, median length, mean heuristic quality, exact-dup
+    rate, dominant language). One row per source.
+
+    Scale shape: the per-doc projection (quality + token count +
+    md5) is a zero-shuffle chain on ONE corpus scan feeding three
+    partial+final aggregates — the main (source) rollup, the
+    (source, md5) dup count collapsed to a source-keyed sum, and the
+    (source, lang) mode with a window over the tiny per-source lang
+    table. The three per-source results (rows = #sources, driver-
+    tiny) broadcast-join at the end. Nothing corpus-sized crosses an
+    exchange except the three grouped partials, all map-side
+    combinable.
+
+    Float discipline: mean_quality is round-5 of an avg over
+    round-6 per-doc scores (same absorb-the-ulp policy as
+    cosine_col); p50_tokens is an exact interpolated percentile over
+    ints (deterministic in both engines); dup_doc_frac divides two
+    exact ints, round-5.
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import quality_scores
+
+    base = quality_scores(
+        docs, text_col=text_col, keep_cols=("source", "lang")
+    )
+    main = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.round(F.avg("quality"), 5).alias("mean_quality"),
+    )
+    dup = (
+        docs.select("source", F.md5(F.col(text_col)).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("dup_docs")
+        )
+    )
+    lang_rank = Window.partitionBy("source").orderBy(
+        F.desc("lc"), F.asc("lang")
+    )
+    top_lang = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("lc"))
+        .withColumn("r", F.row_number().over(lang_rank))
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        main.join(F.broadcast(dup), "source")
+        .join(F.broadcast(top_lang), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "p50_tokens",
+            "mean_quality",
+            F.round(
+                F.col("dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                5,
+            ).alias("dup_doc_frac"),
+            "top_lang",
+        )
+    )

@@ -2559,6 +2559,57 @@ WHERE {cos} >= {threshold}
 """
 
 
+def q_data_card() -> str:
+    """data_card twin (operators/curation.py): the q_quality per-doc
+    score chain with source/lang carried, rolled up per source —
+    count, token sum, exact interpolated p50 (quantile_cont), round-5
+    mean quality, exact-dup doc fraction via a (source, md5) count,
+    and the modal language with (count desc, lang asc) tie-break."""
+    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    return f"""
+WITH perdoc AS (
+  SELECT source, lang, md5(text) AS h,
+    len({_TOKS}) AS n_tokens,
+    round(0.4 * least(
+            round({stop_filter} /
+                  greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6) * 4,
+            1.0)
+          + 0.3 * round(least(len({_TOKS}) / 64.0, 1.0), 6)
+          + 0.3 * (1.0 - round(
+              len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+              greatest(CAST(length(text) AS DOUBLE), 1.0), 6)), 6)
+      AS quality
+  FROM documents
+),
+main AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         quantile_cont(n_tokens, 0.5) AS p50_tokens,
+         round(avg(quality), 5) AS mean_quality
+  FROM perdoc GROUP BY 1
+),
+grp AS (SELECT source, h, count(*) AS cnt FROM perdoc GROUP BY 1, 2),
+dup AS (
+  SELECT source,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_docs
+  FROM grp GROUP BY 1
+),
+lc AS (SELECT source, lang, count(*) AS n FROM perdoc GROUP BY 1, 2),
+toplang AS (
+  SELECT source, lang AS top_lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang ASC) AS r
+  FROM lc
+)
+SELECT m.source, m.n_docs, m.total_tokens, m.p50_tokens,
+       m.mean_quality,
+       round(CAST(d.dup_docs AS DOUBLE) / m.n_docs, 5) AS dup_doc_frac,
+       t.top_lang
+FROM main m JOIN dup d USING (source)
+JOIN toplang t ON t.source = m.source AND t.r = 1
+"""
+
+
 def q_ivfpq_ann(
     k_coarse: int = 8,
     m: int = 4,

@@ -558,3 +558,30 @@ def test_fuzzy_decontaminate_rejects_bad_threshold(spark):
 
     with pytest.raises(ValueError):
         fuzzy_decontaminate(docs, docs, threshold=0.0)
+
+
+def test_data_card_matches_pandas(spark):
+    """data_card: per-source volume/dup/mode facts re-derived with
+    plain pandas on the collected corpus must match exactly."""
+    import os as _os
+
+    from ci_log_processing_spark.operators.curation import data_card
+
+    docs = spark.read.parquet(
+        _os.path.join("/root/testdata/sf0.001", "documents.parquet")
+    )
+    card = {r["source"]: r.asDict() for r in data_card(docs).collect()}
+    pdf = docs.select("doc_id", "source", "lang", "text").toPandas()
+    assert set(card) == set(pdf["source"].unique())
+    for src, g in pdf.groupby("source"):
+        row = card[src]
+        assert row["n_docs"] == len(g)
+        dup = g["text"].map(g["text"].value_counts()).gt(1).sum()
+        assert row["dup_doc_frac"] == round(dup / len(g), 5)
+        lc = g.groupby("lang").size()
+        top = sorted(lc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert row["top_lang"] == top
+        toks = g["text"].str.split().str.len()
+        assert row["total_tokens"] == int(toks.sum())
+        assert row["p50_tokens"] == float(toks.median())
+        assert 0.0 <= row["mean_quality"] <= 1.0

@@ -338,6 +338,95 @@ def main():
                     .count()
                 ),
             )
+        # embedding tier (round 4): only when explicitly requested via
+        # ops_csv, so the long-standing document-tier legs stay
+        # comparable run-to-run. Vectors are synthesized JVM-side —
+        # 64-dim, ~4096 soft clusters (sin of a hashed label) plus
+        # hashed per-element noise — and materialized to tmpfs parquet
+        # so generation never contaminates the timings. n_vecs = the
+        # n_docs argument.
+        EMBED_OPS = {"pq_fit_encode", "srp_pairs", "ivfpq_query"}
+        if only is not None and only & EMBED_OPS:
+            from ci_log_processing_spark.operators.similarity import (
+                ivfpq_ann_topk,
+                pq_codebooks,
+                pq_encode,
+                srp_near_dup_pairs,
+            )
+
+            dim = 64
+            lbl = F.pmod(F.xxhash64(F.col("id")), F.lit(4096))
+            vec = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    F.sin(lbl.cast("double") * 0.131 + i.cast("double") * 1.7)
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("id"), i), F.lit(1000)
+                        ).cast("double")
+                        / 1000.0
+                        - 0.5
+                    )
+                    * 0.25
+                ).cast("float"),
+            )
+            emb_path = os.path.join(work, "emb")
+            (
+                spark.range(n_docs)
+                .select(
+                    F.col("id").alias("vec_id"), vec.alias("embedding")
+                )
+                .write.mode("overwrite")
+                .parquet(emb_path)
+            )
+            emb = spark.read.parquet(emb_path)
+            stats["n_vecs"] = emb.count()  # warm the scan
+
+            def _pq():
+                books = pq_codebooks(emb, m=4, k=8, n_iter=1)
+                return (
+                    pq_encode(emb, books)
+                    .select(
+                        F.bit_xor(F.xxhash64("vec_id", "c0", "c1", "c2", "c3"))
+                    )
+                    .collect()
+                )
+
+            t("pq_fit_encode", _pq, warmup=True)
+            # wide 8-bit band keys + a tight cap: at n >= 10^5 the
+            # 3-bit gate-default keys would make every cell huge; the
+            # cap bounds pair volume at ~n_keyed x cap/2 (linear in n)
+            t(
+                "srp_pairs",
+                lambda: stats.update(
+                    n_srp_pairs=srp_near_dup_pairs(
+                        emb,
+                        threshold=0.9,
+                        n_bits=64,
+                        bands=8,
+                        bucket_cap=16,
+                    ).count()
+                ),
+                warmup=True,
+            )
+            t(
+                "ivfpq_query",
+                lambda: ivfpq_ann_topk(
+                    emb,
+                    emb.filter(F.col("vec_id") < 8),
+                    k=10,
+                    nprobe=2,
+                    k_coarse=8,
+                    m=4,
+                    k_codes=8,
+                    n_iter=1,
+                    rerank=50,
+                )
+                .select(F.bit_xor(F.xxhash64("query_id", "neighbor_id")))
+                .collect(),
+                warmup=True,
+            )
+
         spark.catalog.clearCache()  # drop pairs + operator persists
         with open(summary, "w") as f:
             json.dump(
