@@ -403,13 +403,23 @@ def srp_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    keyed = sig.select(
-        "vec_id", "embedding", F.explode(band_structs).alias("bk")
-    ).select(
-        F.col("bk.band").alias("band"),
-        F.col("bk.key").alias("key"),
-        "vec_id",
-        "embedding",
+    from .dedup import _register_persist
+
+    # the keyed table feeds BOTH self-join sides (and the cell-size
+    # aggregate when capped) — without a persist the 64-fold
+    # signature projection recomputes per consumer (measured: the
+    # srp_pairs scaling leg ran it 3x). Registered in the dedup
+    # persist registry; the gate wrapper and bench release it via
+    # release_persisted() after the result is consumed.
+    keyed = _register_persist(
+        sig.select(
+            "vec_id", "embedding", F.explode(band_structs).alias("bk")
+        ).select(
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+            "vec_id",
+            "embedding",
+        )
     )
     if bucket_cap is not None:
         from .dedup import h32

@@ -396,19 +396,18 @@ def main():
             # wide 8-bit band keys + a tight cap: at n >= 10^5 the
             # 3-bit gate-default keys would make every cell huge; the
             # cap bounds pair volume at ~n_keyed x cap/2 (linear in n)
-            t(
-                "srp_pairs",
-                lambda: stats.update(
-                    n_srp_pairs=srp_near_dup_pairs(
-                        emb,
-                        threshold=0.9,
-                        n_bits=64,
-                        bands=8,
-                        bucket_cap=16,
-                    ).count()
-                ),
-                warmup=True,
-            )
+            def _srp():
+                n = srp_near_dup_pairs(
+                    emb,
+                    threshold=0.9,
+                    n_bits=64,
+                    bands=8,
+                    bucket_cap=16,
+                ).count()
+                stats["n_srp_pairs"] = n
+                _dedup.release_persisted()  # free the keyed cache
+
+            t("srp_pairs", _srp, warmup=True)
             t(
                 "ivfpq_query",
                 lambda: ivfpq_ann_topk(
