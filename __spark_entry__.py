@@ -1925,6 +1925,44 @@ def q_turn_transitions(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-merge training (operators/tokenizer.py
+    bpe_merges, Sennrich et al. 2016): ONE corpus-sized word-freq
+    aggregate, then 8 merge rounds over the vocabulary-sized word
+    table (pair count -> deterministic argmax -> boundary-framed
+    literal replace). All-integer; the oracle unrolls the same 8
+    rounds as CTEs — hash-exact."""
+    from ci_log_processing_spark.operators.tokenizer import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=8)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-doc token counts under the learned BPE vocab
+    (operators/tokenizer.py bpe_token_counts): encoding is
+    explode(words) ⋈ trained word table + one doc-keyed sum — the
+    merge loop never touches the corpus twice."""
+    from ci_log_processing_spark.operators.tokenizer import (
+        bpe_token_counts,
+    )
+
+    return bpe_token_counts(_docs(spark, sf_dir), n_merges=8)
+
+
+def q_tool_pagerank(spark, sf_dir):
+    """Weighted PageRank over the tool→next-tool transition graph
+    (operators/toolgraph.py): corpus-sized edge extraction inside
+    the existing conv_id partitioning; model-sized (≤ n_tools²)
+    integer power iteration. flow divides before the edge multiply
+    so the in-edge sum is order-independent int64 — hash-exact vs
+    the unrolled 5-round SQL twin."""
+    from ci_log_processing_spark.operators.toolgraph import (
+        tool_pagerank,
+    )
+
+    return tool_pagerank(_routed(spark, sf_dir), n_iter=5)
+
+
 def q_cms_tokens(spark, sf_dir):
     """Count-min-sketch token frequency estimates for the exact
     top-20 tokens (operators/curation.py cms_token_counts) — the
@@ -2208,21 +2246,24 @@ _VERIFY_FIRST = (
     # Round-4 rotation: the 12 queries below with no driver row yet,
     # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
     # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 28 late-round-4 additions (cur_bloom_decontaminate,
+    # The 39 late-round-4 additions (cur_bloom_decontaminate,
     # cur_cms_tokens, cur_context_windows, cur_conv_select,
-    # cur_curriculum_order, cur_decontaminate_spans, cur_dsir_sample,
-    # cur_dsir_weights, cur_full_curation_v4, cur_full_curation_v5,
-    # cur_fuzzy_decontaminate, cur_leakage_split,
+    # cur_contrastive_triplets, cur_curriculum_order, cur_data_card,
+    # cur_decontaminate_spans, cur_dsir_sample, cur_dsir_weights,
+    # cur_full_curation_v4, cur_full_curation_v5,
+    # cur_fuzzy_decontaminate, cur_gopher_funnel, cur_leakage_split,
     # cur_perplexity_buckets, cur_priority_sample,
-    # cur_temperature_mixture, pipe_agent_loops, pipe_conv_funnel,
+    # cur_temperature_mixture, dedup_embedding_srp,
+    # dedup_embedding_srp_capped, pipe_agent_loops, pipe_conv_funnel,
     # pipe_latency_hdr, pipe_tool_health, pipe_tool_latency,
-    # pipe_tool_outcomes, pipe_turn_transitions, sim_ann_pq,
-    # sim_ann_ivfpq, dedup_embedding_srp, dedup_embedding_srp_capped,
-    # cur_contrastive_triplets, sim_embed_diversity,
+    # pipe_tool_outcomes, pipe_tool_pagerank, pipe_turn_transitions,
+    # sim_ann_ivfpq, sim_ann_pq, sim_embed_diversity,
     # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
-    # stream_latency_hdr, text_bigram_logprob) do not fit the 50-query
-    # budget; they are local-gate green (tools/check_correctness.py,
-    # 128/128) and go FIRST in round 5's rotation.
+    # stream_latency_hdr, text_bigram_logprob, text_bpe_merges,
+    # text_bpe_token_counts, text_gopher_rules) do not fit the
+    # 50-query budget; they are local-gate green
+    # (tools/check_correctness.py, 139/139) and go FIRST in round 5's
+    # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
     "pipe_latency_pctl",
@@ -2406,6 +2447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_repetition_arrow": q_repetition_arrow,
             "cur_url_dedup": q_url_dedup,
             "text_entropy": q_token_entropy,
+            "text_bpe_merges": q_bpe_merges,
+            "text_bpe_token_counts": q_bpe_token_counts,
+            "pipe_tool_pagerank": q_tool_pagerank,
             "text_unigram_logprob": q_text_unigram,
             "text_bigram_logprob": q_text_bigram,
             "cur_leakage_split": q_leakage_split,
@@ -2489,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipe_latency_hdr": oracle.q_hdr_latency(sub_bits=4),
         "pipe_tool_health": oracle.q_tool_health(),
+        "pipe_tool_pagerank": oracle.q_tool_pagerank(5),
         "pipe_conv_funnel": oracle.q_conv_funnel(),
         "pipe_turn_transitions": oracle.q_turn_transitions(
             state_col="role", sink=None
@@ -2640,6 +2685,8 @@ def oracle_sql() -> dict[str, str]:
             "text_repetition_arrow": od.q_repetition(),
             "cur_url_dedup": od.q_url_dedup(),
             "text_entropy": od.q_token_entropy(),
+            "text_bpe_merges": od.q_bpe_merges(8),
+            "text_bpe_token_counts": od.q_bpe_token_counts(8),
             "text_unigram_logprob": od.q_unigram_logprob(),
             "text_bigram_logprob": od.q_bigram_logprob(),
             "cur_leakage_split": od.q_leakage_safe_split(),

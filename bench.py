@@ -436,6 +436,23 @@ def main():
             ["doc_id", "dsir_bits", "global_idx", "shard"],
         ),
     )
+    # late round-4: BPE tokenizer training (vocabulary-sized merge
+    # loop after one corpus pass) and tool-graph PageRank (edge
+    # extraction is the corpus-sized part)
+    bench(
+        "text_bpe_train",
+        lambda: checksum(
+            entrymod.q_bpe_token_counts(spark, sf_dir),
+            ["doc_id", "n_bpe_tokens"],
+        ),
+    )
+    bench(
+        "pipe_tool_pagerank",
+        lambda: checksum(
+            entrymod.q_tool_pagerank(spark, sf_dir),
+            ["tool", "pagerank_scaled"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and

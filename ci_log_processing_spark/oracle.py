@@ -1034,3 +1034,61 @@ SELECT conv_id, turn_idx,
        message AS target
 FROM w WHERE role = 'assistant'
 """
+
+
+def q_tool_pagerank(n_iter: int = 5, damping_pct: int = 85) -> str:
+    """tool_pagerank twin (operators/toolgraph.py): the same edge
+    extraction (lag over conv order on tool turns), then the SAME
+    integer power iteration unrolled as n_iter CTE rounds. flow =
+    (d * pr) // (100 * out_w) divides BEFORE the edge multiply, so
+    every intermediate fits BIGINT and the in-edge sum is
+    order-independent — hash-exact vs Spark with no float anywhere
+    except the final single division by SCALE (exact: pr < 2^53)."""
+    base_pct = 100 - damping_pct
+    sql = pipeline_cte() + """,
+calls AS (
+  SELECT conv_id, turn_idx, tool FROM routed WHERE tool IS NOT NULL
+),
+tpairs AS (
+  SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS src, tool AS dst
+  FROM calls
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM tpairs WHERE src IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT tool FROM (
+    SELECT src AS tool FROM edges UNION SELECT dst FROM edges)
+),
+outw AS (SELECT src, CAST(sum(n) AS BIGINT) AS w FROM edges GROUP BY 1),
+consts AS (
+  SELECT init, CAST((%(b)d * init) // 100 AS BIGINT) AS base FROM (
+    SELECT CAST(1000000000000 // (SELECT count(*) FROM nodes)
+                AS BIGINT) AS init)
+),
+pr0 AS (
+  SELECT tool, (SELECT init FROM consts) AS pr FROM nodes
+)""" % {"b": base_pct}
+    for k in range(n_iter):
+        sql += """,
+pr%(k1)d AS (
+  SELECT nd.tool,
+         CAST((SELECT base FROM consts) + COALESCE(s.c, 0)
+              AS BIGINT) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS tool,
+           CAST(sum(((%(d)d * r.pr) // (100 * o.w)) * e.n)
+                AS BIGINT) AS c
+    FROM edges e
+    JOIN pr%(k)d r ON r.tool = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY 1
+  ) s USING (tool)
+)""" % {"k": k, "k1": k + 1, "d": damping_pct}
+    sql += f"""
+SELECT tool, pr AS pagerank_scaled, pr / 1000000000000.0 AS pagerank
+FROM pr{n_iter}
+"""
+    return sql

@@ -2876,3 +2876,88 @@ rnk2 AS (
 SELECT query_id, neighbor_id, exact_dist, rank FROM rnk2 WHERE rank <= {topk}
 """
     )
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """Shared UNROLLED BPE training chain (operators/tokenizer.py
+    bpe_train_words twin): one (word, freq) aggregate, then n_merges
+    rounds of pair-count -> deterministic argmax -> boundary-framed
+    literal replace. The \x01\x01 double-separator framing makes the
+    single-pass L2R `replace` boundary-safe without lookarounds
+    (RE2-less DuckDB and Spark's literal replace agree bytewise).
+    Ends with CTEs syms{n_merges} and best0..best{n_merges-1}."""
+    chain = """
+WITH words0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' AND NOT contains(word, chr(1)) GROUP BY 1
+),
+syms0 AS (
+  SELECT word, freq,
+         chr(1) || chr(1) ||
+         array_to_string(
+           list_append(
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, CAST(i AS INT), 1)),
+             '</w>'),
+           chr(1) || chr(1)) || chr(1) || chr(1) AS s
+  FROM words0
+)"""
+    for k in range(n_merges):
+        chain += f""",
+lst{k} AS (
+  SELECT freq, list_filter(string_split(s, chr(1) || chr(1)),
+                           x -> x <> '') AS syms
+  FROM syms{k}
+),
+pairs{k} AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS f FROM (
+    SELECT syms[CAST(u.i AS INT)] AS a,
+           syms[CAST(u.i AS INT) + 1] AS b, freq
+    FROM lst{k}, UNNEST(range(1, len(syms))) AS u(i)
+  ) GROUP BY 1, 2
+),
+best{k} AS (SELECT a, b, f FROM pairs{k} ORDER BY f DESC, a, b LIMIT 1),
+syms{k + 1} AS (
+  SELECT word, freq,
+         replace(s, chr(1) || b.a || chr(1) || chr(1) || b.b || chr(1),
+                 chr(1) || b.a || b.b || chr(1)) AS s
+  FROM syms{k}, best{k} b
+)"""
+    return chain
+
+
+def q_bpe_merges(n_merges: int = 8) -> str:
+    """bpe_merges twin: the n_merges learned merge rows."""
+    selects = "\nUNION ALL ".join(
+        f"SELECT {k + 1} AS merge_rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged, f AS pair_freq FROM best{k}"
+        for k in range(n_merges)
+    )
+    return _bpe_cte_chain(n_merges) + f"""
+SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, merged,
+       pair_freq
+FROM ({selects})
+"""
+
+
+def q_bpe_token_counts(n_merges: int = 8) -> str:
+    """bpe_token_counts twin: re-run the training chain, count final
+    symbols per word, explode the corpus and sum per doc."""
+    return _bpe_cte_chain(n_merges) + f""",
+per_word AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, chr(1) || chr(1)),
+                              x -> x <> '')) AS BIGINT)
+           AS n_word_tokens
+  FROM syms{n_merges}
+),
+exploded AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST(sum(n_word_tokens) AS BIGINT) AS n_bpe_tokens
+FROM exploded JOIN per_word USING (word)
+WHERE word <> '' AND NOT contains(word, chr(1))
+GROUP BY doc_id
+"""

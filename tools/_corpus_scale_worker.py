@@ -196,6 +196,18 @@ def main():
             return r
 
         t("shuffle_index", _shuffle_index, warmup=True)
+
+        def _bpe():
+            from ci_log_processing_spark.operators.tokenizer import (
+                bpe_merges,
+            )
+
+            assert bpe_merges(corpus, n_merges=8).count() == 8
+            _dedup.release_persisted()  # free the word-freq cache
+
+        # BPE training: the corpus-sized word-freq pass dominates
+        # (the 8 merge rounds run over the ~400-word vocab table)
+        t("bpe_train", _bpe, warmup=True)
         # two-line docs: a 64-value header line (always corpus-hot)
         # plus the body (hot only inside planted duplicate groups)
         two_line = corpus.withColumn(
