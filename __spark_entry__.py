@@ -853,6 +853,30 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_token_budget_bpe(spark, sf_dir):
+    """Tokenizer-TRUE per-source token budget: per-doc counts under
+    the learned BPE vocabulary (operators/tokenizer.py
+    bpe_token_counts) feed token_budget_sample via its n_tok_col
+    hook, so the budget bounds what the model will actually see
+    rather than the whitespace proxy. Same plan shape as
+    cur_token_budget (one group-keyed running-sum exchange) plus the
+    encode join; docs with no countable word carry no count row and
+    drop out of the inner join on both engines."""
+    from ci_log_processing_spark.operators.curation import (
+        token_budget_sample,
+    )
+    from ci_log_processing_spark.operators.tokenizer import (
+        bpe_token_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    counts = bpe_token_counts(docs, n_merges=8)
+    with_counts = docs.select("doc_id", "source").join(counts, "doc_id")
+    return token_budget_sample(
+        with_counts, 3000, n_tok_col="n_bpe_tokens"
+    ).select("doc_id", "source", "n_tok", "cum_tok")
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide repeated-line removal over planted boilerplate
     (operators/textstats.py line_dedup)."""
@@ -2260,7 +2284,8 @@ _VERIFY_FIRST = (
     # sim_ann_ivfpq, sim_ann_pq, sim_embed_diversity,
     # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
     # stream_latency_hdr, text_bigram_logprob, text_bpe_merges,
-    # text_bpe_token_counts, text_gopher_rules) do not fit the
+    # text_bpe_token_counts, cur_token_budget_bpe,
+    # text_gopher_rules) do not fit the
     # 50-query budget; they are local-gate green
     # (tools/check_correctness.py, 139/139) and go FIRST in round 5's
     # rotation.
@@ -2412,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_lang_mixture": q_lang_mixture,
             "cur_quality_top_frac": q_quality_top_frac,
             "cur_token_budget": q_token_budget,
+            "cur_token_budget_bpe": q_token_budget_bpe,
             "cur_shuffle_index": q_shuffle_index,
             "text_line_dedup": q_line_dedup,
             "cur_decontaminate": q_decontaminate,
@@ -2626,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "cur_quality_top_frac": od.q_quality_top_frac(2, 5),
             "cur_token_budget": od.q_token_budget(4000),
+            "cur_token_budget_bpe": od.q_token_budget_bpe(3000, 8),
             "cur_shuffle_index": od.q_shuffle_index(100),
             "text_line_dedup": od.q_line_dedup(3),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),

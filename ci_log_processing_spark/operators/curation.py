@@ -550,6 +550,7 @@ def token_budget_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "mix1",
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """Token-BUDGET sampling: admit documents per group, in
     deterministic pseudo-random (md5, id) order, until the group's
@@ -564,11 +565,22 @@ def token_budget_sample(
     (md5, id) window <= budget. Deterministic, oracle-replayable.
 
     One running-sum window on the group key = ONE hash exchange.
+
+    `n_tok_col` swaps the built-in whitespace count for a
+    precomputed per-doc token count column — the hook that lets the
+    budget run on TOKENIZER-TRUE counts (operators/tokenizer.py
+    bpe_token_counts) instead of the whitespace proxy; a 1B-token
+    budget is a promise about what the model will see, so the count
+    should come from the model's tokenizer.
     """
     if budget_tokens < 0:
         raise ValueError("token_budget_sample: budget must be >= 0")
     rank_key = _seeded_key(seed, id_col)
-    n_tok = _n_tokens(text_col).cast("long")
+    n_tok = (
+        F.col(n_tok_col).cast("long")
+        if n_tok_col is not None
+        else _n_tokens(text_col).cast("long")
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy(rank_key, id_col)

@@ -2961,3 +2961,42 @@ FROM exploded JOIN per_word USING (word)
 WHERE word <> '' AND NOT contains(word, chr(1))
 GROUP BY doc_id
 """
+
+
+def q_token_budget_bpe(
+    budget: int, n_merges: int = 8, seed: str = "mix1"
+) -> str:
+    """token_budget_sample(n_tok_col=...) ∘ bpe_token_counts twin:
+    the per-source running-sum admission of q_token_budget, but the
+    per-doc count is the BPE-tokenizer-true symbol count from the
+    q_bpe_token_counts chain instead of the whitespace proxy. Docs
+    with no countable word (empty text) have no count row and are
+    excluded by the inner join — same on the Spark side."""
+    key = f"md5('{seed}' || CAST(doc_id AS VARCHAR))"
+    return _bpe_cte_chain(n_merges) + f""",
+per_word AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, chr(1) || chr(1)),
+                              x -> x <> '')) AS BIGINT)
+           AS n_word_tokens
+  FROM syms{n_merges}
+),
+exploded AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, CAST(sum(n_word_tokens) AS BIGINT) AS n_tok
+  FROM exploded JOIN per_word USING (word)
+  WHERE word <> '' AND NOT contains(word, chr(1))
+  GROUP BY doc_id
+)
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT doc_id, source, n_tok,
+    CAST(sum(n_tok) OVER (
+      PARTITION BY source ORDER BY {key}, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM documents JOIN counts USING (doc_id)
+)
+WHERE cum_tok <= {budget}
+"""

@@ -249,3 +249,26 @@ def test_token_budget_sample_running_sum(spark):
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
     # zero budget admits nothing
     assert token_budget_sample(docs, 0).count() == 0
+
+
+def test_token_budget_sample_precomputed_counts(spark):
+    """n_tok_col swaps the whitespace proxy for a precomputed
+    (tokenizer-true) per-doc count — admission must follow the
+    supplied column, not the text."""
+    from ci_log_processing_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    # text says 10 tokens each, the real tokenizer says 25 — with
+    # n_tok_col the budget of 45 admits only 1 doc, not 4
+    docs = spark.createDataFrame(
+        [(i, "s", "tok " * 9 + "tok", 25) for i in range(20)],
+        "doc_id long, source string, text string, n_real long",
+    )
+    out = token_budget_sample(docs, 45, n_tok_col="n_real").toPandas()
+    assert len(out) == 1
+    assert list(out["n_tok"]) == [25] and list(out["cum_tok"]) == [25]
+    # the admitted doc is the md5-order head — same doc the
+    # whitespace path admits first
+    ws = token_budget_sample(docs, 45).toPandas()
+    assert out["doc_id"].iloc[0] == ws.sort_values("cum_tok")["doc_id"].iloc[0]

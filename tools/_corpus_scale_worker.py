@@ -205,9 +205,40 @@ def main():
             assert bpe_merges(corpus, n_merges=8).count() == 8
             _dedup.release_persisted()  # free the word-freq cache
 
-        # BPE training: the corpus-sized word-freq pass dominates
-        # (the 8 merge rounds run over the ~400-word vocab table)
+        # BPE training end-to-end. NOTE: with this worker's fixed
+        # 400-word vocab the 8 merge rounds are a job-count latency
+        # floor (~16 fixed tiny jobs), so end-to-end 8->32 ratios at
+        # moderate n_docs measure the floor, not the engine — the
+        # corpus-sized component is isolated as bpe_wordfreq below
         t("bpe_train", _bpe, warmup=True)
+
+        def _bpe_wordfreq():
+            from ci_log_processing_spark.operators.tokenizer import (
+                word_freq,
+            )
+
+            word_freq(corpus).select(
+                F.bit_xor(F.xxhash64("word", "freq"))
+            ).collect()
+
+        # the corpus-sized pass of BPE training alone (explode +
+        # partial/final count — the top_ngrams shape)
+        t("bpe_wordfreq", _bpe_wordfreq, warmup=True)
+
+        def _bpe_encode():
+            from ci_log_processing_spark.operators.tokenizer import (
+                bpe_token_counts,
+            )
+
+            bpe_token_counts(corpus, n_merges=8).select(
+                F.bit_xor(F.xxhash64("doc_id", "n_bpe_tokens"))
+            ).collect()
+            _dedup.release_persisted()
+
+        # the OTHER corpus-sized BPE pass: encode = explode ⋈ trained
+        # word table + doc-keyed sum (feeds cur_token_budget_bpe's
+        # tokenizer-true budget)
+        t("bpe_encode", _bpe_encode, warmup=True)
         # two-line docs: a 64-value header line (always corpus-hot)
         # plus the body (hot only inside planted duplicate groups)
         two_line = corpus.withColumn(
