@@ -1973,6 +1973,18 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_bpe_token_counts_arrow(spark, sf_dir):
+    """Arrow closure-dict encode (operators/tokenizer.py
+    bpe_token_counts_arrow): the trained vocab ships to the workers
+    as the tokenizer-model dict — one zero-shuffle mapInPandas pass,
+    same oracle as the join variant."""
+    from ci_log_processing_spark.operators.tokenizer import (
+        bpe_token_counts_arrow,
+    )
+
+    return bpe_token_counts_arrow(_docs(spark, sf_dir), n_merges=8)
+
+
 def q_tool_pagerank(spark, sf_dir):
     """Weighted PageRank over the tool→next-tool transition graph
     (operators/toolgraph.py): corpus-sized edge extraction inside
@@ -2285,6 +2297,7 @@ _VERIFY_FIRST = (
     # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
     # stream_latency_hdr, text_bigram_logprob, text_bpe_merges,
     # text_bpe_token_counts, cur_token_budget_bpe,
+    # text_bpe_token_counts_arrow,
     # text_gopher_rules) do not fit the
     # 50-query budget; they are local-gate green
     # (tools/check_correctness.py, 139/139) and go FIRST in round 5's
@@ -2475,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_entropy": q_token_entropy,
             "text_bpe_merges": q_bpe_merges,
             "text_bpe_token_counts": q_bpe_token_counts,
+            "text_bpe_token_counts_arrow": q_bpe_token_counts_arrow,
             "pipe_tool_pagerank": q_tool_pagerank,
             "text_unigram_logprob": q_text_unigram,
             "text_bigram_logprob": q_text_bigram,
@@ -2714,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
             "text_entropy": od.q_token_entropy(),
             "text_bpe_merges": od.q_bpe_merges(8),
             "text_bpe_token_counts": od.q_bpe_token_counts(8),
+            "text_bpe_token_counts_arrow": od.q_bpe_token_counts(8),
             "text_unigram_logprob": od.q_unigram_logprob(),
             "text_bigram_logprob": od.q_bigram_logprob(),
             "cur_leakage_split": od.q_leakage_safe_split(),

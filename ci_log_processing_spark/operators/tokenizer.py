@@ -225,3 +225,58 @@ def bpe_token_counts(
         .groupBy("doc_id")
         .agg(F.sum("n_word_tokens").alias("n_bpe_tokens"))
     )
+
+
+def bpe_token_counts_arrow(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Arrow closure-dict variant of bpe_token_counts — the
+    hot-vocab-cache shape (BASELINE.md BPE-tier legs): the trained
+    per-word segment counts ship to the Python workers as a dict
+    (the tokenizer-MODEL artifact), so encoding is ONE zero-shuffle
+    mapInPandas pass — no explode, no join, no doc-keyed hash agg
+    probing an LLC-sized key space per exploded row.
+
+    Exact on a closed corpus: every countable corpus word is in the
+    trained word table by construction, so the dict is total and the
+    output equals bpe_token_counts row-for-row (a countable word
+    contributes >= 1 token, so `sum > 0` reproduces the join
+    variant's inner-join doc set). At open-web scale the dict holds
+    the Zipf-head vocabulary and tail words fall back to the join
+    variant — here there is no tail.
+
+    The vocab collect is model-sized (like kmeans_fit's centroids),
+    NOT corpus-sized: BPE's whole point is that the word table is
+    vocabulary-sized against a trillion-token corpus.
+    """
+    import pandas as pd
+
+    _, final_words = bpe_train_words(docs, n_merges, text_col)
+    rows = final_words.select(
+        "word",
+        F.size(
+            F.filter(
+                F.split(F.col("s"), SEP2), lambda x: x != F.lit("")
+            )
+        ).alias("n"),
+    ).collect()
+    lut = {r["word"]: r["n"] for r in rows}
+
+    def _count(text: str) -> int:
+        n = 0
+        for w in text.split(" "):
+            if w and SEP not in w:
+                n += lut.get(w, 0)
+        return n
+
+    def gen(batches):
+        for pdf in batches:
+            n = pdf[text_col].map(_count)
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bpe_tokens": n}
+            )
+            yield out[out["n_bpe_tokens"] > 0]
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "doc_id long, n_bpe_tokens long"
+    )

@@ -146,3 +146,40 @@ def test_bpe_merges_gate_shape(spark, docs):
     ]
     assert out.count() == 4
     release_persisted()
+
+
+def test_bpe_token_counts_arrow_matches_join_variant(spark, docs):
+    from ci_log_processing_spark.operators.tokenizer import (
+        bpe_token_counts_arrow,
+    )
+
+    join_side = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(docs, n_merges=4).collect()
+    }
+    release_persisted()
+    arrow_side = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts_arrow(docs, n_merges=4).collect()
+    }
+    release_persisted()
+    assert join_side == arrow_side
+
+
+def test_bpe_token_counts_arrow_drops_uncountable_docs(spark):
+    from ci_log_processing_spark.operators.tokenizer import (
+        bpe_token_counts_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "\x01bad"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts_arrow(docs, n_merges=1).collect()
+    }
+    release_persisted()
+    # docs 1 and 2 have no countable word — absent, like the join
+    # variant's inner join
+    assert set(out) == {0}

@@ -239,6 +239,21 @@ def main():
         # word table + doc-keyed sum (feeds cur_token_budget_bpe's
         # tokenizer-true budget)
         t("bpe_encode", _bpe_encode, warmup=True)
+
+        def _bpe_encode_arrow():
+            from ci_log_processing_spark.operators.tokenizer import (
+                bpe_token_counts_arrow,
+            )
+
+            bpe_token_counts_arrow(corpus, n_merges=8).select(
+                F.bit_xor(F.xxhash64("doc_id", "n_bpe_tokens"))
+            ).collect()
+            _dedup.release_persisted()
+
+        # hot-vocab closure-dict variant: one zero-shuffle Arrow
+        # pass, no explode / join / doc-keyed agg — the A/B for the
+        # bpe_encode watch item (BASELINE.md BPE-tier legs)
+        t("bpe_encode_arrow", _bpe_encode_arrow, warmup=True)
         # two-line docs: a 64-value header line (always corpus-hot)
         # plus the body (hot only inside planted duplicate groups)
         two_line = corpus.withColumn(
