@@ -447,6 +447,13 @@ def main():
         ),
     )
     bench(
+        "text_bpe_encode_arrow",
+        lambda: checksum(
+            entrymod.q_bpe_token_counts_arrow(spark, sf_dir),
+            ["doc_id", "n_bpe_tokens"],
+        ),
+    )
+    bench(
         "pipe_tool_pagerank",
         lambda: checksum(
             entrymod.q_tool_pagerank(spark, sf_dir),
