@@ -1242,6 +1242,36 @@ def q_context_windows(spark, sf_dir):
     return context_windows(_routed(spark, sf_dir), n_context=4)
 
 
+def q_preference_pairs(spark, sf_dir):
+    """Retry-repair preference-pair mining (operators/sft.py
+    preference_pairs): every failed tool call paired with the next
+    same-tool success in its conversation — transcript-native
+    DPO-pair construction over the routed pipeline."""
+    from ci_log_processing_spark.operators.sft import preference_pairs
+
+    return preference_pairs(_routed(spark, sf_dir))
+
+
+def q_softdedup_weights(spark, sf_dir):
+    """SoftDeDup duplicate reweighting (operators/curation.py
+    softdedup_weights): 1/cluster_size weights over the SAME
+    near-dup components the hard-dedup gate uses — soft dedup as a
+    composition of the existing pair->components operators."""
+    from ci_log_processing_spark.operators.curation import (
+        softdedup_weights,
+    )
+    from ci_log_processing_spark.operators.dedup import (
+        dedup_pair_edges,
+        duplicate_components,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = dedup_pair_edges(corpus, spark, threshold=0.6)
+    comps = duplicate_components(pairs, corpus.select("doc_id"))
+    return softdedup_weights(corpus, clusters=comps)
+
+
 def q_fuzzy_decontaminate(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import (
         fuzzy_decontaminate,
@@ -2297,10 +2327,10 @@ _VERIFY_FIRST = (
     # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
     # stream_latency_hdr, text_bigram_logprob, text_bpe_merges,
     # text_bpe_token_counts, cur_token_budget_bpe,
-    # text_bpe_token_counts_arrow,
-    # text_gopher_rules) do not fit the
+    # text_bpe_token_counts_arrow, text_gopher_rules,
+    # cur_preference_pairs, cur_softdedup_weights) do not fit the
     # 50-query budget; they are local-gate green
-    # (tools/check_correctness.py, 139/139) and go FIRST in round 5's
+    # (tools/check_correctness.py, 143/143) and go FIRST in round 5's
     # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
@@ -2467,6 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_fuzzy_decontaminate": q_fuzzy_decontaminate,
             "cur_conv_select": q_conv_select,
             "cur_context_windows": q_context_windows,
+            "cur_preference_pairs": q_preference_pairs,
+            "cur_softdedup_weights": q_softdedup_weights,
             "cur_stratified_downsample": q_stratified_downsample,
             "cur_data_card": q_data_card,
             "cur_source_caps": q_source_caps,
@@ -2691,6 +2723,8 @@ def oracle_sql() -> dict[str, str]:
             "cur_fuzzy_decontaminate": od.q_fuzzy_decontaminate(0.5),
             "cur_conv_select": oracle.q_conversation_select(5, 0.2, 1),
             "cur_context_windows": oracle.q_context_windows(4),
+            "cur_preference_pairs": oracle.q_preference_pairs(),
+            "cur_softdedup_weights": od.q_softdedup_weights(0.6),
             "cur_stratified_downsample": od.q_stratified_downsample(3),
             "cur_data_card": od.q_data_card(),
             "cur_source_caps": od.q_source_caps(40),

@@ -460,6 +460,13 @@ def main():
             ["tool", "pagerank_scaled"],
         ),
     )
+    bench(
+        "pipe_preference_pairs",
+        lambda: checksum(
+            entrymod.q_preference_pairs(spark, sf_dir),
+            ["conv_id", "rejected_idx", "chosen_idx", "gap_turns"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and

@@ -1720,3 +1720,77 @@ def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "top_lang",
         )
     )
+
+
+def softdedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup-style duplicate REWEIGHTING (He et al. 2024,
+    "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pre-training"): instead of dropping duplicates,
+    every document keeps weight 1/cluster_size — the cluster's total
+    sampling mass stays one document's worth, but the optimizer still
+    sees every surface form. Hard dedup is the weight-0-or-1 special
+    case; soft weights preserve long-tail phrasing diversity that
+    keep-first destroys, and the weighted token mass is what a
+    sampling-temperature or token-budget stage should consume
+    (token_budget_sample's n_tok_col hook accepts weighted_tokens
+    directly).
+
+    Two cluster notions, one operator:
+    * clusters=None — exact duplicates: cluster = md5(text), one
+      corpus-sized window exchange keyed on the hash.
+    * clusters=(doc_id, component) — NEAR-dup clusters from
+      duplicate_components / duplicate_components_star: one doc-keyed
+      equi-join (both sides doc_id — AQE broadcasts the cluster map
+      when the duplicate graph is sparse) + one component-keyed
+      window exchange, group size bounded by the largest duplicate
+      cluster (the LSH bucket caps upstream bound it).
+
+    weighted_tokens divides the raw count by cluster_n directly
+    (one long/long IEEE division, rounded at 5 like every fraction
+    in this module) instead of multiplying by the already-rounded
+    weight — no compounding of rounding error, bit-identical in both
+    engines.
+
+    Output: (doc_id, cluster_key, cluster_n, weight, n_tokens,
+    weighted_tokens); cluster_key is the md5 hash (exact mode) or
+    the component id rendered as string (cluster mode).
+    """
+    n_tok = _n_tokens(text_col).cast("long")
+    if clusters is None:
+        keyed = docs.select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("cluster_key"),
+            n_tok.alias("n_tokens"),
+        )
+    else:
+        keyed = docs.select(
+            F.col(id_col), n_tok.alias("n_tokens")
+        ).join(
+            clusters.select(
+                F.col(id_col),
+                F.col("component").cast("string").alias("cluster_key"),
+            ),
+            on=id_col,
+            how="inner",
+        )
+    w = Window.partitionBy("cluster_key")
+    return keyed.select(
+        id_col,
+        "cluster_key",
+        F.count(F.lit(1)).over(w).alias("cluster_n"),
+        "n_tokens",
+    ).select(
+        id_col,
+        "cluster_key",
+        "cluster_n",
+        F.round(F.lit(1.0) / F.col("cluster_n"), 5).alias("weight"),
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("cluster_n").cast("double"), 5
+        ).alias("weighted_tokens"),
+    )

@@ -3,7 +3,7 @@ that turns the log pipeline's output into model-ready data, bridging
 the reference's log-shipping semantics (routing, per-sink counts;
 logsender.py:467-495) to the training-data tier.
 
-Two operators:
+Three operators:
 
 * conversation_select — per-conversation quality roll-up + selection
   flag (the transcript-level analog of document-level curation:
@@ -11,11 +11,17 @@ Two operators:
 * context_windows — sliding-context SFT example construction: for
   every visible assistant turn, the previous N visible turns as the
   prompt context and the turn itself as the target.
+* preference_pairs — retry-repair preference-pair mining: every
+  failed tool call paired with the next SUCCESSFUL call of the same
+  tool in the same conversation (rejected, chosen) — the
+  transcript-native DPO/RLHF pair construction.
 
-Both are pure DataFrame compositions whose ONLY exchange is the
-conv-keyed hash partition the parse->route pipeline already
-established — at 100 TB they ride the existing partitioning with
-zero additional corpus-sized shuffles.
+conversation_select and context_windows are pure DataFrame
+compositions whose ONLY exchange is the conv-keyed hash partition the
+parse->route pipeline already established; preference_pairs adds one
+(conv, tool)-keyed window exchange (the repair is fetched by a
+struct-min inside that window, not a join) — at 100 TB nothing
+corpus-sized shuffles beyond those keys.
 """
 
 from __future__ import annotations
@@ -132,5 +138,85 @@ def context_windows(
             F.size("_ctx").alias("n_context_turns"),
             F.array_join(F.col("_ctx"), "\n").alias("context"),
             F.col("message").alias("target"),
+        )
+    )
+
+
+def preference_pairs(routed: DataFrame) -> DataFrame:
+    """Retry-repair preference-pair mining over routed transcripts:
+    for every FAILED tool call (a tool_calls turn whose next visible
+    turn in the conversation is an error), find the next call of the
+    SAME tool in the SAME conversation that did NOT fail, and emit
+    the two invocation texts as a (rejected, chosen) preference pair.
+    This is the transcript-native analog of DPO/RLHF pair
+    construction: the failed attempt and its eventual repair share
+    the conversation context, the tool, and the agent's intent — the
+    delta between the two texts is exactly the correction signal a
+    preference model trains on. Outcome attribution (next visible
+    turn, 'terminal' when the conversation ends on the call) is the
+    same rule as tool_outcomes; a terminal call counts as a success
+    (it did not visibly fail).
+
+    Scale shape: the outcome lead() runs inside the conv_id
+    partitioning the pipeline already established (same exchange
+    class as ffill/tool_outcomes); the repair lookup is ONE
+    (conv_id, tool)-keyed window — min over a (turn_idx, message)
+    STRUCT of the following successes (ROWS 1 FOLLOWING..UNBOUNDED;
+    struct min orders on turn_idx first, and turn_idx is unique per
+    conversation, so the min struct carries the repair's text along
+    with its index) — one new exchange keyed strictly finer than
+    conv_id, so skew is bounded by the longest single conversation.
+    The struct-min matters: fetching the chosen text with a
+    self-join instead re-derives the ENTIRE upstream pipeline for
+    the second join side (measured: two full parse lineages in the
+    plan) — the window form keeps one lineage, zero joins, nothing
+    quadratic.
+
+    Output: (conv_id, tool, rejected_idx, chosen_idx, rejected_text,
+    chosen_text, gap_turns) — one row per failed call that has a
+    later same-tool success in its conversation.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = (
+        routed.filter(F.col("sink") != "drop_queue")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            "sink",
+            "message",
+            F.coalesce(F.lead("sink").over(w), F.lit("terminal")).alias(
+                "outcome"
+            ),
+        )
+        .filter(F.col("sink") == "tool_calls")
+        .select("conv_id", "turn_idx", "tool", "message", "outcome")
+    )
+    w_repair = (
+        Window.partitionBy("conv_id", "tool")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    repair = F.min(
+        F.when(
+            F.col("outcome") != "errors",
+            F.struct("turn_idx", "message"),
+        )
+    ).over(w_repair)
+    return (
+        calls.withColumn("repair", repair)
+        .filter(
+            (F.col("outcome") == "errors") & F.col("repair").isNotNull()
+        )
+        .select(
+            "conv_id",
+            "tool",
+            F.col("turn_idx").alias("rejected_idx"),
+            F.col("repair.turn_idx").alias("chosen_idx"),
+            F.col("message").alias("rejected_text"),
+            F.col("repair.message").alias("chosen_text"),
+            (F.col("repair.turn_idx") - F.col("turn_idx"))
+            .cast("long")
+            .alias("gap_turns"),
         )
     )

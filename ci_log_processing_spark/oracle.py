@@ -1036,6 +1036,51 @@ FROM w WHERE role = 'assistant'
 """
 
 
+def q_preference_pairs() -> str:
+    """preference_pairs twin (operators/sft.py): the same outcome
+    attribution as tool_outcomes (lead(sink) over conv order,
+    'terminal' when the conversation ends on the call), then for
+    every FAILED tool call the min following same-tool success
+    turn_idx (ROWS 1 FOLLOWING..UNBOUNDED over the (conv, tool)
+    partition) and an equi-join back for the chosen text."""
+    return pipeline_cte() + """,
+visible AS (
+  SELECT conv_id, turn_idx, tool, sink, message
+  FROM routed WHERE sink <> 'drop_queue'
+),
+nxt AS (
+  SELECT conv_id, turn_idx, tool, sink, message,
+         coalesce(lead(sink) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx), 'terminal')
+           AS outcome
+  FROM visible
+),
+calls AS (
+  SELECT conv_id, turn_idx, tool, message, outcome
+  FROM nxt WHERE sink = 'tool_calls'
+),
+rep AS (
+  SELECT conv_id, tool, turn_idx, message, outcome,
+         min(CASE WHEN outcome <> 'errors' THEN turn_idx END) OVER (
+           PARTITION BY conv_id, tool ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS chosen_idx
+  FROM calls
+),
+rej AS (
+  SELECT conv_id, tool, turn_idx AS rejected_idx,
+         message AS rejected_text, chosen_idx
+  FROM rep WHERE outcome = 'errors' AND chosen_idx IS NOT NULL
+)
+SELECT r.conv_id, r.tool, r.rejected_idx, r.chosen_idx,
+       r.rejected_text, c.message AS chosen_text,
+       (r.chosen_idx - r.rejected_idx)::BIGINT AS gap_turns
+FROM rej r JOIN calls c
+  ON r.conv_id = c.conv_id AND r.tool = c.tool
+ AND r.chosen_idx = c.turn_idx
+"""
+
+
 def q_tool_pagerank(n_iter: int = 5, damping_pct: int = 85) -> str:
     """tool_pagerank twin (operators/toolgraph.py): the same edge
     extraction (lag over conv order on tool turns), then the SAME

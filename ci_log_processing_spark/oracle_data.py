@@ -3000,3 +3000,27 @@ SELECT doc_id, source, n_tok, cum_tok FROM (
 )
 WHERE cum_tok <= {budget}
 """
+
+
+def q_softdedup_weights(threshold: float = 0.6) -> str:
+    """softdedup_weights twin (operators/curation.py, cluster mode):
+    the components oracle wrapped as a CTE, cluster size per
+    component, weight = round(1/n, 5) and weighted_tokens =
+    round(n_tokens / n, 5) — the same single long/long IEEE division
+    Spark performs (1.0 is cast to DOUBLE explicitly: DuckDB's bare
+    1.0 literal is DECIMAL and would divide under decimal rounding)."""
+    return f"""
+WITH comp AS ({q_dedup_components(threshold)}),
+corp AS ({CORPUS_SQL}),
+sized AS (
+  SELECT doc_id, CAST(component AS VARCHAR) AS cluster_key,
+         count(*) OVER (PARTITION BY component)::BIGINT AS cluster_n
+  FROM comp
+)
+SELECT c.doc_id, s.cluster_key, s.cluster_n,
+       round(1.0::DOUBLE / s.cluster_n, 5) AS weight,
+       len({_TOKS})::BIGINT AS n_tokens,
+       round(len({_TOKS}) / CAST(s.cluster_n AS DOUBLE), 5)
+         AS weighted_tokens
+FROM corp c JOIN sized s USING (doc_id)
+"""

@@ -585,3 +585,41 @@ def test_data_card_matches_pandas(spark):
         assert row["total_tokens"] == int(toks.sum())
         assert row["p50_tokens"] == float(toks.median())
         assert 0.0 <= row["mean_quality"] <= 1.0
+
+
+def test_softdedup_weights_exact_and_cluster_modes(spark):
+    from ci_log_processing_spark.operators.curation import (
+        softdedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "dd ee ff")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: (r.cluster_n, r.weight, r.n_tokens, r.weighted_tokens)
+        for r in softdedup_weights(docs).collect()
+    }
+    assert exact[1] == (2, 0.5, 2, 1.0)
+    assert exact[2] == (2, 0.5, 2, 1.0)
+    assert exact[3] == (1, 1.0, 1, 1.0)
+    assert exact[4] == (1, 1.0, 3, 3.0)
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, component long"
+    )
+    soft = {
+        r.doc_id: (r.cluster_key, r.cluster_n, r.weight, r.weighted_tokens)
+        for r in softdedup_weights(docs, clusters=clusters).collect()
+    }
+    assert soft[1] == ("1", 3, 0.33333, 0.66667)
+    assert soft[2] == ("1", 3, 0.33333, 0.66667)
+    assert soft[3] == ("1", 3, 0.33333, 0.33333)
+    assert soft[4] == ("4", 1, 1.0, 3.0)
+    # cluster mass conservation: weights within a cluster sum to ~1
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for _, (ck, _, w, _) in soft.items():
+        mass[ck] += w
+    assert all(abs(v - 1.0) < 1e-4 for v in mass.values())

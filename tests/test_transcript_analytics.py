@@ -335,3 +335,42 @@ def test_context_windows_single_exchange_plan(spark, routed):
     # one conv-keyed exchange feeding the window; no joins at all
     assert plan.count("Exchange") <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_preference_pairs_retry_repair(spark):
+    from ci_log_processing_spark.operators.sft import preference_pairs
+
+    rows = [
+        # X: failed search at 0, repaired at 2; failed grep at 4
+        # with NO later grep success -> no grep pair
+        ("X", 0, "assistant", "search", "try1", "tool_calls"),
+        ("X", 1, "assistant", None, "boom", "errors"),
+        ("X", 2, "assistant", "search", "try2", "tool_calls"),
+        ("X", 3, "user", None, "ok", "agent_turns"),
+        ("X", 4, "assistant", "grep", "g1", "tool_calls"),
+        ("X", 5, "assistant", None, "err", "errors"),
+        # Y: dropped turn must NOT mask the error outcome (Y0's next
+        # VISIBLE turn is the error at Y2); two failures chain to the
+        # same terminal repair at Y5 (terminal counts as success)
+        ("Y", 0, "assistant", "search", "a", "tool_calls"),
+        ("Y", 1, "user", None, "", "drop_queue"),
+        ("Y", 2, "assistant", None, "e", "errors"),
+        ("Y", 3, "assistant", "search", "b", "tool_calls"),
+        ("Y", 4, "assistant", None, "e2", "errors"),
+        ("Y", 5, "assistant", "search", "c", "tool_calls"),
+    ]
+    out = {
+        (r.conv_id, r.rejected_idx): (
+            r.tool,
+            r.chosen_idx,
+            r.rejected_text,
+            r.chosen_text,
+            r.gap_turns,
+        )
+        for r in preference_pairs(_df(spark, rows)).collect()
+    }
+    assert out == {
+        ("X", 0): ("search", 2, "try1", "try2", 2),
+        ("Y", 0): ("search", 5, "a", "c", 5),
+        ("Y", 3): ("search", 5, "b", "c", 2),
+    }
