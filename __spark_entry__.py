@@ -2142,6 +2142,22 @@ def q_embed_diversity(spark, sf_dir):
     return embedding_diversity(_emb(spark, sf_dir))
 
 
+def q_snapshot_drift(spark, sf_dir):
+    """Per-label embedding distribution-shift audit between two
+    corpus snapshots (operators/similarity.py snapshot_drift):
+    vec_id parity stands in for the two snapshot reads; centroid
+    cosine + L2 per label, one (label, dim)-keyed exchange."""
+    from ci_log_processing_spark.operators.similarity import (
+        snapshot_drift,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return snapshot_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 != 0),
+    )
+
+
 def q_tool_latency(spark, sf_dir):
     """Per-tool response-latency percentiles: gap from each
     tool_calls turn to the NEXT visible turn of the conversation
@@ -2328,9 +2344,10 @@ _VERIFY_FIRST = (
     # stream_latency_hdr, text_bigram_logprob, text_bpe_merges,
     # text_bpe_token_counts, cur_token_budget_bpe,
     # text_bpe_token_counts_arrow, text_gopher_rules,
-    # cur_preference_pairs, cur_softdedup_weights) do not fit the
+    # cur_preference_pairs, cur_softdedup_weights,
+    # sim_snapshot_drift) do not fit the
     # 50-query budget; they are local-gate green
-    # (tools/check_correctness.py, 143/143) and go FIRST in round 5's
+    # (tools/check_correctness.py, 144/144) and go FIRST in round 5's
     # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
@@ -2474,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_kmeans_fit": q_kmeans_fit,
             "sim_knn_graph": q_knn_graph,
             "sim_embed_diversity": q_embed_diversity,
+            "sim_snapshot_drift": q_snapshot_drift,
             "sim_knn_graph_multiprobe": q_knn_graph_multiprobe,
             "dedup_semantic_cluster": q_semantic_cluster_dedup,
             "cur_mixture_sample": q_mixture_sample,
@@ -2686,6 +2704,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_kmeans_fit": od.q_kmeans_fit(8, 3),
             "sim_knn_graph": od.q_knn_graph(5, 8, 2),
             "sim_embed_diversity": od.q_embedding_diversity(),
+            "sim_snapshot_drift": od.q_snapshot_drift(),
             "sim_knn_graph_multiprobe": od.q_knn_graph(5, 8, 2, 2),
             "dedup_semantic_cluster": od.q_semantic_cluster_dedup(
                 8, 2, 0.30

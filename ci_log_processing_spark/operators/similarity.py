@@ -1293,3 +1293,83 @@ def pq_ann_topk(
         cand.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def snapshot_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding DISTRIBUTION-SHIFT audit between two
+    corpus snapshots — the monitoring table a continuously-ingesting
+    training pipeline reads to catch a source drifting (crawl policy
+    change, spam wave, upstream re-encode) before the drift reaches
+    a training mix: for every group present in BOTH snapshots, the
+    cosine between the two snapshot centroids and the L2 distance
+    between them, plus both snapshot sizes.
+
+    Scale shape: the two snapshots are tagged and unioned, then
+    posexploded to (group, side, dim, value) and reduced by ONE
+    partial+final hash aggregate keyed on (group, dim) — partial
+    aggregation collapses every map task to groups x dim rows before
+    the exchange, so shuffled volume is independent of corpus size
+    (the embedding_diversity shape); a second groups-only aggregate
+    folds the per-dim centroid terms. Snapshot sizes ride the same
+    (group, dim) cells (every dim of a fixed-width embedding sees
+    the same row count, so max(count) per group = snapshot size) —
+    no separate counting pass, no joins, nothing row-sized crosses
+    an exchange twice.
+
+    FP discipline: float -> double before any arithmetic, per-dim
+    means divide before the group fold, outputs rounded to 5 —
+    summation-order ulp skew absorbed by the rounding, the same
+    cross-engine convention as embedding_diversity/cosine_col.
+
+    Output: (group, n_a, n_b, centroid_cosine, centroid_l2), one row
+    per group with rows in both snapshots (drift is undefined
+    one-sided).
+    """
+    v = F.col(vec_col)
+
+    def _tag(df: DataFrame, is_a: bool) -> DataFrame:
+        return df.select(
+            F.col(group_col),
+            F.lit(is_a).alias("_a"),
+            F.posexplode(
+                F.transform(v, lambda x: x.cast("double"))
+            ).alias("_pos", "_val"),
+        )
+
+    dims = (
+        _tag(emb_a, True)
+        .unionAll(_tag(emb_b, False))
+        .groupBy(group_col, "_pos")
+        .agg(
+            F.sum(F.when(F.col("_a"), F.col("_val"))).alias("sa"),
+            F.sum(F.when(~F.col("_a"), F.col("_val"))).alias("sb"),
+            F.sum(F.when(F.col("_a"), F.lit(1)).otherwise(0)).alias("na"),
+            F.sum(F.when(~F.col("_a"), F.lit(1)).otherwise(0)).alias(
+                "nb"
+            ),
+        )
+    )
+    ca = F.col("sa") / F.col("na").cast("double")
+    cb = F.col("sb") / F.col("nb").cast("double")
+    cent = dims.groupBy(group_col).agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(ca * cb).alias("_dot"),
+        F.sum(ca * ca).alias("_qa"),
+        F.sum(cb * cb).alias("_qb"),
+        F.sum((ca - cb) * (ca - cb)).alias("_d2"),
+    )
+    return cent.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_dot") / F.sqrt(F.col("_qa") * F.col("_qb")), 5
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("_d2")), 5).alias("centroid_l2"),
+    )

@@ -3024,3 +3024,43 @@ SELECT c.doc_id, s.cluster_key, s.cluster_n,
          AS weighted_tokens
 FROM corp c JOIN sized s USING (doc_id)
 """
+
+
+def q_snapshot_drift() -> str:
+    """snapshot_drift twin (operators/similarity.py): vec_id parity
+    splits the embeddings into the two snapshots; per-(label, dim)
+    conditional sums + counts, per-dim means divided BEFORE the
+    group fold, cosine/L2 between the two centroids rounded at 5 —
+    the same float->double + round-5 convention as the
+    embedding_diversity twin."""
+    return """
+WITH e AS (
+  SELECT label, (vec_id % 2 = 0) AS is_a, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+expl AS (
+  SELECT label, is_a, unnest(emb) AS val,
+         generate_subscripts(emb, 1) AS pos
+  FROM e
+),
+dims AS (
+  SELECT label, pos,
+         sum(CASE WHEN is_a THEN val END) AS sa,
+         sum(CASE WHEN NOT is_a THEN val END) AS sb,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM expl GROUP BY label, pos
+),
+cent AS (
+  SELECT label, max(na) AS n_a, max(nb) AS n_b,
+         sum((sa / na) * (sb / nb)) AS dot,
+         sum((sa / na) * (sa / na)) AS qa,
+         sum((sb / nb) * (sb / nb)) AS qb,
+         sum((sa / na - sb / nb) * (sa / na - sb / nb)) AS d2
+  FROM dims GROUP BY label
+)
+SELECT label, n_a, n_b,
+       round(dot / sqrt(qa * qb), 5) AS centroid_cosine,
+       round(sqrt(d2), 5) AS centroid_l2
+FROM cent WHERE n_a > 0 AND n_b > 0
+"""

@@ -503,3 +503,41 @@ def test_ivfpq_recall_dials_and_exhaustive_limit(spark, emb):
     again = ivfpq_ann_topk(emb, q, nprobe=2, rerank=50, **kw).collect()
     key = lambda rs: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rs}
     assert key(rows) == key(again)
+
+
+def test_snapshot_drift_semantics(spark):
+    from ci_log_processing_spark.operators.similarity import (
+        snapshot_drift,
+    )
+
+    schema = "vec_id long, label string, embedding array<float>"
+    # stable: identical centroid in both snapshots -> cosine 1, L2 0
+    # rotated: x-axis centroid vs y-axis centroid -> cosine 0, L2 sqrt(2)
+    # onesided: present only in snapshot A -> dropped
+    a = spark.createDataFrame(
+        [
+            (0, "stable", [1.0, 0.0]),
+            (1, "stable", [0.0, 1.0]),
+            (2, "rotated", [2.0, 0.0]),
+            (3, "onesided", [1.0, 1.0]),
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "stable", [0.5, 0.5]),
+            (11, "rotated", [0.0, 4.0]),
+            (12, "rotated", [0.0, 2.0]),
+        ],
+        schema,
+    )
+    out = {
+        r.label: (r.n_a, r.n_b, r.centroid_cosine, r.centroid_l2)
+        for r in snapshot_drift(a, b).collect()
+    }
+    assert set(out) == {"stable", "rotated"}
+    assert out["stable"] == (2, 1, 1.0, 0.0)
+    n_a, n_b, cos, l2 = out["rotated"]
+    assert (n_a, n_b, cos) == (1, 2, 0.0)
+    # centroids (2,0) vs (0,3): L2 = sqrt(4+9)
+    assert abs(l2 - 13 ** 0.5) < 1e-4
