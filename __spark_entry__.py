@@ -853,6 +853,30 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_token_budget_soft(spark, sf_dir):
+    """Soft-dedup token budget: token_budget_sample runs on integer
+    MILLI-token masses from softdedup_weights (exact mode) — a
+    cluster of n exact copies costs the per-source budget one
+    document's tokens total, however many copies are admitted
+    (operators/curation.py softdedup_weights + token_budget_sample
+    n_tok_col hook)."""
+    from ci_log_processing_spark.operators.curation import (
+        softdedup_weights,
+        token_budget_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = softdedup_weights(docs).select(
+        "doc_id", "weighted_tokens_milli"
+    )
+    joined = docs.select("doc_id", "source").join(w, "doc_id")
+    return token_budget_sample(
+        joined,
+        budget_tokens=600_000,
+        n_tok_col="weighted_tokens_milli",
+    ).select("doc_id", "source", "n_tok", "cum_tok")
+
+
 def q_token_budget_bpe(spark, sf_dir):
     """Tokenizer-TRUE per-source token budget: per-doc counts under
     the learned BPE vocabulary (operators/tokenizer.py
@@ -2345,9 +2369,9 @@ _VERIFY_FIRST = (
     # text_bpe_token_counts, cur_token_budget_bpe,
     # text_bpe_token_counts_arrow, text_gopher_rules,
     # cur_preference_pairs, cur_softdedup_weights,
-    # sim_snapshot_drift) do not fit the
+    # sim_snapshot_drift, cur_token_budget_soft) do not fit the
     # 50-query budget; they are local-gate green
-    # (tools/check_correctness.py, 144/144) and go FIRST in round 5's
+    # (tools/check_correctness.py, 145/145) and go FIRST in round 5's
     # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
@@ -2499,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_quality_top_frac": q_quality_top_frac,
             "cur_token_budget": q_token_budget,
             "cur_token_budget_bpe": q_token_budget_bpe,
+            "cur_token_budget_soft": q_token_budget_soft,
             "cur_shuffle_index": q_shuffle_index,
             "text_line_dedup": q_line_dedup,
             "cur_decontaminate": q_decontaminate,
@@ -2718,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_quality_top_frac": od.q_quality_top_frac(2, 5),
             "cur_token_budget": od.q_token_budget(4000),
             "cur_token_budget_bpe": od.q_token_budget_bpe(3000, 8),
+            "cur_token_budget_soft": od.q_token_budget_soft(600_000),
             "cur_shuffle_index": od.q_shuffle_index(100),
             "text_line_dedup": od.q_line_dedup(3),
             "cur_decontaminate": od.q_decontaminate(CONTAM_SNIPPETS),

@@ -1754,11 +1754,16 @@ def softdedup_weights(
     (one long/long IEEE division, rounded at 5 like every fraction
     in this module) instead of multiplying by the already-rounded
     weight — no compounding of rounding error, bit-identical in both
-    engines.
+    engines. weighted_tokens_milli is the same mass in integer
+    MILLI-tokens ((1000 * n_tokens) div cluster_n — exact floor
+    division, no float anywhere) so downstream integer admission
+    arithmetic (token_budget_sample's running sum) can consume soft
+    weights without a float-to-long truncation ambiguity.
 
     Output: (doc_id, cluster_key, cluster_n, weight, n_tokens,
-    weighted_tokens); cluster_key is the md5 hash (exact mode) or
-    the component id rendered as string (cluster mode).
+    weighted_tokens, weighted_tokens_milli); cluster_key is the md5
+    hash (exact mode) or the component id rendered as string
+    (cluster mode).
     """
     n_tok = _n_tokens(text_col).cast("long")
     if clusters is None:
@@ -1793,4 +1798,7 @@ def softdedup_weights(
         F.round(
             F.col("n_tokens") / F.col("cluster_n").cast("double"), 5
         ).alias("weighted_tokens"),
+        F.expr("(1000 * n_tokens) div cluster_n").alias(
+            "weighted_tokens_milli"
+        ),
     )

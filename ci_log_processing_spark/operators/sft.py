@@ -16,12 +16,12 @@ Three operators:
   tool in the same conversation (rejected, chosen) — the
   transcript-native DPO/RLHF pair construction.
 
-conversation_select and context_windows are pure DataFrame
-compositions whose ONLY exchange is the conv-keyed hash partition the
-parse->route pipeline already established; preference_pairs adds one
-(conv, tool)-keyed window exchange (the repair is fetched by a
-struct-min inside that window, not a join) — at 100 TB nothing
-corpus-sized shuffles beyond those keys.
+All three ride the conv-keyed hash partition the parse->route
+pipeline already established as their ONLY exchange —
+preference_pairs' (conv, tool) repair window is satisfied by the
+conv_id clustering (subset-key co-location) and its repair text
+comes from a struct-min inside the window, not a join — so at
+100 TB nothing corpus-sized shuffles beyond that one key.
 """
 
 from __future__ import annotations
@@ -159,18 +159,21 @@ def preference_pairs(routed: DataFrame) -> DataFrame:
 
     Scale shape: the outcome lead() runs inside the conv_id
     partitioning the pipeline already established (same exchange
-    class as ffill/tool_outcomes); the repair lookup is ONE
+    class as ffill/tool_outcomes); the repair lookup is a
     (conv_id, tool)-keyed window — min over a (turn_idx, message)
     STRUCT of the following successes (ROWS 1 FOLLOWING..UNBOUNDED;
     struct min orders on turn_idx first, and turn_idx is unique per
     conversation, so the min struct carries the repair's text along
-    with its index) — one new exchange keyed strictly finer than
-    conv_id, so skew is bounded by the longest single conversation.
-    The struct-min matters: fetching the chosen text with a
-    self-join instead re-derives the ENTIRE upstream pipeline for
-    the second join side (measured: two full parse lineages in the
-    plan) — the window form keeps one lineage, zero joins, nothing
-    quadratic.
+    with its index). Because (conv_id, tool) clustering is satisfied
+    by HashPartitioning(conv_id) — window keys only need co-location,
+    and conv_id is a subset of them — the repair window adds a LOCAL
+    sort, not a shuffle: the whole operator costs the one conv-keyed
+    exchange the pipeline already pays (plan-asserted in
+    tests/test_plan_shape.py). The struct-min matters: fetching the
+    chosen text with a self-join instead re-derives the ENTIRE
+    upstream pipeline for the second join side (measured: two full
+    parse lineages in the plan) — the window form keeps one lineage,
+    zero joins, nothing quadratic.
 
     Output: (conv_id, tool, rejected_idx, chosen_idx, rejected_text,
     chosen_text, gap_turns) — one row per failed call that has a

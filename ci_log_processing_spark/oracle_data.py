@@ -3021,8 +3021,40 @@ SELECT c.doc_id, s.cluster_key, s.cluster_n,
        round(1.0::DOUBLE / s.cluster_n, 5) AS weight,
        len({_TOKS})::BIGINT AS n_tokens,
        round(len({_TOKS}) / CAST(s.cluster_n AS DOUBLE), 5)
-         AS weighted_tokens
+         AS weighted_tokens,
+       ((1000 * len({_TOKS})) // s.cluster_n)::BIGINT
+         AS weighted_tokens_milli
 FROM corp c JOIN sized s USING (doc_id)
+"""
+
+
+def q_token_budget_soft(budget_milli: int, seed: str = "mix1") -> str:
+    """token_budget_sample(n_tok_col=weighted_tokens_milli) ∘
+    softdedup_weights (exact mode) twin: the per-source running-sum
+    admission of q_token_budget, but each document contributes its
+    SOFT token mass — (1000 * n_tokens) floor-div its exact-dup
+    cluster size, in integer milli-tokens — so a cluster of n copies
+    costs the budget one document's tokens no matter how many copies
+    the mix admits. Same md5(seed||id) order, same cum<=budget rule."""
+    key = f"md5('{seed}' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY md5(text))::BIGINT AS cn,
+         len({_TOKS})::BIGINT AS ntk
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, ((1000 * ntk) // cn)::BIGINT AS n_tok FROM w
+)
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT doc_id, source, n_tok,
+    CAST(sum(n_tok) OVER (
+      PARTITION BY source ORDER BY {key}, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM documents JOIN counts USING (doc_id)
+)
+WHERE cum_tok <= {budget_milli}
 """
 
 

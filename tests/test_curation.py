@@ -604,18 +604,28 @@ def test_softdedup_weights_exact_and_cluster_modes(spark):
     assert exact[2] == (2, 0.5, 2, 1.0)
     assert exact[3] == (1, 1.0, 1, 1.0)
     assert exact[4] == (1, 1.0, 3, 3.0)
+    milli = {
+        r.doc_id: r.weighted_tokens_milli
+        for r in softdedup_weights(docs).collect()
+    }
+    # integer floor division: (1000 * n_tokens) div cluster_n
+    assert milli == {1: 1000, 2: 1000, 3: 1000, 4: 3000}
 
     clusters = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, component long"
     )
+    rows = softdedup_weights(docs, clusters=clusters).collect()
     soft = {
         r.doc_id: (r.cluster_key, r.cluster_n, r.weight, r.weighted_tokens)
-        for r in softdedup_weights(docs, clusters=clusters).collect()
+        for r in rows
     }
     assert soft[1] == ("1", 3, 0.33333, 0.66667)
     assert soft[2] == ("1", 3, 0.33333, 0.66667)
     assert soft[3] == ("1", 3, 0.33333, 0.33333)
     assert soft[4] == ("4", 1, 1.0, 3.0)
+    assert {r.doc_id: r.weighted_tokens_milli for r in rows} == {
+        1: 666, 2: 666, 3: 333, 4: 3000,
+    }
     # cluster mass conservation: weights within a cluster sum to ~1
     from collections import defaultdict
 

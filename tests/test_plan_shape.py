@@ -379,3 +379,36 @@ def test_decontaminate_spans_flag_is_scan_side(spark, tmp_path):
     # the benchmark set appears as an IN-list/join-free predicate on
     # the scan side: exactly one join in the whole plan (spans->docs)
     assert plan.count("Join") == 1, plan
+
+
+def test_preference_pairs_no_join_single_lineage(spark, tmp_path):
+    """The repair text must come from the struct-min window, never a
+    self-join: a join here re-derives the entire upstream pipeline
+    for the second side (two parse lineages — the regression PLANS.md
+    documents). Guard: no join operator at all, exactly one scan of
+    the routed input, and exactly ONE exchange — the (conv, tool)
+    repair window is satisfied by the conv-keyed partitioning the
+    lead window already established (subset-key clustering), so it
+    adds only a local sort, not a shuffle."""
+    from ci_log_processing_spark.operators.sft import preference_pairs
+
+    p = str(tmp_path / "routed")
+    spark.createDataFrame(
+        [
+            ("c1", 0, "assistant", "search", "q", "tool_calls"),
+            ("c1", 1, "assistant", None, "boom", "errors"),
+            ("c1", 2, "assistant", "search", "q2", "tool_calls"),
+        ],
+        "conv_id string, turn_idx int, role string, tool string, "
+        "message string, sink string",
+    ).write.parquet(p)
+    routed = spark.read.parquet(p)
+    plan = (
+        preference_pairs(routed)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -197,6 +197,27 @@ def main():
 
         t("shuffle_index", _shuffle_index, warmup=True)
 
+        def _softdedup():
+            from ci_log_processing_spark.operators.curation import (
+                softdedup_weights,
+            )
+
+            return (
+                softdedup_weights(corpus)
+                .select(
+                    F.bit_xor(
+                        F.xxhash64(
+                            "doc_id", "cluster_n", "weighted_tokens_milli"
+                        )
+                    )
+                )
+                .collect()
+            )
+
+        # exact-mode SoftDeDup: one md5-keyed window exchange over the
+        # corpus — the line_dedup scale class, measured independently
+        t("softdedup_exact", _softdedup, warmup=True)
+
         def _bpe():
             from ci_log_processing_spark.operators.tokenizer import (
                 bpe_merges,
@@ -403,7 +424,12 @@ def main():
         # hashed per-element noise — and materialized to tmpfs parquet
         # so generation never contaminates the timings. n_vecs = the
         # n_docs argument.
-        EMBED_OPS = {"pq_fit_encode", "srp_pairs", "ivfpq_query"}
+        EMBED_OPS = {
+            "pq_fit_encode",
+            "srp_pairs",
+            "ivfpq_query",
+            "snapshot_drift",
+        }
         if only is not None and only & EMBED_OPS:
             from ci_log_processing_spark.operators.similarity import (
                 ivfpq_ann_topk,
@@ -466,6 +492,31 @@ def main():
                 _dedup.release_persisted()  # free the keyed cache
 
             t("srp_pairs", _srp, warmup=True)
+            def _drift():
+                from ci_log_processing_spark.operators.similarity import (
+                    snapshot_drift,
+                )
+
+                labeled = emb.select(
+                    "vec_id",
+                    "embedding",
+                    F.pmod(F.xxhash64("vec_id"), F.lit(32)).alias(
+                        "label"
+                    ),
+                )
+                return (
+                    snapshot_drift(
+                        labeled.filter(F.col("vec_id") % 2 == 0),
+                        labeled.filter(F.col("vec_id") % 2 != 0),
+                    )
+                    .select(F.bit_xor(F.xxhash64("label", "n_a", "n_b")))
+                    .collect()
+                )
+
+            # shift monitor: shuffled volume = labels x dim cells,
+            # independent of corpus size — the claim under test
+            t("snapshot_drift", _drift, warmup=True)
+
             t(
                 "ivfpq_query",
                 lambda: ivfpq_ann_topk(
