@@ -1091,6 +1091,53 @@ def q_stream_cms(spark, sf_dir):
     )
 
 
+def q_stream_snapshot_drift(spark, sf_dir):
+    """Streaming snapshot-drift monitor (streaming/drift_stream.py):
+    the odd-vec_id half of the corpus arrives as TWO micro-batches
+    (every label's centroid straddles the batch boundary), per-batch
+    (label, dim) sum/count partials sum-merge, and the drift table vs
+    the even-vec_id reference must hash-equal the SINGLE-PASS batch
+    operator's DuckDB twin (the same oracle sim_snapshot_drift uses)
+    — linear-merge correctness, not just plumbing."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.drift_stream import (
+        run_streaming_drift,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    work = tempfile.mkdtemp(prefix="gate_sdrift_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+
+        def _write_wave(df, name, mtime):
+            tmp = os.path.join(work, "w_" + name)
+            df.coalesce(1).write.parquet(tmp)
+            pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(in_dir, name + ".parquet")
+            shutil.copy(os.path.join(tmp, pq[0]), dst)
+            os.utime(dst, (mtime, mtime))
+
+        odd = emb.filter(F.col("vec_id") % 2 != 0)
+        _write_wave(odd.filter(F.col("vec_id") % 4 == 1), "w0", 1_000_000)
+        _write_wave(odd.filter(F.col("vec_id") % 4 == 3), "w1", 2_000_000)
+        ref_dir = os.path.join(work, "ref")
+        emb.filter(F.col("vec_id") % 2 == 0).write.parquet(ref_dir)
+        out = run_streaming_drift(
+            spark, in_dir, ref_dir, os.path.join(work, "out")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "label int, n_a long, n_b long, "
+        "centroid_cosine double, centroid_l2 double",
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     from ci_log_processing_spark.operators.dedup import incremental_dedup
     from ci_log_processing_spark.sources.corpus import load_corpus
@@ -2369,9 +2416,10 @@ _VERIFY_FIRST = (
     # text_bpe_token_counts, cur_token_budget_bpe,
     # text_bpe_token_counts_arrow, text_gopher_rules,
     # cur_preference_pairs, cur_softdedup_weights,
-    # sim_snapshot_drift, cur_token_budget_soft) do not fit the
+    # sim_snapshot_drift, cur_token_budget_soft,
+    # stream_snapshot_drift) do not fit the
     # 50-query budget; they are local-gate green
-    # (tools/check_correctness.py, 145/145) and go FIRST in round 5's
+    # (tools/check_correctness.py, 146/146) and go FIRST in round 5's
     # rotation.
     # round-4 additions (never had a driver row)
     "pipe_error_spike",
@@ -2477,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_hll_distinct"] = q_stream_hll
     qs["stream_cms_heavy"] = q_stream_cms
+    qs["stream_snapshot_drift"] = q_stream_snapshot_drift
     qs["stream_latency_hdr"] = q_stream_hdr
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
@@ -2696,6 +2745,9 @@ def oracle_sql() -> dict[str, str]:
             # the streamed CMS must equal the SINGLE-PASS sketch:
             # same oracle as the batch entry, different engine path
             "stream_cms_heavy": od.q_cms_token_counts(),
+            # the streamed drift must equal the single-pass batch op,
+            # so it shares sim_snapshot_drift's oracle verbatim
+            "stream_snapshot_drift": od.q_snapshot_drift(),
             "dedup_ngram_jaccard": od.q_dedup_ngram_jaccard(0.6),
             "dedup_minhash_lsh": od.q_dedup_minhash_lsh(0.6),
             "dedup_minhash_estimate": od.q_dedup_minhash_estimate(0.5),

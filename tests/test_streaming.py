@@ -619,3 +619,68 @@ def test_streaming_cms_equals_batch_and_survives_replay(spark, tmp_path):
         spark, str(in_dir), out_dir, candidates_k=5, width=32, depth=3
     ).collect()
     assert sorted(again, key=key) == sorted(want, key=key)
+
+
+def test_streaming_drift_equals_batch_and_survives_replay(spark, tmp_path):
+    """The streamed drift (sum-merged per-batch (label, dim)
+    partials vs a fixed reference) must equal the single-pass batch
+    snapshot_drift over the union of batches, and a FULL REPLAY
+    (fresh checkpoint, same output dir) must leave the answer
+    unchanged — '+' is not idempotent, so this exercises the
+    batch-addressed overwrite bookkeeping."""
+    import shutil
+
+    from ci_log_processing_spark.operators.similarity import (
+        snapshot_drift,
+    )
+    from ci_log_processing_spark.streaming.drift_stream import (
+        run_streaming_drift,
+    )
+
+    schema = "vec_id long, label int, embedding array<float>"
+    rows = [
+        (i, i % 3, [float(i % 5), float((i * 7) % 11), 1.0])
+        for i in range(60)
+    ]
+    ref_rows = [
+        (1000 + i, i % 3, [float(i % 4), 2.0, float((i * 3) % 7)])
+        for i in range(30)
+    ]
+    stream_df = spark.createDataFrame(rows, schema)
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    ref_dir = str(tmp_path / "ref")
+    ref_df.write.parquet(ref_dir)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for w, (lo, hi, mt) in enumerate(
+        [(0, 30, 1_000_000), (30, 60, 2_000_000)]
+    ):
+        tmp = str(tmp_path / f"w_{w}")
+        stream_df.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(tmp)
+        pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = str(in_dir / f"w{w}.parquet")
+        shutil.copy(os.path.join(tmp, pq[0]), dst)
+        os.utime(dst, (mt, mt))
+
+    out_dir = str(tmp_path / "out")
+    got = run_streaming_drift(
+        spark, str(in_dir), ref_dir, out_dir
+    ).collect()
+    want = snapshot_drift(
+        spark.read.parquet(ref_dir), stream_df
+    ).collect()
+    key = lambda r: r["label"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert len(got) == 3 and all(r["n_b"] == 20 for r in got)
+
+    # full replay: wipe ONLY the checkpoint; both batches re-run and
+    # overwrite their own partial dirs — double-merge would double
+    # every centroid sum and shift the cosine/L2
+    shutil.rmtree(os.path.join(out_dir, "_stream_ckpt"))
+    again = run_streaming_drift(
+        spark, str(in_dir), ref_dir, out_dir
+    ).collect()
+    assert sorted(again, key=key) == sorted(want, key=key)
