@@ -324,3 +324,57 @@ def test_decontaminate_spans_matches_python(spark, data):
         for r in decontaminate_spans(docs, [snippet], k=k).collect()
     }
     assert got == _py_decontaminate_spans(rows, [snippet], k)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab ",
+            min_size=1,
+            max_size=12,
+        ).map(lambda s: s.strip() or "a"),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_softdedup_mass_conservation(spark, texts):
+    """Exact-mode SoftDeDup invariants on arbitrary corpora:
+    (1) weights within every cluster sum to ~1 (each cluster keeps
+    one document's worth of sampling mass);
+    (2) total weighted token mass == the token mass of the DISTINCT
+    texts (duplicates share identical text, so per-cluster
+    weighted_tokens sum back to the single copy's count);
+    (3) integer milli masses never exceed 1000 * n_tokens and are
+    exact floor divisions."""
+    from collections import defaultdict
+
+    from ci_log_processing_spark.operators.curation import (
+        softdedup_weights,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    out = softdedup_weights(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    assert len(out) == len(texts)
+    by_cluster = defaultdict(list)
+    for r in out:
+        by_cluster[r.cluster_key].append(r)
+    distinct_mass = 0
+    for rs in by_cluster.values():
+        n = len(rs)
+        assert all(r.cluster_n == n for r in rs)
+        assert abs(sum(r.weight for r in rs) - 1.0) < 1e-3 * n
+        # identical text -> identical token count within a cluster
+        assert len({r.n_tokens for r in rs}) == 1
+        distinct_mass += rs[0].n_tokens
+        for r in rs:
+            assert r.weighted_tokens_milli == (1000 * r.n_tokens) // n
+            assert r.weighted_tokens_milli <= 1000 * r.n_tokens
+    total_weighted = sum(r.weighted_tokens for r in out)
+    assert abs(total_weighted - distinct_mass) < 1e-2
