@@ -2131,6 +2131,22 @@ def q_curriculum_order(spark, sf_dir):
     return curriculum_order(docs)
 
 
+def q_text_nb_quality(spark, sf_dir):
+    """CCNet-style in-engine NB quality classifier
+    (operators/textstats.py nb_quality_classifier): weak labels =
+    source membership (the wiki-vs-crawl setup of Wenzek et al.
+    2020), integer bit-quantized LLR, oracle-exact."""
+    from ci_log_processing_spark.operators.textstats import (
+        nb_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label",
+        F.col("source").isin("src0", "src1", "src2").cast("int"),
+    )
+    return nb_quality_classifier(docs)
+
+
 def q_text_unigram(spark, sf_dir):
     """Unigram-LM surprisal quality score (operators/textstats.py
     unigram_logprob) — integer bit-quantized, oracle-exact."""
@@ -2615,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_bpe_token_counts_arrow": q_bpe_token_counts_arrow,
             "pipe_tool_pagerank": q_tool_pagerank,
             "text_unigram_logprob": q_text_unigram,
+            "text_nb_quality": q_text_nb_quality,
             "text_bigram_logprob": q_text_bigram,
             "cur_leakage_split": q_leakage_split,
             "cur_dsir_weights": q_dsir_weights,
@@ -2861,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
             "text_bpe_token_counts": od.q_bpe_token_counts(8),
             "text_bpe_token_counts_arrow": od.q_bpe_token_counts(8),
             "text_unigram_logprob": od.q_unigram_logprob(),
+            "text_nb_quality": od.q_nb_quality(),
             "text_bigram_logprob": od.q_bigram_logprob(),
             "cur_leakage_split": od.q_leakage_safe_split(),
             "cur_dsir_weights": od.q_dsir_weights(),

@@ -409,6 +409,13 @@ def main():
         ),
     )
     bench(
+        "text_nb_quality",
+        lambda: checksum(
+            entrymod.q_text_nb_quality(spark, sf_dir),
+            ["doc_id", "label", "llr_bits", "score_bits", "predicted"],
+        ),
+    )
+    bench(
         "cur_leakage_split",
         lambda: checksum(
             entrymod.q_leakage_split(spark, sf_dir),

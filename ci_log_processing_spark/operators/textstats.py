@@ -1077,3 +1077,137 @@ def gopher_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
             " AS (stage_idx, stage, n_fail_alone, n_survive_cum)"
         ),
     ).select("stage_idx", "stage", "n_fail_alone", "n_survive_cum", "n_docs")
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """CCNet-style learned quality classifier, trained IN-ENGINE
+    (Wenzek et al. 2020 train a fastText model on a high-quality
+    reference vs the crawl, then keep documents the model scores
+    well; the reference pipeline's analogue is its fixed severity
+    routing, logsender.py:394-428 — this is the learned version of
+    that gate). The model is hashed-feature-free multinomial Naive
+    Bayes: per-token class-conditional counts with Laplace
+    smoothing, scored as a per-document log-likelihood-ratio sum.
+    `docs` must already carry a 0/1 weak label column (e.g. source
+    membership — CCNet's wiki-vs-crawl — or a rule gate such as
+    gopher_rules().keep); the same corpus is then scored in full,
+    so the output ranks EVERY document, including the unlabeled-
+    positive ones the weak rule missed.
+
+    Like unigram_logprob, every log is QUANTIZED to whole bits via
+    the binary-digit-count identity bits(x) = length(bin(x)) =
+    floor(log2 x) + 1 — the score is exact integer arithmetic both
+    engines reproduce bit-for-bit, no libm anywhere:
+
+      llr_bits(tok) = (bits(pos_c + 1) - bits(pos_tot + V))
+                    - (bits(neg_c + 1) - bits(neg_tot + V))
+      score_bits(doc) = prior_bits + Σ llr_bits over the doc's
+                        in-vocab token instances
+      prior_bits = bits(n_pos_docs) - bits(n_neg_docs)
+
+    where pos_c/neg_c are the token's instance counts inside
+    positive/negative docs, pos_tot/neg_tot the class instance
+    totals over the KEPT vocabulary, and V the kept-vocab size
+    (Laplace α=1). Tokens with total instance count < min_df are
+    pruned (the Zipf tail carries no class signal and would triple
+    the join side); out-of-vocab tokens contribute 0 bits (equal
+    smoothed mass under both classes at bit granularity).
+
+    Scale shape: explode → (token) partial+final count aggregate —
+    the shuffled volume is the vocabulary, not token instances —
+    and the vocabulary table is PERSISTED (it feeds both the class
+    totals and the model projection; without the persist the corpus
+    explode runs twice). The class totals reduce the vocab to ONE
+    row that joins back as a broadcast literal, the instance→vocab
+    hash join
+    co-partitions on the token key the vocab aggregate already
+    produced, and the per-doc sum is one more combine-friendly
+    aggregate on doc_id. The final doc-keyed left join puts
+    zero-in-vocab docs back with score = prior. Nothing data-sized
+    is ever collected to the driver; the model "parameters" live in
+    the vocab DataFrame, never on the driver.
+
+    Output: (doc_id, label, n_vocab_tokens, llr_bits, prior_bits,
+    score_bits, predicted) — predicted = 1 iff score_bits > 0.
+    """
+    t = F.col(text_col)
+    words = F.filter(tokens(t), lambda x: x != "")
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("_lbl"),
+        F.explode(words).alias("tok"),
+    )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731
+    # the vocab lineage (corpus explode + token agg) feeds BOTH the
+    # class totals and the model LLR projection — persist the
+    # vocabulary-sized table so the corpus is exploded once for
+    # training, not twice (release via dedup.release_persisted())
+    from .dedup import _register_persist
+
+    vocab = _register_persist(
+        toks.groupBy("tok")
+        .agg(
+            F.sum("_lbl").alias("pos_c"),
+            (F.count(F.lit(1)) - F.sum("_lbl")).alias("neg_c"),
+        )
+        .where(F.col("pos_c") + F.col("neg_c") >= F.lit(min_df))
+    )
+    totals = vocab.agg(
+        F.sum("pos_c").alias("pos_tot"),
+        F.sum("neg_c").alias("neg_tot"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    llr = (
+        bits(F.col("pos_c") + 1) - bits(F.col("pos_tot") + F.col("v_size"))
+    ) - (bits(F.col("neg_c") + 1) - bits(F.col("neg_tot") + F.col("v_size")))
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok", llr.cast("long").alias("llr_tok")
+    )
+    scored = (
+        toks.join(model, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("llr_tok").alias("llr_bits"),
+            F.count(F.lit(1)).alias("n_vocab_tokens"),
+        )
+    )
+    priors = docs.agg(
+        F.sum(F.col(label_col).cast("long")).alias("n_pos_docs"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("n_neg_docs"),
+    ).select(
+        (bits(F.col("n_pos_docs")) - bits(F.col("n_neg_docs")))
+        .cast("long")
+        .alias("prior_bits")
+    )
+    return (
+        docs.select(id_col, F.col(label_col).cast("long").alias("label"))
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(priors))
+        .select(
+            id_col,
+            "label",
+            F.coalesce(F.col("n_vocab_tokens"), F.lit(0)).alias(
+                "n_vocab_tokens"
+            ),
+            F.coalesce(F.col("llr_bits"), F.lit(0)).alias("llr_bits"),
+            "prior_bits",
+            (
+                F.coalesce(F.col("llr_bits"), F.lit(0))
+                + F.col("prior_bits")
+            ).alias("score_bits"),
+            F.when(
+                F.coalesce(F.col("llr_bits"), F.lit(0))
+                + F.col("prior_bits")
+                > 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("predicted"),
+        )
+    )

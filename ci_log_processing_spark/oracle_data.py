@@ -3096,3 +3096,68 @@ SELECT label, n_a, n_b,
        round(sqrt(d2), 5) AS centroid_l2
 FROM cent WHERE n_a > 0 AND n_b > 0
 """
+
+
+def q_nb_quality(
+    pos_sources: tuple[str, ...] = ("src0", "src1", "src2"),
+    min_df: int = 2,
+) -> str:
+    """nb_quality_classifier twin (operators/textstats.py): the same
+    Laplace-smoothed multinomial NB with every log quantized to
+    whole bits via length(bin(x)) — integer arithmetic end to end,
+    so both engines produce identical scores. Weak labels here are
+    CCNet's source-membership rule (wiki-vs-crawl analogue)."""
+    srcs = ", ".join(_sql_str(s) for s in pos_sources)
+    return f"""
+WITH labeled AS (
+  SELECT doc_id,
+         CASE WHEN source IN ({srcs}) THEN 1 ELSE 0 END AS label,
+         text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, label,
+         unnest(list_filter({_TOKS}, x -> x != '')) AS tok
+  FROM labeled
+),
+vocab AS (
+  SELECT tok,
+         sum(label)::BIGINT AS pos_c,
+         (count(*) - sum(label))::BIGINT AS neg_c
+  FROM toks GROUP BY 1 HAVING count(*) >= {min_df}
+),
+tot AS (
+  SELECT sum(pos_c)::BIGINT AS pos_tot,
+         sum(neg_c)::BIGINT AS neg_tot,
+         count(*)::BIGINT AS v_size
+  FROM vocab
+),
+model AS (
+  SELECT tok,
+         ((length(bin(pos_c + 1)) - length(bin(pos_tot + v_size)))
+          - (length(bin(neg_c + 1)) - length(bin(neg_tot + v_size))
+         ))::BIGINT AS llr_tok
+  FROM vocab, tot
+),
+scored AS (
+  SELECT t.doc_id,
+         sum(m.llr_tok)::BIGINT AS llr_bits,
+         count(*)::BIGINT AS n_vocab_tokens
+  FROM toks t JOIN model m USING (tok) GROUP BY 1
+),
+prior AS (
+  SELECT (length(bin(sum(label)::BIGINT))
+          - length(bin((count(*) - sum(label))::BIGINT)))::BIGINT
+         AS prior_bits
+  FROM labeled
+)
+SELECT l.doc_id,
+       l.label::BIGINT AS label,
+       coalesce(s.n_vocab_tokens, 0)::BIGINT AS n_vocab_tokens,
+       coalesce(s.llr_bits, 0)::BIGINT AS llr_bits,
+       p.prior_bits,
+       (coalesce(s.llr_bits, 0) + p.prior_bits)::BIGINT AS score_bits,
+       (CASE WHEN coalesce(s.llr_bits, 0) + p.prior_bits > 0
+             THEN 1 ELSE 0 END)::BIGINT AS predicted
+FROM labeled l LEFT JOIN scored s USING (doc_id), prior p
+"""

@@ -448,3 +448,42 @@ def test_hdr_latency_error_bound_and_merge(spark):
         for r in hdr_percentiles_from_buckets(merged).collect()
     }
     assert got["tool_calls"].asDict() == h.asDict()
+
+
+def test_nb_quality_classifier_hand_computed(spark):
+    """Hand-computed NB bit math: positive-vocab docs score > 0,
+    negative-vocab docs < 0, a mixed doc lands where the LLR sum
+    says, and a no-vocab doc falls back to the prior alone."""
+    from ci_log_processing_spark.operators.textstats import (
+        nb_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 1, "good clean prose here"),
+            (2, 1, "good clean text here"),
+            (3, 0, "spam spam buy buy"),
+            (4, 0, "spam buy junk junk"),
+            (5, 0, "good clean spam here"),
+            (6, 0, "zzz"),
+        ],
+        "doc_id long, label int, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in nb_quality_classifier(docs).collect()
+    }
+    assert len(out) == 6
+    # kept vocab (min_df=2): good/clean/here (2 pos, 1 neg each),
+    # spam(0,4) buy(0,3) junk(0,2) -> V=6, pos_tot=6, neg_tot=12;
+    # llr_bits: good=clean=here=+1, spam=buy=-1, junk=0;
+    # prior = bits(2 pos docs) - bits(4 neg docs) = 2 - 3 = -1
+    assert all(r["prior_bits"] == -1 for r in out.values())
+    assert (out[1]["llr_bits"], out[1]["score_bits"]) == (3, 2)
+    assert (out[3]["llr_bits"], out[3]["score_bits"]) == (-4, -5)
+    assert (out[4]["llr_bits"], out[4]["score_bits"]) == (-2, -3)
+    assert (out[5]["llr_bits"], out[5]["score_bits"]) == (2, 1)
+    # pruned-singleton doc: zero in-vocab tokens, prior-only score
+    assert (out[6]["n_vocab_tokens"], out[6]["score_bits"]) == (0, -1)
+    assert [out[i]["predicted"] for i in range(1, 7)] == [
+        1, 1, 0, 0, 1, 0,
+    ]

@@ -412,3 +412,38 @@ def test_preference_pairs_no_join_single_lineage(spark, tmp_path):
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_nb_classifier_shuffles_vocab_not_instances(spark, tmp_path):
+    """nb_quality_classifier: the training explode aggregates with
+    map-side combine (shuffled volume = vocabulary), the 1-row
+    totals/priors reach the plan as broadcasts, and no cartesian
+    product or data-sized collect appears anywhere."""
+    from pyspark.sql import functions as F
+    from ci_log_processing_spark.operators.dedup import release_persisted
+    from ci_log_processing_spark.operators.textstats import (
+        nb_quality_classifier,
+    )
+
+    p = str(tmp_path / "nbdocs")
+    spark.createDataFrame(
+        [(i, i % 3, "tok%d common words here" % (i % 7)) for i in range(40)],
+        "doc_id long, lbl int, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p).withColumn(
+        "label", (F.col("lbl") == 0).cast("int")
+    )
+    plan = (
+        nb_quality_classifier(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_persisted()
+    # vocab agg + instance-side join key + per-doc sum + final
+    # doc-keyed join: four hash exchanges, no more
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    # totals and priors are 1-row aggregates, not data-sized plans
+    assert plan.count("Exchange SinglePartition") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
