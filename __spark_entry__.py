@@ -1280,6 +1280,57 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), capacity=256)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus delta (operators/snapshot.py):
+    hash-below-the-join full outer diff against the deterministically
+    derived next snapshot."""
+    from ci_log_processing_spark.operators.snapshot import (
+        corpus_diff,
+        derive_snapshot_b,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return corpus_diff(docs, derive_snapshot_b(docs))
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined-chunking shared-bytes report
+    (operators/dedup.py cdc_chunk_stats) — insertion-robust chunk
+    dedup, one chunk-hash shuffle."""
+    from ci_log_processing_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_docs(spark, sf_dir), window=8, divisor=16)
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + whitespace canonicalization
+    (operators/textstats.py normalize_text) over the planted mess —
+    the one Arrow-UDF step Spark SQL cannot express natively."""
+    from ci_log_processing_spark.operators.textstats import (
+        attach_mess,
+        normalize_text,
+    )
+
+    return normalize_text(attach_mess(_docs(spark, sf_dir)))
+
+
+EPOCH_WEIGHTS = {"src0": 3.0, "src1": 2.0}
+
+
+def q_epoch_plan(spark, sf_dir):
+    """Multi-epoch up-sampling mixture plan (operators/curation.py
+    epoch_plan): one per-source token-sum shuffle, arithmetic on the
+    tiny source table."""
+    from ci_log_processing_spark.operators.curation import epoch_plan
+
+    return epoch_plan(
+        _docs(spark, sf_dir),
+        target_tokens=60_000.0,
+        weights=EPOCH_WEIGHTS,
+        max_epochs=4.0,
+    )
+
+
 def q_overlap_decontaminate(spark, sf_dir):
     from ci_log_processing_spark.operators.curation import (
         overlap_decontaminate,
@@ -2647,6 +2698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_image_features": q_mm_image_features,
             "mm_frame_sample": q_mm_frame_sample,
             "mm_audio_chunks": q_mm_audio_chunks,
+            "cur_corpus_diff": q_corpus_diff,
+            "dedup_cdc_chunks": q_cdc_chunks,
+            "text_normalize": q_normalize_text,
+            "cur_epoch_plan": q_epoch_plan,
         }
     )
 
@@ -2894,6 +2949,12 @@ def oracle_sql() -> dict[str, str]:
             "mm_image_features": MM_IMAGE_ORACLE,
             "mm_frame_sample": MM_FRAME_ORACLE,
             "mm_audio_chunks": MM_AUDIO_ORACLE,
+            "cur_corpus_diff": od.q_corpus_diff(),
+            "dedup_cdc_chunks": od.q_cdc_chunks(window=8, divisor=16),
+            "text_normalize": od.q_normalize(),
+            "cur_epoch_plan": od.q_epoch_plan(
+                60_000.0, EPOCH_WEIGHTS, max_epochs=4.0
+            ),
         }
     )
     return _never_verified_first(sqls)

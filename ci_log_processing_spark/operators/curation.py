@@ -1802,3 +1802,73 @@ def softdedup_weights(
             "weighted_tokens_milli"
         ),
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    target_tokens: float,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-epoch mixture plan: given a token budget LARGER than the
+    corpus, decide how many epochs of each source to train on — the
+    up-sampling companion to mixture_sample (which only down-samples).
+    Pretraining mixes repeat small high-quality sources several times
+    but cap repetition (quality degrades past ~4 epochs), so:
+
+        desired_s = target_tokens * w_s / sum(w)     (over observed sources)
+        epochs_s  = min(max_epochs, desired_s / available_s)
+        planned_s = min(desired_s, max_epochs * available_s)
+
+    Scale shape: ONE partial-aggregated shuffle (per-source token
+    sums); everything after runs on the <=|sources| row table — the
+    total-weight window is single-partition ON THAT TINY TABLE only
+    (the shuffle_index offsets pattern), never on data.
+
+    Output: (source, available_tokens, weight, epochs,
+    planned_tokens), doubles rounded to 6 dp in lockstep with the
+    DuckDB twin.
+    """
+    from pyspark.sql.window import Window
+
+    for src, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"epoch_plan: weight for {src!r} must be > 0")
+    if default_weight <= 0:
+        raise ValueError("epoch_plan: default_weight must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("epoch_plan: max_epochs must be > 0")
+    wexpr: Column = F.lit(float(default_weight))
+    for src, w in weights.items():
+        wexpr = F.when(F.col(group_col) == src, F.lit(float(w))).otherwise(
+            wexpr
+        )
+    avail = (
+        docs.groupBy(group_col)
+        .agg(F.sum(_n_tokens(text_col)).alias("available_tokens"))
+        .withColumn("weight", wexpr)
+    )
+    total_w = F.sum("weight").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    desired = F.lit(float(target_tokens)) * F.col("weight") / total_w
+    return avail.select(
+        group_col,
+        "available_tokens",
+        "weight",
+        F.round(
+            F.least(F.lit(float(max_epochs)), desired / F.col("available_tokens")),
+            6,
+        ).alias("epochs"),
+        F.round(
+            F.least(
+                desired, F.lit(float(max_epochs)) * F.col("available_tokens")
+            ),
+            6,
+        ).alias("planned_tokens"),
+    )

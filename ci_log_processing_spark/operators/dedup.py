@@ -1322,3 +1322,93 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    window: int = 8,
+    divisor: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined-chunking dedup: how much of each document is
+    byte-identical to SOME other document, robust to insertions.
+
+    Fixed-offset chunking (chunk_documents) breaks on a one-char
+    insertion — every downstream chunk shifts and nothing matches.
+    CDC cuts where the content itself says to: a boundary lands
+    after position i whenever the hash of the `window`-char slice
+    ending at i is ≡ 0 (mod `divisor`), so an edit only perturbs
+    the chunks it touches and identical regions re-align on the
+    next content-chosen cut (the dedup trick behind LBFS/restic/
+    casync storage and near-identical-page dedup in crawl corpora).
+    Expected chunk length ≈ `divisor` chars.
+
+    The boundary predicate here depends ONLY on the w-char window —
+    not on previous cuts (no min/max chunk clamp) — which keeps it a
+    pure per-position expression both engines evaluate identically
+    (h32 of the window, dedup.py:18-22). Production variant: the
+    same plan with a gear/rolling hash inside an Arrow mapInPandas
+    kernel (one pass instead of w hash bytes per position); the
+    md5-window form is the portable twin-exact formulation and the
+    shuffle story is identical.
+
+    Scale shape: boundary detection + slicing is per-row expression
+    work (zero shuffle, embarrassingly parallel); then ONE
+    chunk-hash partial-aggregated shuffle for document frequency and
+    one co-partitioned join back (same key — AQE reuses the
+    exchange). No pair joins, nothing quadratic.
+
+    Output: (doc_id, n_chunks, shared_chunks, shared_chars) where
+    'shared' counts chunks whose content occurs in >1 distinct doc.
+    """
+    if window < 2:
+        raise ValueError("cdc_chunk_stats: window must be >= 2")
+    if divisor < 2:
+        raise ValueError("cdc_chunk_stats: divisor must be >= 2")
+    text = F.col(text_col)
+    n = F.length(text)
+    # boundary AFTER char i (1-based), i in [window, n-1]: the end
+    # position n is always a boundary and is appended separately
+    cuts = F.when(
+        n - 1 >= F.lit(window),
+        F.filter(
+            F.sequence(F.lit(window), n - 1),
+            lambda i: F.pmod(
+                h32(text.substr(i - F.lit(window - 1), F.lit(window))),
+                F.lit(divisor),
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(bounds) - 2),
+        lambda j: text.substr(
+            F.element_at(bounds, j + 1) + 1,
+            F.element_at(bounds, j + 2) - F.element_at(bounds, j + 1),
+        ),
+    )
+    exploded = _register_persist(
+        docs.select("doc_id", F.explode(chunks).alias("_c"))
+        .filter(F.length("_c") > 0)
+        .select(
+            "doc_id",
+            F.md5(F.col("_c").cast("binary")).alias("_h"),
+            F.length("_c").alias("_len"),
+        )
+    )
+    freq = exploded.groupBy("_h").agg(
+        F.count_distinct("doc_id").alias("_nd")
+    )
+    shared = F.col("_nd") > 1
+    return (
+        exploded.join(freq, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(shared, 1).otherwise(0)).alias("shared_chunks"),
+            F.sum(F.when(shared, F.col("_len")).otherwise(0)).alias(
+                "shared_chars"
+            ),
+        )
+    )

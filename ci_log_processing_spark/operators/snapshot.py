@@ -1,0 +1,92 @@
+"""Corpus snapshot diff — the incremental-maintenance audit between
+two versions of a training corpus.
+
+A production corpus is rebuilt (or appended) per crawl/export cycle;
+before promoting snapshot B over snapshot A the pipeline wants the
+exact delta: which documents appeared, disappeared, or changed
+content. The reference has the same need one level down — its
+checkpoint file is a "which builds has the sender already shipped"
+diff against the incoming build list (logscraper.py:424-439) — this
+is the corpus-level generalization.
+
+Scale shape: each side is reduced to (doc_id, 16-byte content hash)
+BEFORE the join, so the full-outer exchange carries ~24 bytes/row
+instead of document text; the join key is the unique doc_id (no
+skew by construction), and with both snapshots stored bucketed by
+doc_id (sinks.py write_bucketed) the exchange disappears entirely.
+One shuffle per side, nothing else — the same plan at 500 docs or
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def derive_snapshot_b(docs: DataFrame) -> DataFrame:
+    """Deterministic 'next snapshot' of a documents table, used by
+    tests/gate so corpus_diff needs no second input file:
+
+      * doc_id % 11 == 3                   -> removed in B
+      * doc_id % 7 == 2 (and not removed)  -> text gets a ' v2' suffix
+      * doc_id % 13 == 5                   -> ALSO re-appears as a new
+        doc (doc_id + 10_000_000, 'new ' prefix)
+
+    Mirrored verbatim by the oracle twin (oracle_data.q_corpus_diff).
+    """
+    kept = docs.filter(F.col("doc_id") % 11 != 3)
+    mutated = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    return mutated.select(*docs.columns).unionByName(added)
+
+
+def corpus_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document delta between corpus snapshots A and B.
+
+    Output: (doc_id, status) with status in
+    {'added', 'removed', 'changed', 'unchanged'} — B-relative, i.e.
+    'added' means present only in B.
+
+    Content equality is md5-hash equality (the repo-wide portable
+    hash primitive, dedup.py:18-22); the hash is computed below the
+    join so raw text never crosses the exchange.
+    """
+    ha = a.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("_ha"),
+    )
+    hb = b.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("_hb"),
+    )
+    return ha.join(hb, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Roll a corpus_diff up to per-status counts — the four-row
+    promotion-gate report (fails the promotion if e.g. 'removed'
+    exceeds a churn budget). One partial-aggregated shuffle over a
+    4-value key."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1211,3 +1211,80 @@ def nb_quality_classifier(
             .alias("predicted"),
         )
     )
+
+
+def attach_mess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Plant deterministic Unicode/whitespace mess for the
+    normalization gate query — the synthetic docs are ASCII-clean,
+    so there would otherwise be nothing to normalize:
+
+      * doc_id % 4 == 0: decomposed e+COMBINING ACUTE, tab, double
+        space (NFC must compose, whitespace must collapse)
+      * doc_id % 4 == 1: decomposed n+COMBINING TILDE and a CRLF
+      * doc_id % 4 == 2: PRECOMPOSED é plus NBSP + zero-width
+        space (NFC is a no-op; the explicit char maps must act)
+      * doc_id % 4 == 3: untouched (the changed=false control)
+
+    Mirrored verbatim by oracle_data.q_normalize."""
+    t = F.col(text_col)
+    m = F.col("doc_id") % 4
+    return docs.withColumn(
+        "mtext",
+        F.when(m == 0, F.concat(t, F.lit("  cafe\u0301\tok")))
+        .when(m == 1, F.concat(t, F.lit(" nin\u0303o\r\nend")))
+        .when(m == 2, F.concat(t, F.lit(" caf\u00e9\u00a0done\u200b")))
+        .otherwise(t),
+    )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "mtext") -> DataFrame:
+    """Canonical text normalization — the first pass every corpus
+    runs before hashing/dedup, because byte-different spellings of
+    the SAME rendered text (composed vs decomposed accents, NBSP vs
+    space, CRLF vs LF, zero-width chars) would otherwise defeat
+    every exact-hash operator upstream of it (dedup.py).
+
+    Steps, in twin-pinned order (oracle: DuckDB nfc_normalize +
+    identical regexp chain):
+
+      1. Unicode NFC composition — the ONLY step Spark SQL cannot
+         express (no built-in normalizer), so it is one Arrow-batched
+         pandas_udf over unicodedata.normalize; everything after runs
+         back in JVM codegen.
+      2. NBSP (U+00A0) -> space; zero-width chars (U+200B..D, BOM)
+         removed.
+      3. Control whitespace [\\t\\r\\n\\x0b\\x0c] -> space.
+      4. Collapse space runs, trim.
+
+    Scale shape: per-row, zero shuffle; the Python surface is one
+    str->str Arrow column pass (same budget class as the multimodal
+    kernels). Output: (doc_id, text_norm, changed, n_chars_norm).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    t = _nfc(F.col(text_col))
+    t = F.regexp_replace(t, "\u00a0", " ")
+    t = F.regexp_replace(t, "[\u200b\u200c\u200d\ufeff]", "")
+    t = F.regexp_replace(t, "[\t\r\n\x0b\x0c]", " ")
+    t = F.regexp_replace(t, "  +", " ")
+    t = F.trim(t)
+    return docs.select(
+        "doc_id",
+        F.col(text_col).alias("_raw"),
+        t.alias("text_norm"),
+    ).select(
+        "doc_id",
+        "text_norm",
+        (F.col("text_norm") != F.col("_raw")).alias("changed"),
+        F.length("text_norm").alias("n_chars_norm"),
+    )

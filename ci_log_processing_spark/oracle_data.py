@@ -3161,3 +3161,147 @@ SELECT l.doc_id,
              THEN 1 ELSE 0 END)::BIGINT AS predicted
 FROM labeled l LEFT JOIN scored s USING (doc_id), prior p
 """
+
+
+def q_corpus_diff() -> str:
+    """corpus_diff twin (operators/snapshot.py): snapshot B derived
+    from documents by the same deterministic rule as
+    derive_snapshot_b (doc_id%11==3 removed, %7==2 suffixed ' v2',
+    %13==5 re-added at doc_id+10M with a 'new ' prefix), diffed by
+    md5 content-hash equality under a full outer join on doc_id."""
+    return """
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+  FROM documents WHERE doc_id % 13 = 5
+),
+ha AS (SELECT doc_id, md5(text) AS h FROM documents),
+hb AS (SELECT doc_id, md5(text) AS h FROM b)
+SELECT COALESCE(ha.doc_id, hb.doc_id) AS doc_id,
+  CASE WHEN ha.h IS NULL THEN 'added'
+       WHEN hb.h IS NULL THEN 'removed'
+       WHEN ha.h <> hb.h THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
+"""
+
+
+def q_cdc_chunks(window: int = 8, divisor: int = 16) -> str:
+    """cdc_chunk_stats twin (operators/dedup.py): identical
+    content-defined boundary rule — cut after position i when
+    h32(window ending at i) % divisor == 0, i in [window, n-1] —
+    then chunk-hash document frequency and per-doc shared totals."""
+    w = window
+    h = _H32.format(x=f"substr(text, CAST(i AS INT) - {w - 1}, {w})")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+bounds AS (
+  SELECT doc_id, text,
+    list_concat(list_concat(
+      [0::BIGINT],
+      CASE WHEN n - 1 >= {w} THEN
+        list_filter(range({w}::BIGINT, CAST(n AS BIGINT)),
+                    i -> ({h}) % {divisor} = 0)
+      ELSE []::BIGINT[] END),
+      [CAST(n AS BIGINT)]) AS bs
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, chunk FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(bs)), j ->
+        substr(text, CAST(bs[j] AS INT) + 1,
+               CAST(bs[j + 1] - bs[j] AS INT)))) AS chunk
+    FROM bounds)
+  WHERE length(chunk) > 0
+),
+hashed AS (
+  SELECT doc_id, md5(chunk) AS h, length(chunk) AS clen FROM chunks
+),
+freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY h)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS shared_chunks,
+  CAST(sum(CASE WHEN nd > 1 THEN clen ELSE 0 END) AS BIGINT)
+    AS shared_chars
+FROM hashed JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+
+def q_normalize() -> str:
+    """normalize_text twin (operators/textstats.py): same planted
+    mess (attach_mess — decomposed accents, CRLF, NBSP, zero-width),
+    then DuckDB nfc_normalize standing in for Python unicodedata NFC
+    and the identical regexp chain (RE2 'g')."""
+    return """
+WITH messy AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN text || '  cafe' || chr(769) || chr(9) || 'ok'
+      WHEN 1 THEN text || ' nin' || chr(771) || 'o'
+                       || chr(13) || chr(10) || 'end'
+      WHEN 2 THEN text || ' caf' || chr(233) || chr(160)
+                       || 'done' || chr(8203)
+      ELSE text END AS mtext
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, mtext,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(nfc_normalize(mtext),
+                         '\\x{00a0}', ' ', 'g'),
+          '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
+        '[\\t\\r\\n\\x0B\\x0C]', ' ', 'g'),
+      '  +', ' ', 'g')) AS text_norm
+  FROM messy
+)
+SELECT doc_id, text_norm,
+  text_norm <> mtext AS changed,
+  length(text_norm) AS n_chars_norm
+FROM normed
+"""
+
+
+def q_epoch_plan(
+    target_tokens: float,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    max_epochs: float = 4.0,
+) -> str:
+    """epoch_plan twin (operators/curation.py): per-source token
+    sums, literal weight CASE chain, total-weight window over the
+    tiny per-source table, same least/round arithmetic order."""
+    wexpr = repr(float(default_weight))
+    for src, wt in weights.items():
+        wexpr = (
+            f"CASE WHEN source = {_sql_str(src)} "
+            f"THEN {float(wt)!r} ELSE {wexpr} END"
+        )
+    t = repr(float(target_tokens))
+    me = repr(float(max_epochs))
+    return f"""
+WITH avail AS (
+  SELECT source,
+    CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, available_tokens, {wexpr} AS weight FROM avail
+),
+t AS (SELECT *, sum(weight) OVER () AS total_w FROM w)
+SELECT source, available_tokens, weight,
+  round(least({me}, ({t} * weight / total_w) / available_tokens), 6)
+    AS epochs,
+  round(least({t} * weight / total_w, {me} * available_tokens), 6)
+    AS planned_tokens
+FROM t
+"""
