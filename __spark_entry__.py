@@ -2018,6 +2018,50 @@ def q_range_join_incidents(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "incident_id")
 
 
+def q_error_spike_mad(spark, sf_dir):
+    """Robust hourly error-burst detection per subsystem
+    (operators/aggregate.py error_spike_hours_mad) — exact-integer
+    median/MAD fence, the outlier-immune companion to the z-score
+    rule."""
+    from ci_log_processing_spark.operators.aggregate import (
+        error_spike_hours_mad,
+    )
+
+    return error_spike_hours_mad(_routed(spark, sf_dir))
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary health report (operators/textstats.py
+    vocab_stats): types, tokens, hapax legomena, milli TTR/hapax
+    ratios in exact integer division."""
+    from ci_log_processing_spark.operators.textstats import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval top-k (operators/retrieval.py):
+    whole-bit idf, milli-floored per-term scores, deterministic
+    (score DESC, doc_id) ranking; query set = doc_id % 101 == 7."""
+    from pyspark.sql import functions as F
+
+    from ci_log_processing_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(
+        docs, docs.filter(F.col("doc_id") % 101 == 7), k=5
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS winnowed-fingerprint near-dup pairs (operators/dedup.py
+    winnow_pairs): rightmost-min frame selection, df-cut candidate
+    index, exact containment verify."""
+    from ci_log_processing_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir), overlap_milli=400)
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -2694,6 +2738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_cdc_chunks": q_cdc_chunks,
             "text_normalize": q_normalize_text,
             "cur_epoch_plan": q_epoch_plan,
+            "pipe_error_spike_mad": q_error_spike_mad,
+            "text_vocab_stats": q_vocab_stats,
+            "ret_bm25_topk": q_bm25_topk,
+            "dedup_winnow_pairs": q_winnow_pairs,
         }
     )
 
@@ -2947,6 +2995,10 @@ def oracle_sql() -> dict[str, str]:
             "cur_epoch_plan": od.q_epoch_plan(
                 60_000.0, EPOCH_WEIGHTS, max_epochs=4.0
             ),
+            "pipe_error_spike_mad": oracle.q_error_spike_mad(),
+            "text_vocab_stats": od.q_vocab_stats(),
+            "ret_bm25_topk": od.q_bm25_topk(k=5),
+            "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),
         }
     )
     return _never_verified_first(sqls)

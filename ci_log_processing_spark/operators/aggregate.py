@@ -734,3 +734,66 @@ def tool_health(df: DataFrame) -> DataFrame:
     return err.join(lat, "tool", "left").select(
         "tool", "n_calls", "err_frac", "p50_ms", "p95_ms"
     )
+
+
+def error_spike_hours_mad(
+    df: DataFrame, ts_col: str = "filled_ts", sink: str = "errors"
+) -> DataFrame:
+    """Robust hourly error-burst detection per subsystem: the
+    median/MAD companion to error_spike_hours. Mean/sigma spike
+    tests (error_spike_hours) are themselves dragged upward by the
+    spikes they are trying to flag — one huge hour inflates sigma
+    enough to mask smaller real bursts. The robust form compares
+    each hour against the subsystem's MEDIAN with a 3x
+    median-absolute-deviation fence, which no single outlier hour
+    can move (50% breakdown point vs 0% for the mean).
+
+    Everything is EXACT integer arithmetic so the DuckDB twin
+    matches bit-for-bit: medians of int64 counts are half-integers
+    (both engines average the two middle values), so the test runs
+    on doubled/quadrupled integers:
+
+        dev2 = |2n - 2*med|              (integer)
+        mad4 = 2 * median(dev2)          (= 4*MAD, integer)
+        spike  <=>  |n - med| > 3*MAD  <=>  2*dev2 > 3*mad4
+
+    2*med and 2*median(dev2) are integer-VALUED doubles (halves are
+    exact in binary), cast to long before any comparison.
+
+    Scale shape: one partial+final hash aggregate on
+    (subsystem, hour) — shuffled volume is distinct groups — then
+    two subsystem-keyed aggregates over those GROUP rows (median,
+    then MAD of the deviations) joined back. Group-row-sized
+    exchanges only; exact medians over a subsystem's hours are a
+    bounded buffer (#hours in the retention window) at any corpus
+    size.
+    """
+    hourly = (
+        df.filter(F.col("sink") == sink)
+        .groupBy(
+            "subsystem",
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = hourly.groupBy("subsystem").agg(
+        (F.percentile(F.col("n"), F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("_med2")
+    )
+    dev = hourly.join(med, "subsystem").withColumn(
+        "_dev2", F.abs(2 * F.col("n") - F.col("_med2"))
+    )
+    mad = dev.groupBy("subsystem").agg(
+        (F.percentile(F.col("_dev2"), F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("_mad4")
+    )
+    return dev.join(mad, "subsystem").select(
+        "subsystem",
+        "window_start",
+        "n",
+        (F.col("_med2") / 2).alias("median_n"),
+        (F.col("_mad4") / 4).alias("mad_n"),
+        (2 * F.col("_dev2") > 3 * F.col("_mad4")).alias("is_spike"),
+    )

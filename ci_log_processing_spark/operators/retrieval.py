@@ -1,0 +1,138 @@
+"""Lexical retrieval over the corpus — BM25 top-k.
+
+Training-data pipelines are retrieval consumers, not just producers:
+mining hard negatives for embedding/contrastive training, attaching
+citations to SFT answers, and query-grounded dataset audits all need
+"given this text, the k most lexically relevant documents". BM25 is
+the standard scorer (Robertson-Sparck Jones idf with tf saturation
+and length normalization — the Lucene/Elasticsearch default, i.e.
+exactly what the reference's OpenSearch backend runs under its
+dashboard searches; logsender ships documents INTO that index,
+logscraper.py:171-249, and this operator is the engine-side
+equivalent of querying it back out).
+
+Determinism contract (the repo-wide oracle rule): idf is quantized
+to whole bits (length(bin(N)) - length(bin(df)) — a binary-digit
+count, no libm), the per-term score is one pinned-order chain of
+correctly-rounded IEEE double ops that both engines evaluate
+identically, and the per-term score is floored to integer MILLI
+units before the per-document sum — so the sum is exact integer
+arithmetic and immune to float reassociation across partitions.
+Ranking is (score_milli DESC, doc_id ASC): fully deterministic.
+
+Scale shape: ONE corpus explode feeding a (doc, term) partial+final
+count aggregate (the persisted tf table — shared by the df aggregate
+and the candidate join, same registry pattern as tfidf_top_terms);
+df is computed from the COUNTED rows (vocabulary-sized); the query
+side is explode->distinct on the query set (tiny — broadcast by
+AQE); candidate generation is qterm ⋈ tf on the term key; the final
+top-k is a row_number window keyed by query id (query-count-sized
+exchange). Nothing quadratic: the candidate set is bounded by
+sum_over_query_terms(df), and `max_df_frac` prunes the Zipf head —
+the WAND/stopword analog for web-scale vocabularies (a term in half
+the corpus contributes ~0 idf bits but would fan out N/2 candidate
+rows; cutting it changes scores only for pathological queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _register_persist, tokens_col
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float | None = None,
+    text_col: str = "text",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k BM25 matches per query document.
+
+    `queries` carries (doc_id, text) — typically a filtered slice of
+    the corpus (mine-negatives-for-these-anchors) or an external
+    query table with synthetic ids. Per (query, doc, term):
+
+        idf_bits = length(bin(N)) - length(bin(df))
+        norm     = tf + k1*(1 - b + b*(dl/avgdl))    [pinned order]
+        s_milli  = floor(1000 * idf_bits * (tf*(k1+1)) / norm)
+
+    and score_milli = sum(s_milli) over matched terms. Query term
+    frequency is intentionally ignored (distinct query terms), the
+    standard short-query simplification.
+
+    Output: (qid, doc_id, n_terms, score_milli, rank), rank 1..k by
+    (score_milli DESC, doc_id ASC).
+    """
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = _register_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df from the COUNTED rows: one row per (doc, term) already, so
+    # df(term) = count(*) — vocabulary-sized, never corpus-sized
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    if max_df_frac is not None:
+        df = df.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        ).select("term", "df")
+    doclen = docs.select(
+        "doc_id", F.size(tokens_col(F.col(text_col))).alias("dl")
+    )
+    total = doclen.select(F.sum("dl").alias("t_total"))
+    qterms = queries.select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.array_distinct(tokens_col(F.col(text_col)))
+        ).alias("term"),
+    )
+    cand = (
+        qterms.join(tf, "term")
+        .join(df, "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(total))
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("doc_id"))
+    idf_bits = F.length(F.bin(F.col("n_docs"))) - F.length(
+        F.bin(F.col("df"))
+    )
+    # pinned-order IEEE chain — the oracle SQL parenthesizes
+    # identically: avgdl division first, then the norm ladder
+    avgdl = F.col("t_total") / F.col("n_docs")
+    norm = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * (F.col("dl") / avgdl)
+    )
+    s_milli = F.floor(
+        F.lit(1000.0)
+        * idf_bits
+        * (F.col("tf") * F.lit(float(k1) + 1.0))
+        / norm
+    )
+    scored = (
+        cand.select("qid", "doc_id", s_milli.alias("s"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("s").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "n_terms", "score_milli", "rank")
+    )

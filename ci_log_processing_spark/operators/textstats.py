@@ -1288,3 +1288,52 @@ def normalize_text(docs: DataFrame, text_col: str = "mtext") -> DataFrame:
         (F.col("text_norm") != F.col("_raw")).alias("changed"),
         F.length("text_norm").alias("n_chars_norm"),
     )
+
+
+def vocab_stats(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source vocabulary health report: type count, token count,
+    hapax-legomenon count (types seen exactly once in the source),
+    and integer-milli type-token and hapax ratios. The lexical
+    companion to corpus_data_card — a source whose TTR collapses is
+    boilerplate/template spam; one whose hapax rate explodes is
+    OCR noise or gibberish (the two tails Gopher's per-doc rules
+    cannot see because they are CORPUS-level, not doc-level).
+
+    Ratios are exact integer floor-divisions on milli scale (the
+    softdedup_weights convention) so the twin matches bit-for-bit;
+    the float-hungry consumer can divide the raw counts itself.
+
+    Scale shape: explode -> ONE partial+final aggregate on
+    (group, token) — shuffled volume is the per-source vocabulary,
+    hot tokens collapse map-side — then a second aggregate on the
+    vocabulary rows reduces to one row per source. Nothing
+    corpus-sized crosses the second exchange.
+    """
+    vocab = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        vocab.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias(
+                "n_hapax"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            F.expr("(n_types * 1000) div n_tokens").alias("ttr_milli"),
+            F.expr("(n_hapax * 1000) div n_types").alias("hapax_milli"),
+        )
+    )

@@ -1137,3 +1137,36 @@ SELECT tool, pr AS pagerank_scaled, pr / 1000000000000.0 AS pagerank
 FROM pr{n_iter}
 """
     return sql
+
+
+def q_error_spike_mad() -> str:
+    """error_spike_hours_mad twin (operators/aggregate.py): the
+    identical doubled/quadrupled-integer median/MAD fence —
+    spike <=> 2*dev2 > 3*mad4 with dev2 = |2n - 2*median(n)| and
+    mad4 = 2*median(dev2); both engines' medians average the two
+    middle values, so 2x/4x scaling keeps every comparison integer."""
+    return pipeline_cte() + """,
+hourly AS (
+  SELECT subsystem, date_trunc('hour', filled_ts) AS window_start,
+         count(*) AS n
+  FROM routed WHERE sink = 'errors' GROUP BY 1, 2
+),
+med AS (
+  SELECT subsystem, CAST(median(n) * 2 AS BIGINT) AS med2
+  FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT h.subsystem, h.window_start, h.n, m.med2,
+         abs(2 * h.n - m.med2) AS dev2
+  FROM hourly h JOIN med m USING (subsystem)
+),
+mad AS (
+  SELECT subsystem, CAST(median(dev2) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.subsystem, d.window_start, d.n,
+       d.med2 / 2 AS median_n,
+       m.mad4 / 4 AS mad_n,
+       (2 * d.dev2 > 3 * m.mad4) AS is_spike
+FROM dev d JOIN mad m USING (subsystem)
+"""

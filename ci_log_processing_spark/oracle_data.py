@@ -3305,3 +3305,157 @@ SELECT source, available_tokens, weight,
     AS planned_tokens
 FROM t
 """
+
+
+def q_vocab_stats() -> str:
+    """vocab_stats twin (operators/textstats.py): per-source
+    (grp, token) counts then one per-source rollup; milli ratios in
+    exact integer floor division (// here, div on the Spark side —
+    identical on the all-positive operands)."""
+    return f"""
+WITH vocab AS (
+  SELECT source AS grp, tok, count(*)::BIGINT AS cnt FROM (
+    SELECT source, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+)
+SELECT grp AS source,
+  count(*)::BIGINT AS n_types,
+  sum(cnt)::BIGINT AS n_tokens,
+  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+  ((count(*) * 1000) // sum(cnt)::BIGINT)::BIGINT AS ttr_milli,
+  ((sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT * 1000)
+    // count(*))::BIGINT AS hapax_milli
+FROM vocab GROUP BY grp
+"""
+
+
+def q_bm25_topk(
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_mod: int = 101,
+    q_rem: int = 7,
+) -> str:
+    """bm25_topk twin (operators/retrieval.py): whole-bit idf
+    (length(bin(N)) - length(bin(df))), the identical pinned-order
+    IEEE chain for the per-term score, floored to integer milli
+    BEFORE the per-document sum so distributed float reassociation
+    cannot move the total. Constants are pre-computed in Python and
+    repr()-formatted so both engines parse the SAME doubles."""
+    k1p1 = repr(float(k1) + 1.0)
+    one_minus_b = repr(1.0 - float(b))
+    bs = repr(float(b))
+    k1s = repr(float(k1))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+dl AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS dl FROM documents
+),
+tt AS (SELECT sum(dl)::BIGINT AS t_total FROM dl),
+qt AS (
+  SELECT doc_id AS qid, unnest(list_distinct({_TOKS})) AS term
+  FROM documents WHERE doc_id % {q_mod} = {q_rem}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+    CAST(floor(
+      1000.0 * (length(bin(n.n_docs)) - length(bin(f.df)))
+             * (t.tf * {k1p1})
+      / (t.tf + {k1s} * ({one_minus_b}
+                         + {bs} * (d.dl / (s.t_total / n.n_docs))))
+    ) AS BIGINT) AS s
+  FROM qt q
+  JOIN tf t USING (term)
+  JOIN df f ON t.term = f.term
+  JOIN dl d ON t.doc_id = d.doc_id, nd n, tt s
+  WHERE q.qid <> t.doc_id
+),
+agg AS (
+  SELECT qid, doc_id, count(*)::BIGINT AS n_terms,
+         sum(s)::BIGINT AS score_milli
+  FROM scored GROUP BY 1, 2
+)
+SELECT qid, doc_id, n_terms, score_milli, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY score_milli DESC, doc_id) AS rank
+  FROM agg)
+WHERE rank <= {k}
+"""
+
+
+def q_winnow_pairs(
+    overlap_milli: int = 400,
+    k: int = 4,
+    window: int = 4,
+    df_cut: int = 128,
+) -> str:
+    """winnow_pairs twin (operators/dedup.py): identical k-gram h32
+    hashes, identical rightmost-min frame fold (list_reduce over
+    [j..j+w-1], whose first element is the init — matching Spark's
+    aggregate with init j over [j+1..j+w-1]), df-cut candidate
+    index, exact containment verify on the fingerprint SETS (order
+    never matters downstream, only membership)."""
+    w = window
+    gram = "concat_ws(' ', " + ", ".join(
+        f"toks[CAST(i AS INT) + {off}]" for off in range(k)
+    ) + ")"
+    h = _H32.format(x=gram)
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+kgt AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) - {k - 1} >= 1 THEN
+      list_transform(range(1::BIGINT, len(toks) - {k - 1} + 1), i -> {h})
+    ELSE []::BIGINT[] END AS kg
+  FROM tk
+),
+selt AS (
+  SELECT doc_id, kg,
+    CASE WHEN len(kg) >= {w} THEN
+      list_transform(range(1::BIGINT, len(kg) - {w - 1} + 1),
+        j -> list_reduce(range(j, j + {w}),
+             (acc, p) -> CASE WHEN kg[CAST(p AS INT)]
+                              <= kg[CAST(acc AS INT)]
+                         THEN p ELSE acc END))
+    WHEN len(kg) >= 1 THEN range(1::BIGINT, len(kg) + 1)
+    ELSE []::BIGINT[] END AS sel
+  FROM kgt
+),
+fps AS (
+  SELECT doc_id,
+    list_distinct(list_transform(list_distinct(sel),
+                                 p -> kg[CAST(p AS INT)])) AS fps
+  FROM selt
+),
+ex AS (
+  SELECT doc_id, unnest(fps) AS fp FROM fps WHERE len(fps) > 0
+),
+rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS dfc FROM ex GROUP BY 1)
+  WHERE dfc <= {df_cut}
+),
+idx AS (SELECT e.doc_id, e.fp FROM ex e JOIN rare USING (fp)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b USING (fp) WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(fa.fps, fb.fps))::BIGINT AS n_shared,
+    len(fa.fps)::BIGINT AS na, len(fb.fps)::BIGINT AS nb
+  FROM cand c
+  JOIN fps fa ON c.doc_a = fa.doc_id
+  JOIN fps fb ON c.doc_b = fb.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       (n_shared * 1000) // least(na, nb) AS overlap_milli
+FROM verified
+WHERE (n_shared * 1000) // least(na, nb) >= {overlap_milli}
+"""
