@@ -474,6 +474,23 @@ def main():
             ["conv_id", "rejected_idx", "chosen_idx", "gap_turns"],
         ),
     )
+    # session-resume round-4 additions: lexical retrieval (persisted
+    # tf shared by df + candidate join) and the winnowed-fingerprint
+    # index (the let-bound Catalyst fold — see winnow_fingerprints)
+    bench(
+        "ret_bm25_topk",
+        lambda: checksum(
+            entrymod.q_bm25_topk(spark, sf_dir),
+            ["qid", "doc_id", "n_terms", "score_milli", "rank"],
+        ),
+    )
+    bench(
+        "dedup_winnow_pairs",
+        lambda: checksum(
+            entrymod.q_winnow_pairs(spark, sf_dir),
+            ["doc_a", "doc_b", "n_shared", "overlap_milli"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -540,7 +557,7 @@ def main():
         "dedup_minhash_estimate", "cur_full_curation_v4",
         "text_bigram_lm", "cur_leakage_split",
         "cur_dsir_sample", "cur_decontaminate_spans",
-        "cur_full_curation_v5",
+        "cur_full_curation_v5", "ret_bm25_topk", "dedup_winnow_pairs",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the
