@@ -2062,6 +2062,60 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_docs(spark, sf_dir), overlap_milli=400)
 
 
+def q_full_curation_v6(spark, sf_dir):
+    """Composed curation v6: Unicode/whitespace NORMALIZE (over the
+    planted mess) -> exact dedup ON THE NORMALIZED text -> Gopher
+    rule gate -> per-source token budget. The point of the
+    composition: dedup keyed on canonicalized text collapses
+    byte-different same-rendering docs that raw-text dedup misses,
+    and every downstream stage (rules, token counts, budget order)
+    consumes the canonical form. Stages: one Arrow NFC pass + regex
+    chain (zero shuffle), one md5-keyed window, zero-shuffle rule
+    flags, one source-keyed budget window."""
+    from pyspark.sql import functions as F
+
+    from ci_log_processing_spark.operators.curation import (
+        token_budget_sample,
+    )
+    from ci_log_processing_spark.operators.dedup import (
+        exact_dedup_keep_first,
+    )
+    from ci_log_processing_spark.operators.textstats import (
+        attach_mess,
+        gopher_rules,
+        normalize_text,
+    )
+
+    docs = _docs(spark, sf_dir)
+    normed = normalize_text(attach_mess(docs))
+    nd = normed.select(
+        "doc_id", F.col("text_norm").alias("text")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    surv = exact_dedup_keep_first(nd, keep_cols=("text", "source")).drop(
+        "h"
+    )
+    # configured rule subset: the synthetic corpus has no English
+    # stopwords, so r_stopwords would zero the composition — real
+    # pipelines configure the rule set per corpus (Gopher itself
+    # tunes thresholds per source); all other rules stay on
+    kept = (
+        gopher_rules(surv, min_words=40)
+        .filter(
+            (F.col("r_word_count") == 1)
+            & (F.col("r_mean_word_len") == 1)
+            & (F.col("r_symbol") == 1)
+            & (F.col("r_bullet") == 1)
+            & (F.col("r_ellipsis") == 1)
+            & (F.col("r_alpha") == 1)
+        )
+        .select("doc_id")
+    )
+    sel = surv.join(kept, "doc_id")
+    return token_budget_sample(
+        sel, budget_tokens=600, seed="v6"
+    ).select("doc_id", "source", "n_tok", "cum_tok")
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -2742,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_vocab_stats": q_vocab_stats,
             "ret_bm25_topk": q_bm25_topk,
             "dedup_winnow_pairs": q_winnow_pairs,
+            "cur_full_curation_v6": q_full_curation_v6,
         }
     )
 
@@ -2999,6 +3054,9 @@ def oracle_sql() -> dict[str, str]:
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),
+            "cur_full_curation_v6": od.q_full_curation_v6(
+                budget=600, min_words=40, seed="v6"
+            ),
         }
     )
     return _never_verified_first(sqls)

@@ -2392,11 +2392,13 @@ def _gopher_flags_sql(
     max_words: int = 100000,
     min_mwl: float = 3.0,
     max_mwl: float = 10.0,
+    rel: str = "documents",
 ) -> str:
     """Shared per-document Gopher rule-flag derivation (twin of
     operators/textstats.py gopher_rules): same tokenization, same
     6-dp rounding BEFORE every threshold comparison, rule flags as
-    0/1 ints."""
+    0/1 ints. `rel` lets composed pipelines run the rules over an
+    upstream CTE (any relation with doc_id + text)."""
     w = _GOPHER_WORDS
     hits = " + ".join(
         f"CAST(list_contains(w, '{s}') AS INT)" for s in _GOPHER_STOPS
@@ -2408,7 +2410,7 @@ base AS (
          len(regexp_extract_all(text, '#')) +
          len(regexp_extract_all(text, '\\.\\.\\.')) +
          len(regexp_extract_all(text, '…')) AS n_sym
-  FROM documents
+  FROM {rel}
 ),
 m AS (
   SELECT doc_id,
@@ -3235,13 +3237,9 @@ GROUP BY doc_id
 """
 
 
-def q_normalize() -> str:
-    """normalize_text twin (operators/textstats.py): same planted
-    mess (attach_mess — decomposed accents, CRLF, NBSP, zero-width),
-    then DuckDB nfc_normalize standing in for Python unicodedata NFC
-    and the identical regexp chain (RE2 'g')."""
-    return """
-WITH messy AS (
+# attach_mess + NFC/whitespace normalization CTE pair, shared by
+# q_normalize and the composed q_full_curation_v6
+_NORMALIZE_CTES = """messy AS (
   SELECT doc_id,
     CASE CAST(doc_id % 4 AS INT)
       WHEN 0 THEN text || '  cafe' || chr(769) || chr(9) || 'ok'
@@ -3263,7 +3261,16 @@ normed AS (
         '[\\t\\r\\n\\x0B\\x0C]', ' ', 'g'),
       '  +', ' ', 'g')) AS text_norm
   FROM messy
-)
+)"""
+
+
+def q_normalize() -> str:
+    """normalize_text twin (operators/textstats.py): same planted
+    mess (attach_mess — decomposed accents, CRLF, NBSP, zero-width),
+    then DuckDB nfc_normalize standing in for Python unicodedata NFC
+    and the identical regexp chain (RE2 'g')."""
+    return f"""
+WITH {_NORMALIZE_CTES}
 SELECT doc_id, text_norm,
   text_norm <> mtext AS changed,
   length(text_norm) AS n_chars_norm
@@ -3458,4 +3465,45 @@ SELECT doc_a, doc_b, n_shared,
        (n_shared * 1000) // least(na, nb) AS overlap_milli
 FROM verified
 WHERE (n_shared * 1000) // least(na, nb) >= {overlap_milli}
+"""
+
+
+def q_full_curation_v6(
+    budget: int = 600, min_words: int = 40, seed: str = "v6"
+) -> str:
+    """Composed v6 twin: the shared normalize CTEs, keep-first dedup
+    on text_norm (same md5 window), the shared Gopher flag fragment
+    over the surviving relation, then the per-source token budget in
+    the identical (md5 seed, doc_id) admission order."""
+    flags = _gopher_flags_sql(min_words=min_words, rel="surv")
+    key = f"md5('{seed}' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH {_NORMALIZE_CTES},
+nd AS (
+  SELECT n.doc_id, n.text_norm AS text, d.source
+  FROM normed n JOIN documents d USING (doc_id)
+),
+surv AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM nd) WHERE rn = 1
+),{flags},
+sel AS (
+  -- configured rule subset (no r_stopwords — the synthetic corpus
+  -- has no English stopwords), mirroring the Spark composition
+  SELECT s.doc_id, s.text, s.source
+  FROM surv s JOIN flags f USING (doc_id)
+  WHERE f.r_word_count * f.r_mean_word_len * f.r_symbol *
+        f.r_bullet * f.r_ellipsis * f.r_alpha = 1
+)
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT doc_id, source,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+    CAST(sum(CAST(len({_TOKS}) AS BIGINT)) OVER (
+      PARTITION BY source ORDER BY {key}, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM sel)
+WHERE cum_tok <= {budget}
 """

@@ -196,3 +196,33 @@ def test_error_spike_mad_flags_burst_not_constant(spark):
     # dev == MAD == 0 hours must not divide-by-zero or flag
     flat = [r for r in out if r["subsystem"] == "flat"]
     assert all(r["mad_n"] == 0.0 and not r["is_spike"] for r in flat)
+
+
+def test_v6_normalized_dedup_collapses_whitespace_variants(spark):
+    """The composition's point: dedup keyed on CANONICAL text
+    collapses byte-different same-rendering docs raw dedup misses."""
+    from ci_log_processing_spark.operators.dedup import (
+        exact_dedup_keep_first,
+    )
+    from ci_log_processing_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello  world"),      # double space
+            (2, "hello world"),       # canonical
+            (3, "hello\tworld"),      # tab
+            (4, "different entirely"),
+        ],
+        "doc_id long, mtext string",
+    )
+    normed = normalize_text(docs).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    surv = exact_dedup_keep_first(normed)
+    ids = {r["doc_id"] for r in surv.collect()}
+    assert ids == {1, 4}  # 1/2/3 collapse to the lowest doc_id
+    # raw dedup would have kept all four
+    raw = exact_dedup_keep_first(
+        docs.select("doc_id", F.col("mtext").alias("text"))
+    )
+    assert raw.count() == 4
