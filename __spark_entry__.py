@@ -2116,6 +2116,17 @@ def q_full_curation_v6(spark, sf_dir):
     ).select("doc_id", "source", "n_tok", "cum_tok")
 
 
+def q_tool_arg_outcomes(spark, sf_dir):
+    """Per-(tool, argument) failure attribution (operators/
+    aggregate.py tool_arg_outcomes) — args= payload extraction +
+    next-turn outcome in the shared conv window."""
+    from ci_log_processing_spark.operators.aggregate import (
+        tool_arg_outcomes,
+    )
+
+    return tool_arg_outcomes(_routed(spark, sf_dir))
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -2797,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ret_bm25_topk": q_bm25_topk,
             "dedup_winnow_pairs": q_winnow_pairs,
             "cur_full_curation_v6": q_full_curation_v6,
+            "pipe_tool_arg_outcomes": q_tool_arg_outcomes,
         }
     )
 
@@ -3051,6 +3063,7 @@ def oracle_sql() -> dict[str, str]:
                 60_000.0, EPOCH_WEIGHTS, max_epochs=4.0
             ),
             "pipe_error_spike_mad": oracle.q_error_spike_mad(),
+            "pipe_tool_arg_outcomes": oracle.q_tool_arg_outcomes(),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

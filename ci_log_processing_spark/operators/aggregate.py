@@ -797,3 +797,74 @@ def error_spike_hours_mad(
         (F.col("_mad4") / 4).alias("mad_n"),
         (2 * F.col("_dev2") > 3 * F.col("_mad4")).alias("is_spike"),
     )
+
+
+def tool_arg_outcomes(df: DataFrame) -> DataFrame:
+    """Per-(tool, argument) next-turn outcome attribution — the
+    drill-down of tool_outcomes one level into the invocation
+    payload: WHICH argument values make a tool fail. The parse tier
+    already extracts the tool name (grok); this pulls the `args=`
+    field out of the invocation message with the same vectorized
+    regexp machinery (reference analog: logsender's field injection
+    builds exactly such per-field failure breakdowns in OpenSearch,
+    logscraper.py:171-249).
+
+    Calls whose message carries no args= field group under arg
+    '(none)' — absence of a payload is itself a signal worth a row.
+
+    Scale shape: identical to tool_outcomes — the lead() window
+    rides the conv_id exchange the pipeline already established, the
+    regexp runs per-row in codegen, then ONE partial+final aggregate
+    on (tool, arg); err_milli is exact integer division. Group count
+    is tools x distinct arg values — audit-table sized, never
+    corpus-sized (a web-scale run would cap arg cardinality with the
+    same df-cut pattern the dedup tier uses).
+
+    Output: (tool, arg, n_calls, n_errors, err_milli).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = (
+        df.filter(F.col("sink") != "drop_queue")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            "sink",
+            "message",
+            F.lead("sink").over(w).alias("next_sink"),
+        )
+        .filter(F.col("sink") == "tool_calls")
+        .select(
+            "tool",
+            F.when(
+                F.regexp_extract(F.col("message"), r"args=(\w+)", 1)
+                == "",
+                F.lit("(none)"),
+            )
+            .otherwise(
+                F.regexp_extract(F.col("message"), r"args=(\w+)", 1)
+            )
+            .alias("arg"),
+            F.coalesce(F.col("next_sink"), F.lit("terminal")).alias(
+                "outcome"
+            ),
+        )
+    )
+    return (
+        calls.groupBy("tool", "arg")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(
+                F.when(F.col("outcome") == "errors", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+        .select(
+            "tool",
+            "arg",
+            "n_calls",
+            "n_errors",
+            F.expr("(n_errors * 1000) div n_calls").alias("err_milli"),
+        )
+    )

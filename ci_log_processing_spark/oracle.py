@@ -1170,3 +1170,32 @@ SELECT d.subsystem, d.window_start, d.n,
        (2 * d.dev2 > 3 * m.mad4) AS is_spike
 FROM dev d JOIN mad m USING (subsystem)
 """
+
+
+def q_tool_arg_outcomes() -> str:
+    """tool_arg_outcomes twin (operators/aggregate.py): same
+    drop-queue pre-filter, lead(sink) in the conv window, args=
+    regexp with '(none)' fallback, exact integer err_milli."""
+    return pipeline_cte() + """,
+nxt AS (
+  SELECT tool, sink, message,
+         lead(sink) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_sink
+  FROM routed WHERE sink <> 'drop_queue'
+),
+calls AS (
+  SELECT tool,
+    CASE WHEN regexp_extract(message, 'args=(\\w+)', 1) = ''
+         THEN '(none)'
+         ELSE regexp_extract(message, 'args=(\\w+)', 1) END AS arg,
+    coalesce(next_sink, 'terminal') AS outcome
+  FROM nxt WHERE sink = 'tool_calls'
+)
+SELECT tool, arg,
+  count(*)::BIGINT AS n_calls,
+  sum(CASE WHEN outcome = 'errors' THEN 1 ELSE 0 END)::BIGINT
+    AS n_errors,
+  ((sum(CASE WHEN outcome = 'errors' THEN 1 ELSE 0 END)::BIGINT
+    * 1000) // count(*))::BIGINT AS err_milli
+FROM calls GROUP BY tool, arg
+"""

@@ -226,3 +226,42 @@ def test_v6_normalized_dedup_collapses_whitespace_variants(spark):
         docs.select("doc_id", F.col("mtext").alias("text"))
     )
     assert raw.count() == 4
+
+
+def test_tool_arg_outcomes_attribution(spark):
+    from ci_log_processing_spark.operators.aggregate import (
+        tool_arg_outcomes,
+    )
+
+    rows = [
+        # conv A: bash(args=x) -> errors ; bash(args=y) -> agent turn
+        ("A", 0, "bash", "tool_calls", "TOOL bash invoke args=x"),
+        ("A", 1, None, "errors", "boom"),
+        ("A", 2, "bash", "tool_calls", "TOOL bash invoke args=y"),
+        ("A", 3, None, "agent_turns", "ok"),
+        # conv B: bash(args=x) -> errors again; search no args, terminal
+        ("B", 0, "bash", "tool_calls", "TOOL bash invoke args=x"),
+        ("B", 1, None, "errors", "boom"),
+        ("B", 2, "search", "tool_calls", "TOOL search invoke"),
+        # drop_queue between call and next must NOT count as outcome
+        ("C", 0, "bash", "tool_calls", "TOOL bash invoke args=y"),
+        ("C", 1, None, "drop_queue", "noise"),
+        ("C", 2, None, "errors", "late boom"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool string, sink string,"
+        " message string",
+    )
+    out = {
+        (r["tool"], r["arg"]): r.asDict()
+        for r in tool_arg_outcomes(df).collect()
+    }
+    assert out[("bash", "x")]["n_calls"] == 2
+    assert out[("bash", "x")]["n_errors"] == 2
+    assert out[("bash", "x")]["err_milli"] == 1000
+    # conv C: drop_queue excluded pre-window -> next visible is errors
+    assert out[("bash", "y")]["n_calls"] == 2
+    assert out[("bash", "y")]["n_errors"] == 1
+    assert out[("bash", "y")]["err_milli"] == 500
+    assert out[("search", "(none)")]["n_errors"] == 0

@@ -174,6 +174,56 @@ def main():
             warmup=True,
         )
         from ci_log_processing_spark.operators import dedup as _dedup
+        from ci_log_processing_spark.operators.dedup import winnow_pairs
+        from ci_log_processing_spark.operators.retrieval import bm25_topk
+        from ci_log_processing_spark.operators.textstats import vocab_stats
+
+        # 8 query docs — on this uniform-vocabulary synthetic corpus
+        # every term is a stop-term (df ~ n_docs/5), so candidate
+        # volume is ~n_docs * |qterms| per query; the bounded query
+        # set keeps the leg a candidate-join measurement instead of
+        # an all-pairs blow-up (natural corpora rely on the Zipf df
+        # distribution + max_df_frac instead)
+        def _bm25():
+            q = corpus.filter(
+                F.col("doc_id") % max(n_docs // 8, 1) == 3
+            )
+            r = (
+                bm25_topk(corpus, q, k=10)
+                .select(
+                    F.bit_xor(
+                        F.xxhash64("qid", "doc_id", "score_milli")
+                    )
+                )
+                .collect()
+            )
+            _dedup.release_persisted()
+            return r
+
+        t("bm25", _bm25, warmup=True)
+
+        def _winnow():
+            r = (
+                winnow_pairs(corpus, overlap_milli=500)
+                .select(
+                    F.bit_xor(
+                        F.xxhash64("doc_a", "doc_b", "overlap_milli")
+                    )
+                )
+                .collect()
+            )
+            _dedup.release_persisted()
+            return r
+
+        t("winnow_pairs", _winnow, warmup=True)
+        t(
+            "vocab_stats",
+            lambda: vocab_stats(corpus)
+            .select(F.bit_xor(F.xxhash64("source", "n_types", "n_hapax")))
+            .collect(),
+            warmup=True,
+        )
+        from ci_log_processing_spark.operators import dedup as _dedup
 
         def _tfidf():
             r = (
