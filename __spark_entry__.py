@@ -2127,6 +2127,30 @@ def q_tool_arg_outcomes(spark, sf_dir):
     return tool_arg_outcomes(_routed(spark, sf_dir))
 
 
+def q_rl_trajectories(spark, sf_dir):
+    """Per-conversation RL trajectory export (operators/sft.py
+    rl_trajectories): ordered step strings + exact-integer terminal
+    reward."""
+    from ci_log_processing_spark.operators.sft import rl_trajectories
+
+    return rl_trajectories(_routed(spark, sf_dir))
+
+
+def q_quantile_norm(spark, sf_dir):
+    """Per-source quantile normalization of the heuristic quality
+    score (operators/curation.py quantile_normalize) — the
+    cross-source score calibration table."""
+    from ci_log_processing_spark.operators.curation import (
+        quantile_normalize,
+    )
+    from ci_log_processing_spark.operators.textstats import quality_scores
+
+    qs = quality_scores(_docs(spark, sf_dir), keep_cols=("source",))
+    return quantile_normalize(
+        qs.select("doc_id", "source", "quality"), score_col="quality"
+    )
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -2809,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_winnow_pairs": q_winnow_pairs,
             "cur_full_curation_v6": q_full_curation_v6,
             "pipe_tool_arg_outcomes": q_tool_arg_outcomes,
+            "cur_rl_trajectories": q_rl_trajectories,
+            "cur_quantile_norm": q_quantile_norm,
         }
     )
 
@@ -3064,6 +3090,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             "pipe_error_spike_mad": oracle.q_error_spike_mad(),
             "pipe_tool_arg_outcomes": oracle.q_tool_arg_outcomes(),
+            "cur_rl_trajectories": oracle.q_rl_trajectories(),
+            "cur_quantile_norm": od.q_quantile_norm(),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

@@ -1872,3 +1872,46 @@ def epoch_plan(
             6,
         ).alias("planned_tokens"),
     )
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Per-group quantile normalization of a score column: map each
+    document's score to its WITHIN-GROUP quantile rank in integer
+    milli units — q_milli = ((rank - 1) * n_buckets) div (n - 1)
+    (0 for the group's minimum, n_buckets for its maximum; a
+    singleton group maps to 0). The calibration step before mixing
+    quality scores across sources: raw scores are not comparable
+    between a code corpus and a web corpus, their quantiles are —
+    "keep the top 20% of EACH source" needs exactly this table.
+
+    Rank order is (score, doc_id) — fully deterministic under ties,
+    so both engines produce identical ranks with no float tolerance
+    anywhere.
+
+    Scale shape: ONE group-keyed window exchange (rank + group count
+    share it); per-group window state is the group's rows — the same
+    class as calibrated_quality_gate, which this generalizes.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    wg = Window.partitionBy(group_col)
+    ranked = docs.select(
+        id_col,
+        group_col,
+        score_col,
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    q = F.when(F.col("_n") > 1,
+        F.expr(f"((_rk - 1) * {int(n_buckets)}) div (_n - 1)")
+    ).otherwise(F.lit(0).cast("long"))
+    return ranked.select(
+        id_col, group_col, score_col, q.alias("q_milli")
+    )

@@ -223,3 +223,68 @@ def preference_pairs(routed: DataFrame) -> DataFrame:
             .alias("gap_turns"),
         )
     )
+
+
+def rl_trajectories(df: DataFrame) -> DataFrame:
+    """Per-conversation trajectory export for RL/agent training: the
+    ordered (role:tool:sink) step sequence of every conversation's
+    VISIBLE turns plus step counts and an exact-integer terminal
+    reward — the serialization an offline-RL/agent-distillation
+    stack consumes (trajectory, return) per episode.
+
+    reward_milli = ((n_steps - n_errors) * 1000) div n_steps — the
+    error-free step fraction in exact integer division (a policy-
+    gradient consumer can rescale; the point is both engines agree
+    bit-for-bit).
+
+    Order is forced, not assumed: collect_list is shuffle-order-
+    unstable, so steps collect as (turn_idx, step) structs, are
+    array_sort-ed (struct order = field order, turn_idx first,
+    turn_idx unique per conv), then projected to the step strings —
+    the same force-the-order trick as the pipeline's stable turn
+    ordering. One conv-keyed aggregate riding the pipeline's
+    existing conv_id partitioning; per-group state is one
+    conversation's turns, bounded by max transcript length.
+
+    Output: (conv_id, n_steps, n_tool_calls, n_errors,
+    reward_milli, traj) — traj is the '|'-joined step string (flat
+    string, not array, so the driver's order-insensitive value hash
+    can compare it cell-for-cell against the oracle).
+    """
+    step = F.concat_ws(
+        ":",
+        F.col("role"),
+        F.coalesce(F.col("tool"), F.lit("-")),
+        F.col("sink"),
+    )
+    agg = (
+        df.filter(F.col("sink") != "drop_queue")
+        .select(
+            "conv_id",
+            F.struct(F.col("turn_idx"), step.alias("s")).alias("_st"),
+            F.col("sink"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum(
+                F.when(F.col("sink") == "tool_calls", 1).otherwise(0)
+            ).alias("n_tool_calls"),
+            F.sum(
+                F.when(F.col("sink") == "errors", 1).otherwise(0)
+            ).alias("n_errors"),
+            F.array_sort(F.collect_list("_st")).alias("_steps"),
+        )
+    )
+    return agg.select(
+        "conv_id",
+        "n_steps",
+        "n_tool_calls",
+        "n_errors",
+        F.expr("((n_steps - n_errors) * 1000) div n_steps").alias(
+            "reward_milli"
+        ),
+        F.array_join(
+            F.transform(F.col("_steps"), lambda s: s["s"]), "|"
+        ).alias("traj"),
+    )

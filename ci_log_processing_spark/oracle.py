@@ -1199,3 +1199,29 @@ SELECT tool, arg,
     * 1000) // count(*))::BIGINT AS err_milli
 FROM calls GROUP BY tool, arg
 """
+
+
+def q_rl_trajectories() -> str:
+    """rl_trajectories twin (operators/sft.py): visible turns only,
+    role:tool:sink steps ordered by turn_idx (list(... ORDER BY) vs
+    Spark's sort-the-collected-structs — the hash equality proves
+    the force-the-order trick), exact-integer reward_milli."""
+    return pipeline_cte() + """,
+vis AS (
+  SELECT conv_id, turn_idx,
+         role || ':' || coalesce(tool, '-') || ':' || sink AS s,
+         sink
+  FROM routed WHERE sink <> 'drop_queue'
+)
+SELECT conv_id,
+  count(*)::BIGINT AS n_steps,
+  sum(CASE WHEN sink = 'tool_calls' THEN 1 ELSE 0 END)::BIGINT
+    AS n_tool_calls,
+  sum(CASE WHEN sink = 'errors' THEN 1 ELSE 0 END)::BIGINT
+    AS n_errors,
+  (((count(*) -
+     sum(CASE WHEN sink = 'errors' THEN 1 ELSE 0 END)::BIGINT)
+    * 1000) // count(*))::BIGINT AS reward_milli,
+  string_agg(s, '|' ORDER BY turn_idx) AS traj
+FROM vis GROUP BY conv_id
+"""

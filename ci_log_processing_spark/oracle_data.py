@@ -3507,3 +3507,27 @@ SELECT doc_id, source, n_tok, cum_tok FROM (
   FROM sel)
 WHERE cum_tok <= {budget}
 """
+
+
+def q_quantile_norm(n_buckets: int = 1000) -> str:
+    """quantile_normalize twin (operators/curation.py) over the
+    q_quality scores: identical (score, doc_id) rank order, exact
+    integer bucket division, singleton groups at 0."""
+    return f"""
+WITH q AS ({q_quality()}),
+j AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, quality,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY quality, doc_id) AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT doc_id, source, quality,
+  CAST(CASE WHEN n > 1 THEN ((rk - 1) * {int(n_buckets)}) // (n - 1)
+       ELSE 0 END AS BIGINT) AS q_milli
+FROM r
+"""
