@@ -2151,6 +2151,59 @@ def q_quantile_norm(spark, sf_dir):
     )
 
 
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (operators/dedup.py
+    cross_source_dup_matrix) over the ngram-jaccard pair table —
+    the per-(source_a, source_b) mixture-overlap diagnostic."""
+    from ci_log_processing_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        ngram_jaccard_pairs,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6)
+    return cross_source_dup_matrix(pairs, _docs(spark, sf_dir))
+
+
+def q_zorder_audit(spark, sf_dir):
+    """Z-order vs linear layout file-skipping audit
+    (operators/layout.py zorder_layout_audit) on documents with
+    x=n_chars, y=doc_id and a fixed probe rectangle."""
+    from ci_log_processing_spark.operators.layout import (
+        zorder_layout_audit,
+    )
+
+    return zorder_layout_audit(
+        _docs(spark, sf_dir),
+        "n_chars",
+        "doc_id",
+        bits=8,
+        bucket_bits=6,
+        probe=(150, 300, 100, 250),
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle over the raw events table
+    (operators/aggregate.py retention_cohorts)."""
+    from ci_log_processing_spark.operators.aggregate import (
+        retention_cohorts,
+    )
+
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    out = retention_cohorts(events, horizon_days=90)
+    # date -> ISO string for the driver's stringified value compare
+    # (pandas renders a DuckDB DATE as a midnight timestamp)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
+
+
 # --- driver contract ----------------------------------------------------
 
 
@@ -2835,6 +2888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_tool_arg_outcomes": q_tool_arg_outcomes,
             "cur_rl_trajectories": q_rl_trajectories,
             "cur_quantile_norm": q_quantile_norm,
+            "dedup_cross_source_matrix": q_cross_source_dup_matrix,
+            "cur_zorder_audit": q_zorder_audit,
+            "evt_retention_cohorts": q_retention_cohorts,
         }
     )
 
@@ -3092,6 +3148,13 @@ def oracle_sql() -> dict[str, str]:
             "pipe_tool_arg_outcomes": oracle.q_tool_arg_outcomes(),
             "cur_rl_trajectories": oracle.q_rl_trajectories(),
             "cur_quantile_norm": od.q_quantile_norm(),
+            "dedup_cross_source_matrix": od.q_cross_source_dup_matrix(
+                0.6
+            ),
+            "cur_zorder_audit": od.q_zorder_audit(
+                "n_chars", bits=8, bucket_bits=6, probe=(150, 300, 100, 250)
+            ),
+            "evt_retention_cohorts": oracle.q_retention_cohorts(90),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

@@ -868,3 +868,44 @@ def tool_arg_outcomes(df: DataFrame) -> DataFrame:
             F.expr("(n_errors * 1000) div n_calls").alias("err_milli"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 90,
+) -> DataFrame:
+    """Cohort retention over the events table: cohort = each user's
+    first-seen calendar day; for every (cohort_day, day_offset) cell,
+    how many of that cohort's users were active `day_offset` days
+    after joining. The classic triangle the product side reads off
+    the same telemetry the pipeline ingests.
+
+    Scale shape: ONE user-keyed exchange — groupBy(user) collects
+    min(day) and the distinct active-day set in the same partial
+    aggregate (per-user state is bounded by horizon_days after the
+    post-agg filter; the collect_set itself is bounded by the
+    retention horizon because offsets past it are dropped before the
+    final rollup) — then explode + a partial-aggregated rollup onto
+    the cohort × horizon matrix (≤ days × horizon rows, broadcast-
+    trivial). Each user contributes at most one row per cell because
+    the day set is distinct, so count(*) IS count(distinct user).
+    No join-back, no second user shuffle, no window.
+    """
+    days = F.collect_set(F.to_date(F.col(ts_col))).alias("_days")
+    per_user = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.to_date(F.col(ts_col))).alias("cohort_day"), days
+    )
+    offsets = per_user.select(
+        "cohort_day",
+        F.explode("_days").alias("_d"),
+    ).select(
+        "cohort_day",
+        F.datediff(F.col("_d"), F.col("cohort_day")).alias("day_offset"),
+    )
+    return (
+        offsets.filter(F.col("day_offset") <= horizon_days)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

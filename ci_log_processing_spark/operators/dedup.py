@@ -1596,3 +1596,49 @@ def winnow_pairs(
         )
         .filter(F.col("overlap_milli") >= overlap_milli)
     )
+
+
+def cross_source_dup_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source duplication matrix: label a duplicate-PAIR table
+    (any of this module's pair generators — exact, minhash, ngram
+    jaccard, simhash, winnowing) with each side's corpus source and
+    count pairs per unordered (source_a, source_b) cell. The mixture
+    diagnostic every multi-source pretraining corpus needs: "how much
+    of source A is a near-copy of source B" decides which source's
+    copy survives dedup and how much unique mass each source really
+    contributes (cf. overlap audits in Gao 2020 'The Pile' app. C).
+
+    The cell is canonicalized with least/greatest so (A,B) and (B,A)
+    accumulate together; the diagonal counts intra-source pairs.
+
+    Scale shape: two doc-keyed joins of the pair table against the
+    (doc_id, source) projection — pair-sized shuffles on the same
+    key the pair generators already shuffle on — then a partial-
+    aggregated rollup onto a |sources|^2-bounded matrix. Nothing
+    corpus-sized crosses the network after the joins; the matrix
+    itself is broadcast-trivial.
+    """
+    meta_a = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(group_col).alias("_ga")
+    )
+    meta_b = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(group_col).alias("_gb")
+    )
+    labeled = (
+        pairs.select("doc_a", "doc_b")
+        .join(meta_a, "doc_a")
+        .join(meta_b, "doc_b")
+    )
+    return (
+        labeled.select(
+            F.least("_ga", "_gb").alias("source_a"),
+            F.greatest("_ga", "_gb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1225,3 +1225,24 @@ SELECT conv_id,
   string_agg(s, '|' ORDER BY turn_idx) AS traj
 FROM vis GROUP BY conv_id
 """
+
+
+def q_retention_cohorts(horizon_days: int = 90) -> str:
+    """retention_cohorts twin (operators/aggregate.py): distinct
+    active days per user, cohort = min day, (cohort, offset) rollup;
+    count(*) == count(distinct user) because the day set is distinct
+    per user."""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+f AS (
+  SELECT user_id, min(d) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+  CAST(date_diff('day', f.cohort_day, d.d) AS BIGINT) AS day_offset,
+  count(*)::BIGINT AS n_users
+FROM d JOIN f USING (user_id)
+WHERE date_diff('day', f.cohort_day, d.d) <= {int(horizon_days)}
+GROUP BY 1, 2
+"""

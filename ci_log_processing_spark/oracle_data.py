@@ -3531,3 +3531,77 @@ SELECT doc_id, source, quality,
        ELSE 0 END AS BIGINT) AS q_milli
 FROM r
 """
+
+
+def q_cross_source_dup_matrix(
+    threshold: float = 0.6, df_cut: int = 128
+) -> str:
+    """cross_source_dup_matrix twin (operators/dedup.py): the ngram-
+    jaccard pair query verbatim as a CTE, each side joined to its
+    source, least/greatest cell canonicalization."""
+    return f"""
+WITH pairs AS ({q_dedup_ngram_jaccard(threshold, df_cut)})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+def _morton_sql(rx: str, ry: str, bits: int) -> str:
+    """The same static interleave expression zorder_key builds as a
+    Catalyst tree, rendered as DuckDB bit arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({rx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ry} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder_audit(
+    x_col: str = "n_chars",
+    bits: int = 8,
+    bucket_bits: int = 6,
+    probe: tuple = (150, 300, 100, 250),
+) -> str:
+    """zorder_layout_audit twin (operators/layout.py) over documents
+    with x = n_chars, y = doc_id: identical global-min/max integer
+    rescale, Morton interleave, top-bit bucket assignment for both
+    layouts, min/max audit + probe-rectangle overlap flag."""
+    top = (1 << bits) - 1
+    x_lo, x_hi, y_lo, y_hi = (int(v) for v in probe)
+    return f"""
+WITH t AS (
+  SELECT CAST({x_col} AS BIGINT) AS x, CAST(doc_id AS BIGINT) AS y
+  FROM documents
+),
+b AS (
+  SELECT min(x) mnx, max(x) mxx, min(y) mny, max(y) mxy FROM t
+),
+r AS (
+  SELECT x, y,
+    ((x - mnx) * {top}) // greatest(mxx - mnx, 1) AS rx,
+    ((y - mny) * {top}) // greatest(mxy - mny, 1) AS ry
+  FROM t, b
+),
+k AS (
+  SELECT x, y, rx, ({_morton_sql('rx', 'ry', bits)}) AS z FROM r
+),
+layouts AS (
+  SELECT 'zorder' AS layout, z >> {2 * bits - bucket_bits} AS bucket,
+         x, y FROM k
+  UNION ALL
+  SELECT 'linear' AS layout, rx >> {bits - bucket_bits} AS bucket,
+         x, y FROM k
+)
+SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+  count(*)::BIGINT AS n_rows,
+  min(x) AS min_x, max(x) AS max_x,
+  min(y) AS min_y, max(y) AS max_y,
+  (min(x) <= {x_hi} AND max(x) >= {x_lo}
+   AND min(y) <= {y_hi} AND max(y) >= {y_lo}) AS overlaps_probe
+FROM layouts GROUP BY 1, 2
+"""
