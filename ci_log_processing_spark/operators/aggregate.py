@@ -909,3 +909,56 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def log_templates(
+    routed: DataFrame,
+    message_col: str = "message",
+    min_count: int = 1,
+) -> DataFrame:
+    """Drain-style log template mining (He 2017): collapse every
+    whitespace-delimited token containing a digit to '<*>' and group
+    identical masked messages — 'added port 808' / 'added port 1336'
+    become one 'added port <*>' template with a count. The log-
+    analytics primitive the reference's per-index browsing never had:
+    a 10^12-turn corpus usually holds only thousands of templates,
+    so this is the first query an operator runs on a new log source
+    (reference parity: logsender ships raw lines, logscraper/README
+    describes per-field browsing — template induction is the missing
+    rollup).
+
+    The mask is ONE regexp_replace over the whole message ('\\S*[0-9]
+    \\S*' -> '<*>'): a single whole-stage-codegen regex pass, not a
+    per-token higher-order lambda (interpreted per element) and not a
+    UDF. Digit-class is written [0-9] so Java and RE2/DuckDB agree on
+    non-ASCII digits.
+
+    Scale shape: zero-shuffle projection, then one template-keyed
+    partial+final aggregate; count(distinct conv_id) expands in the
+    same exchange. Output is template-cardinality-sized (thousands),
+    so the shuffled volume after partial agg is tiny at any corpus
+    size.
+
+    Output: (template, n_msgs, n_convs, example) with example =
+    min(message) for determinism.
+    """
+    vis = routed.filter(F.col("sink") != "drop_queue")
+    template = F.regexp_replace(
+        F.col(message_col), r"\S*[0-9]\S*", "<*>"
+    )
+    out = (
+        vis.select(
+            template.alias("template"),
+            F.col(message_col).alias("_m"),
+            "conv_id",
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min("_m").alias("example"),
+        )
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_msgs") >= min_count)
+    return out

@@ -1642,3 +1642,60 @@ def cross_source_dup_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def conv_dedup(routed: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup: fingerprint every conversation
+    by the md5 of its VISIBLE turn messages in turn order (joined on
+    the unit separator \\x1f, which cannot appear in parsed message
+    text) and mark one keeper per fingerprint — whole-transcript
+    dedup, the unit a training pipeline actually drops (two
+    conversations that replay the same session byte-for-byte), as
+    opposed to the document/turn-level dedup the rest of this module
+    does.
+
+    Turn order is forced the same way rl_trajectories does it:
+    collect (turn_idx, message) structs, array_sort (turn_idx first,
+    unique per conv), project to messages — collect_list alone is
+    shuffle-order-unstable. Keeper choice is min conv_id within the
+    fingerprint: deterministic under any execution order.
+
+    Scale shape: one conv-keyed aggregate (rides the pipeline's
+    existing conv_id partitioning; per-group state is one transcript)
+    producing a conversation-count-sized table, then one fp-keyed
+    window over THAT (rank + copy count share the exchange). Nothing
+    turn-sized crosses the second shuffle.
+
+    Output: (conv_id, fp, n_turns, n_copies, keeper).
+    """
+    vis = routed.filter(F.col("sink") != "drop_queue")
+    per_conv = (
+        vis.select(
+            "conv_id",
+            F.struct(F.col("turn_idx"), F.col("message").alias("m")).alias(
+                "_tm"
+            ),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        F.array_sort(F.collect_list("_tm")),
+                        lambda s: s["m"],
+                    ),
+                ).cast("binary")
+            ).alias("fp"),
+        )
+    )
+    wf = Window.partitionBy("fp").orderBy("conv_id")
+    wc = Window.partitionBy("fp")
+    return per_conv.select(
+        "conv_id",
+        "fp",
+        "n_turns",
+        F.count(F.lit(1)).over(wc).alias("n_copies"),
+        (F.row_number().over(wf) == 1).alias("keeper"),
+    )
