@@ -2184,6 +2184,68 @@ def q_zorder_audit(spark, sf_dir):
     )
 
 
+def q_log_templates(spark, sf_dir):
+    """Drain-style log template mining over routed visible turns
+    (operators/aggregate.py log_templates)."""
+    from ci_log_processing_spark.operators.aggregate import log_templates
+
+    return log_templates(_routed(spark, sf_dir))
+
+
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup by ordered-turn fingerprint
+    (operators/dedup.py conv_dedup)."""
+    from ci_log_processing_spark.operators.dedup import conv_dedup
+
+    return conv_dedup(_routed(spark, sf_dir))
+
+
+def q_stream_templates(spark, sf_dir):
+    """Streaming template monitor (streaming/template_stream.py):
+    routed turns arrive as TWO conv-disjoint micro-batches (waves
+    split by ascii parity of the conv_id's last char, so per-conv
+    counts stay mergeable), per-batch template partials sum-merge,
+    and the merged table must hash-equal the single-pass miner plus
+    the first-seen-batch attribution column."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.template_stream import (
+        run_streaming_templates,
+    )
+
+    turns = _routed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "message", "sink"
+    )
+    parity = F.ascii(F.substring(F.col("conv_id"), -1, 1)) % 2
+    work = tempfile.mkdtemp(prefix="gate_stmpl_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+
+        def _write_wave(df, name, mtime):
+            tmp = os.path.join(work, "w_" + name)
+            df.coalesce(1).write.parquet(tmp)
+            pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(in_dir, name + ".parquet")
+            shutil.copy(os.path.join(tmp, pq[0]), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_wave(turns.filter(parity == 0), "w0", 1_000_000)
+        _write_wave(turns.filter(parity == 1), "w1", 2_000_000)
+        out = run_streaming_templates(
+            spark, in_dir, os.path.join(work, "out")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "template string, n_msgs long, n_convs long, example string, "
+        "first_batch long",
+    )
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention triangle over the raw events table
     (operators/aggregate.py retention_cohorts)."""
@@ -2891,6 +2953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_cross_source_matrix": q_cross_source_dup_matrix,
             "cur_zorder_audit": q_zorder_audit,
             "evt_retention_cohorts": q_retention_cohorts,
+            "pipe_log_templates": q_log_templates,
+            "pipe_conv_dedup": q_conv_dedup,
+            "stream_template_novelty": q_stream_templates,
         }
     )
 
@@ -3155,6 +3220,9 @@ def oracle_sql() -> dict[str, str]:
                 "n_chars", bits=8, bucket_bits=6, probe=(150, 300, 100, 250)
             ),
             "evt_retention_cohorts": oracle.q_retention_cohorts(90),
+            "pipe_log_templates": oracle.q_log_templates(),
+            "pipe_conv_dedup": oracle.q_conv_dedup(),
+            "stream_template_novelty": oracle.q_stream_templates(),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

@@ -491,6 +491,31 @@ def main():
             ["doc_a", "doc_b", "n_shared", "overlap_milli"],
         ),
     )
+    # late round-4 additions: template mining (one codegen regex pass
+    # + template-keyed agg), the Z-order skipping audit (2 scans, one
+    # tiny exchange), and conversation-level dedup (conv-keyed agg +
+    # fp-keyed window)
+    bench(
+        "pipe_log_templates",
+        lambda: checksum(
+            entrymod.q_log_templates(spark, sf_dir),
+            ["template", "n_msgs", "n_convs"],
+        ),
+    )
+    bench(
+        "cur_zorder_audit",
+        lambda: checksum(
+            entrymod.q_zorder_audit(spark, sf_dir),
+            ["layout", "bucket", "n_rows", "min_x", "max_y"],
+        ),
+    )
+    bench(
+        "pipe_conv_dedup",
+        lambda: checksum(
+            entrymod.q_conv_dedup(spark, sf_dir),
+            ["conv_id", "fp", "n_copies", "keeper"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -558,6 +583,7 @@ def main():
         "text_bigram_lm", "cur_leakage_split",
         "cur_dsir_sample", "cur_decontaminate_spans",
         "cur_full_curation_v5", "ret_bm25_topk", "dedup_winnow_pairs",
+        "pipe_log_templates", "cur_zorder_audit", "pipe_conv_dedup",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

@@ -1246,3 +1246,55 @@ FROM d JOIN f USING (user_id)
 WHERE date_diff('day', f.cohort_day, d.d) <= {int(horizon_days)}
 GROUP BY 1, 2
 """
+
+
+def q_log_templates(min_count: int = 1) -> str:
+    """log_templates twin (operators/aggregate.py): identical
+    [0-9]-token mask via RE2 regexp_replace with the 'g' flag."""
+    having = f"HAVING count(*) >= {int(min_count)}" if min_count > 1 else ""
+    return pipeline_cte() + f"""
+SELECT regexp_replace(message, '\\S*[0-9]\\S*', '<*>', 'g')
+         AS template,
+       count(*)::BIGINT AS n_msgs,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       min(message) AS example
+FROM routed WHERE sink <> 'drop_queue'
+GROUP BY 1 {having}
+"""
+
+
+def q_conv_dedup() -> str:
+    """conv_dedup twin (operators/dedup.py): md5 over the ordered
+    \\x1f-joined visible messages (string_agg ORDER BY vs Spark's
+    sorted-struct collect — hash equality proves the ordering),
+    min-conv_id keeper, per-fp copy count."""
+    return pipeline_cte() + """,
+per_conv AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_turns,
+         md5(string_agg(message, chr(31) ORDER BY turn_idx)) AS fp
+  FROM routed WHERE sink <> 'drop_queue'
+  GROUP BY conv_id
+)
+SELECT conv_id, fp, n_turns,
+  count(*) OVER (PARTITION BY fp)::BIGINT AS n_copies,
+  (row_number() OVER (PARTITION BY fp ORDER BY conv_id) = 1)
+    AS keeper
+FROM per_conv
+"""
+
+
+def q_stream_templates() -> str:
+    """run_streaming_templates twin: the single-pass template miner
+    plus the first-seen-batch column, reproducing the gate's wave
+    rule (batch 0 = conv_ids whose last-char ascii is even)."""
+    return pipeline_cte() + """
+SELECT regexp_replace(message, '\\S*[0-9]\\S*', '<*>', 'g')
+         AS template,
+       count(*)::BIGINT AS n_msgs,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       min(message) AS example,
+       min(ascii(right(conv_id, 1)) % 2)::BIGINT AS first_batch
+FROM routed WHERE sink <> 'drop_queue'
+GROUP BY 1
+"""

@@ -684,3 +684,78 @@ def test_streaming_drift_equals_batch_and_survives_replay(spark, tmp_path):
         spark, str(in_dir), ref_dir, out_dir
     ).collect()
     assert sorted(again, key=key) == sorted(want, key=key)
+
+
+def test_streaming_templates_equals_batch_and_survives_replay(
+    spark, tmp_path
+):
+    """The merged streamed template table must equal the single-pass
+    batch miner (with conv-disjoint waves so n_convs sums exactly),
+    first_batch must attribute novelty to the wave that introduced
+    the template, and a full replay (fresh checkpoint, same output
+    dir) must leave the answer unchanged."""
+    import shutil
+
+    from ci_log_processing_spark.operators.aggregate import log_templates
+    from ci_log_processing_spark.streaming.template_stream import (
+        run_streaming_templates,
+    )
+
+    rows = [
+        # conv A/B -> wave 0; conv C -> wave 1
+        ("A", 0, "added port 808", "agent_turns"),
+        ("A", 1, "boot time 14s", "agent_turns"),
+        ("B", 0, "added port 9", "agent_turns"),
+        ("B", 1, "junk 5", "drop_queue"),
+        ("C", 0, "added port 1336", "agent_turns"),
+        ("C", 1, "segfault at 0xdead", "errors"),  # novel in wave 1
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, message string, sink string"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for w, (convs, mt) in enumerate(
+        [(["A", "B"], 1_000_000), (["C"], 2_000_000)]
+    ):
+        tmp = str(tmp_path / f"w_{w}")
+        turns.filter(F.col("conv_id").isin(convs)).coalesce(
+            1
+        ).write.parquet(tmp)
+        pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        dst = str(in_dir / f"w{w}.parquet")
+        shutil.copy(os.path.join(tmp, pq[0]), dst)
+        os.utime(dst, (mt, mt))
+
+    out_dir = str(tmp_path / "out")
+    got = {
+        r.template: r
+        for r in run_streaming_templates(
+            spark, str(in_dir), out_dir
+        ).collect()
+    }
+    want = {
+        r.template: r for r in log_templates(turns).collect()
+    }
+    assert set(got) == set(want)
+    for t, w in want.items():
+        g = got[t]
+        assert (g.n_msgs, g.n_convs, g.example) == (
+            w.n_msgs, w.n_convs, w.example,
+        )
+    # the template present in both waves first appeared in batch 0;
+    # the wave-1-only template is NOVEL in batch 1
+    assert got["added port <*>"].first_batch == 0
+    assert got["added port <*>"].n_convs == 3
+    assert got["segfault at <*>"].first_batch == 1
+
+    # full replay: wipe only the checkpoint; batch-addressed
+    # overwrite must keep counts from doubling
+    shutil.rmtree(os.path.join(out_dir, "_stream_ckpt"))
+    again = {
+        r.template: r.n_msgs
+        for r in run_streaming_templates(
+            spark, str(in_dir), out_dir
+        ).collect()
+    }
+    assert again == {t: r.n_msgs for t, r in want.items()}

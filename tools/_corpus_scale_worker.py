@@ -223,6 +223,43 @@ def main():
             .collect(),
             warmup=True,
         )
+        from ci_log_processing_spark.operators.aggregate import (
+            log_templates,
+        )
+        from ci_log_processing_spark.operators.layout import (
+            zorder_layout_audit,
+        )
+
+        # routed-shaped view of the corpus: one visible turn per doc
+        routed_like = corpus.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.col("text").alias("message"),
+            F.lit("agent_turns").alias("sink"),
+        )
+        t(
+            "log_templates",
+            lambda: log_templates(routed_like)
+            .select(F.bit_xor(F.xxhash64("template", "n_msgs", "n_convs")))
+            .collect(),
+            warmup=True,
+        )
+        zin = corpus.select(
+            "doc_id", F.length("text").alias("n_chars")
+        )
+        t(
+            "zorder_audit",
+            lambda: zorder_layout_audit(
+                zin, "n_chars", "doc_id", probe=(0, 100, 0, 1000)
+            )
+            .select(
+                F.bit_xor(
+                    F.xxhash64("layout", "bucket", "n_rows", "min_x")
+                )
+            )
+            .collect(),
+            warmup=True,
+        )
         from ci_log_processing_spark.operators import dedup as _dedup
 
         def _tfidf():
