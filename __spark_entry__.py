@@ -2116,6 +2116,62 @@ def q_full_curation_v6(spark, sf_dir):
     ).select("doc_id", "source", "n_tok", "cum_tok")
 
 
+def q_full_curation_v7(spark, sf_dir):
+    """Composed curation v7: heuristic quality -> per-source
+    QUANTILE-CALIBRATED gate (keep each source's top 20% — the
+    cross-source calibration raw thresholds get wrong) -> SoftDeDup
+    reweighting of the survivors -> per-source soft token budget.
+    Stages: zero-shuffle quality projection, one source-keyed window
+    (rank+count), one md5-keyed cluster window, one source-keyed
+    budget window."""
+    from ci_log_processing_spark.operators.curation import (
+        quantile_normalize,
+        softdedup_weights,
+        token_budget_sample,
+    )
+    from ci_log_processing_spark.operators.textstats import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    qs = quality_scores(docs, keep_cols=("source",))
+    qn = quantile_normalize(
+        qs.select("doc_id", "source", "quality"), score_col="quality"
+    )
+    kept = docs.select("doc_id", "source", "text").join(
+        qn.filter(F.col("q_milli") >= 800).select("doc_id"), "doc_id"
+    )
+    w = softdedup_weights(kept).select(
+        "doc_id", "weighted_tokens_milli"
+    )
+    sel = kept.select("doc_id", "source").join(w, "doc_id")
+    return token_budget_sample(
+        sel,
+        budget_tokens=200_000,
+        n_tok_col="weighted_tokens_milli",
+        seed="v7",
+    ).select("doc_id", "source", "n_tok", "cum_tok")
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel over raw events
+    (operators/aggregate.py event_funnel)."""
+    from ci_log_processing_spark.operators.aggregate import event_funnel
+
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return event_funnel(events)
+
+
+def q_k_anon_audit(spark, sf_dir):
+    """k-anonymity audit over (source, lang, length-bucket)
+    quasi-identifiers (operators/curation.py k_anonymity_audit)."""
+    from ci_log_processing_spark.operators.curation import (
+        k_anonymity_audit,
+    )
+
+    return k_anonymity_audit(_docs(spark, sf_dir), k=5)
+
+
 def q_tool_arg_outcomes(spark, sf_dir):
     """Per-(tool, argument) failure attribution (operators/
     aggregate.py tool_arg_outcomes) — args= payload extraction +
@@ -2956,6 +3012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_log_templates": q_log_templates,
             "pipe_conv_dedup": q_conv_dedup,
             "stream_template_novelty": q_stream_templates,
+            "cur_full_curation_v7": q_full_curation_v7,
+            "evt_funnel_steps": q_event_funnel,
+            "cur_k_anon_audit": q_k_anon_audit,
         }
     )
 
@@ -3223,6 +3282,11 @@ def oracle_sql() -> dict[str, str]:
             "pipe_log_templates": oracle.q_log_templates(),
             "pipe_conv_dedup": oracle.q_conv_dedup(),
             "stream_template_novelty": oracle.q_stream_templates(),
+            "cur_full_curation_v7": od.q_full_curation_v7(
+                budget_milli=200_000, cut_milli=800, seed="v7"
+            ),
+            "evt_funnel_steps": od.q_event_funnel(),
+            "cur_k_anon_audit": od.q_k_anon_audit(k=5, bucket_width=100),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

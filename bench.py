@@ -516,6 +516,13 @@ def main():
             ["conv_id", "fp", "n_copies", "keeper"],
         ),
     )
+    bench(
+        "cur_full_curation_v7",
+        lambda: checksum(
+            entrymod.q_full_curation_v7(spark, sf_dir),
+            ["doc_id", "source", "n_tok", "cum_tok"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -584,6 +591,7 @@ def main():
         "cur_dsir_sample", "cur_decontaminate_spans",
         "cur_full_curation_v5", "ret_bm25_topk", "dedup_winnow_pairs",
         "pipe_log_templates", "cur_zorder_audit", "pipe_conv_dedup",
+        "cur_full_curation_v7",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

@@ -962,3 +962,75 @@ def log_templates(
     if min_count > 1:
         out = out.filter(F.col("n_msgs") >= min_count)
     return out
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel over raw events: step i counts the
+    users whose FIRST qualifying step-i event happens at-or-after
+    their first qualifying step-(i-1) event — the sequential rule
+    (ClickHouse windowFunnel semantics without the window bound)
+    that distinguishes a real view→click→purchase path from a user
+    who purchased before ever viewing.
+
+    Scale shape: one user-keyed min-aggregate per step over the
+    TYPE-FILTERED events (the equality predicate pushes to the scan;
+    each subsequent join is user-keyed against the shrinking
+    prior-step user table, AQE broadcasts it once it fits), then a
+    union of one-row counts and a lag window over the |steps|-row
+    result. Nothing event-sized survives past the per-step
+    aggregates.
+
+    Output: (step, step_name, n_users, conv_milli) where conv_milli
+    = (n_users * 1000) div previous step's n_users (NULL for step 1).
+    """
+    if len(steps) < 2:
+        raise ValueError("event_funnel: need at least 2 steps")
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias("_u"))
+        .agg(F.min(t).alias("_t"))
+    )
+    tiers = [cur]
+    for s in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .select(u.alias("_u"), t.alias("_ts"))
+            .join(tiers[-1], "_u")
+            .filter(F.col("_ts") >= F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        tiers.append(nxt)
+    from pyspark.sql.window import Window
+
+    counts = None
+    for i, (s, tier) in enumerate(zip(steps, tiers)):
+        one = tier.agg(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.expr("n_users * 1000").alias("_nm"),
+        F.lag("n_users").over(w).alias("_prev"),
+    ).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.when(
+            F.col("_prev").isNotNull(),
+            F.expr("_nm div _prev"),
+        ).alias("conv_milli"),
+    )

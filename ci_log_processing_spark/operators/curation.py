@@ -1915,3 +1915,43 @@ def quantile_normalize(
     return ranked.select(
         id_col, group_col, score_col, q.alias("q_milli")
     )
+
+
+def k_anonymity_audit(
+    docs: DataFrame,
+    quasi_cols: tuple[str, ...] = ("source", "lang"),
+    k: int = 5,
+    bucket_col: str | None = "n_chars",
+    bucket_width: int = 100,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations
+    (Sweeney 2002): group the corpus by the quasi-identifier tuple
+    (categorical columns plus an optional bucketized numeric — raw
+    lengths are themselves identifying) and flag combinations with
+    fewer than k members. The privacy companion to pii_scrub: PII
+    regexes catch direct identifiers, this catches the doc whose
+    (source, lang, length-bucket) combination is unique enough to
+    re-identify.
+
+    Scale shape: one partial-aggregated groupBy exchange onto the
+    combination-cardinality-sized table; the at_risk flag and the
+    exposure share (n_docs of at-risk combos) live in the output, so
+    the release decision needs no second pass.
+
+    Output: (quasi cols..., [len_bucket], n_docs, at_risk).
+    """
+    keys = [F.col(c) for c in quasi_cols]
+    names = list(quasi_cols)
+    if bucket_col is not None:
+        keys.append(
+            F.expr(f"{bucket_col} div {int(bucket_width)}").alias(
+                "len_bucket"
+            )
+        )
+        names.append("len_bucket")
+    return (
+        docs.select(*keys)
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("at_risk", F.col("n_docs") < k)
+    )

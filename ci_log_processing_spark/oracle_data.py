@@ -3605,3 +3605,98 @@ SELECT layout, CAST(bucket AS BIGINT) AS bucket,
    AND min(y) <= {y_hi} AND max(y) >= {y_lo}) AS overlaps_probe
 FROM layouts GROUP BY 1, 2
 """
+
+
+def q_event_funnel(steps: tuple = ("view", "click", "purchase")) -> str:
+    """event_funnel twin (operators/aggregate.py): sequential
+    first-occurrence CTE chain over the events view, union of step
+    counts, lag window for the conversion ratio."""
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND e.ts >= p.t "
+            f"GROUP BY e.user_id)"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name, "
+        f"count(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+cnt AS ({unions})
+SELECT step, step_name, n_users,
+  CASE WHEN lag(n_users) OVER (ORDER BY step) IS NOT NULL
+       THEN (n_users * 1000) // lag(n_users) OVER (ORDER BY step)
+  END::BIGINT AS conv_milli
+FROM cnt
+"""
+
+
+def q_k_anon_audit(
+    k: int = 5, bucket_width: int = 100
+) -> str:
+    """k_anonymity_audit twin (operators/curation.py) over the
+    (source, lang, n_chars-bucket) quasi-identifier tuple."""
+    return f"""
+SELECT source, lang,
+  (n_chars // {int(bucket_width)})::BIGINT AS len_bucket,
+  count(*)::BIGINT AS n_docs,
+  (count(*) < {int(k)}) AS at_risk
+FROM documents GROUP BY 1, 2, 3
+"""
+
+
+def q_full_curation_v7(
+    budget_milli: int = 200_000,
+    cut_milli: int = 800,
+    seed: str = "v7",
+    n_buckets: int = 1000,
+) -> str:
+    """Composed v7 twin: the quality CTE, the per-source quantile
+    rank gate (identical (score, doc_id) order and exact bucket
+    division as q_quantile_norm), exact-cluster soft token masses
+    over the SURVIVORS, and the per-source budget admission in the
+    same (md5 seed, doc_id) order."""
+    key = f"md5('{seed}' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH q AS ({q_quality()}),
+j AS (
+  SELECT d.doc_id, d.source, d.text, q.quality
+  FROM documents d JOIN q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, text,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY quality, doc_id) AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM j
+),
+kept AS (
+  SELECT doc_id, source, text FROM r
+  WHERE (CASE WHEN n > 1
+         THEN ((rk - 1) * {int(n_buckets)}) // (n - 1)
+         ELSE 0 END) >= {int(cut_milli)}
+),
+w AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY md5(text))::BIGINT AS cn,
+         len({_TOKS})::BIGINT AS ntk
+  FROM kept
+),
+counts AS (
+  SELECT doc_id, ((1000 * ntk) // cn)::BIGINT AS n_tok FROM w
+)
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT k2.doc_id, k2.source, c.n_tok,
+    CAST(sum(c.n_tok) OVER (
+      PARTITION BY k2.source ORDER BY {key}, k2.doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM kept k2 JOIN counts c USING (doc_id))
+WHERE cum_tok <= {int(budget_milli)}
+"""
