@@ -1965,6 +1965,50 @@ FROM f
 """
 
 
+# resize twin: same geometry + cycled-text pixel stream; resized
+# byte i picks source byte ((y*h div 4)*w + (x*w div 4))*3 + c with
+# y = i div 12, x = (i mod 12) div 3, c = i mod 3 — the identical
+# all-integer nearest-neighbor indexing resize_images performs on
+# the real BMP payload (48 = 4*4*3 output bytes).
+MM_RESIZE_ORACLE = """
+WITH g AS (
+  SELECT doc_id, text, length(text) AS L,
+         4 * (1 + length(text) % 16) AS w,
+         1 + (length(text) * 31) % 16 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+d AS (
+  SELECT doc_id, w, h,
+         substr(repeat(text, CAST(w * h * 3 // L + 1 AS INT)),
+                1, CAST(w * h * 3 AS INT)) AS data
+  FROM g
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(4 AS INT) AS new_w,
+       CAST(4 AS INT) AS new_h,
+       md5(list_aggregate(
+         list_transform(range(48), i -> substr(data,
+           CAST(((((i // 12) * h // 4) * w
+                  + ((i % 12) // 3) * w // 4) * 3
+                 + (i % 3) + 1) AS INT), 1)),
+         'string_agg', '')) AS resized_hash
+FROM d
+"""
+
+
+def q_mm_resize(spark, sf_dir):
+    """Nearest-neighbor BMP downsample to 4x4
+    (operators/multimodal.py resize_images)."""
+    from ci_log_processing_spark.operators.multimodal import (
+        attach_media,
+        resize_images,
+    )
+
+    return resize_images(attach_media(_docs(spark, sf_dir)), 4, 4)
+
+
 def q_file_tags(spark, sf_dir):
     from ci_log_processing_spark.operators.enrich import with_file_tags
 
@@ -2170,6 +2214,52 @@ def q_k_anon_audit(spark, sf_dir):
     )
 
     return k_anonymity_audit(_docs(spark, sf_dir), k=5)
+
+
+def q_tool_cooccurrence(spark, sf_dir):
+    """Conversation-grain tool co-occurrence with exact-integer
+    association lift (operators/toolgraph.py tool_cooccurrence)."""
+    from ci_log_processing_spark.operators.toolgraph import (
+        tool_cooccurrence,
+    )
+
+    return tool_cooccurrence(_routed(spark, sf_dir))
+
+
+def q_json_schema_profile(spark, sf_dir):
+    """Schema-on-read profile of the events props JSON column
+    (operators/convmeta.py json_schema_profile)."""
+    from ci_log_processing_spark.operators.convmeta import (
+        json_schema_profile,
+    )
+
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return json_schema_profile(events)
+
+
+def q_cusum_error_drift(spark, sf_dir):
+    """CUSUM level-shift detection on per-subsystem hourly error
+    counts (operators/aggregate.py cusum_error_drift)."""
+    from ci_log_processing_spark.operators.aggregate import (
+        cusum_error_drift,
+    )
+
+    return cusum_error_drift(_routed(spark, sf_dir))
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization of raw events
+    (operators/aggregate.py sessionize_events)."""
+    from ci_log_processing_spark.operators.aggregate import (
+        sessionize_events,
+    )
+
+    events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return sessionize_events(events, gap_minutes=30)
 
 
 def q_tool_arg_outcomes(spark, sf_dir):
@@ -3015,6 +3105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_full_curation_v7": q_full_curation_v7,
             "evt_funnel_steps": q_event_funnel,
             "cur_k_anon_audit": q_k_anon_audit,
+            "pipe_tool_cooccurrence": q_tool_cooccurrence,
+            "evt_json_schema_profile": q_json_schema_profile,
+            "pipe_cusum_drift": q_cusum_error_drift,
+            "evt_sessionize": q_sessionize_events,
+            "mm_resize": q_mm_resize,
         }
     )
 
@@ -3287,6 +3382,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             "evt_funnel_steps": od.q_event_funnel(),
             "cur_k_anon_audit": od.q_k_anon_audit(k=5, bucket_width=100),
+            "pipe_tool_cooccurrence": oracle.q_tool_cooccurrence(),
+            "evt_json_schema_profile": oracle.q_json_schema_profile(),
+            "pipe_cusum_drift": oracle.q_cusum_error_drift(),
+            "evt_sessionize": oracle.q_sessionize_events(30),
+            "mm_resize": MM_RESIZE_ORACLE,
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

@@ -1034,3 +1034,130 @@ def event_funnel(
             F.expr("_nm div _prev"),
         ).alias("conv_milli"),
     )
+
+
+def cusum_error_drift(
+    routed: DataFrame,
+    k_per_hour: int = 2,
+    h_threshold: int = 6,
+) -> DataFrame:
+    """CUSUM (Page 1954) level-shift detection on per-subsystem
+    hourly error counts: S_t = max(0, S_{t-1} + x_t - k), alarm when
+    S_t > h. The sequential complement of the z-score / MAD SPIKE
+    fences (error_spike_hours*): a spike fence catches one bad hour,
+    CUSUM accumulates evidence and catches a sustained small DRIFT
+    (x_t = k+1 forever never crosses a 3-sigma fence but ramps CUSUM
+    linearly).
+
+    The recurrence is non-associative, so it is computed via the
+    prefix-sum identity S_t = P_t - min(0, min_{i<=t} P_i) with
+    P_t = sum_{j<=t} (x_j - k) — TWO window functions over the same
+    (subsystem ORDER BY hour) frame instead of a sequential loop:
+    distributed, one subsystem-keyed exchange (the hourly rollup
+    feeds it), exact integers throughout. Hours with zero errors are
+    absent from the rollup and therefore skipped by the recurrence —
+    detection over activity-weighted time; callers wanting
+    wall-clock CUSUM densify the grid first.
+
+    Output: (subsystem, window_start, cnt, cusum, alarm).
+    """
+    from pyspark.sql.window import Window
+
+    hourly = (
+        routed.filter(F.col("sink") == "errors")
+        .groupBy(
+            "subsystem",
+            F.date_trunc("hour", F.col("filled_ts")).alias(
+                "window_start"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("subsystem")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(F.col("cnt") - F.lit(int(k_per_hour))).over(w)
+    stepped = hourly.select(
+        "subsystem", "window_start", "cnt", p.alias("_p"),
+        F.min(p).over(w).alias("_rmin"),
+    )
+    cusum = F.col("_p") - F.least(F.lit(0).cast("long"), F.col("_rmin"))
+    return stepped.select(
+        "subsystem",
+        "window_start",
+        "cnt",
+        cusum.alias("cusum"),
+        (cusum > int(h_threshold)).alias("alarm"),
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands sessionization of the raw events table: a
+    new session starts when a user's inter-event gap exceeds
+    `gap_minutes`. The batch SQL twin of the engine's streaming
+    session operators (F.session_window / applyInPandasWithState in
+    streaming/) — same session boundaries, computed with the classic
+    lag + boundary-flag + running-sum island id, so the technique
+    itself is under oracle test.
+
+    Scale shape: ONE user-keyed exchange; lag, the boundary flag's
+    running sum, and the final per-session rollup all ride the same
+    (user ORDER BY ts) sort. Session ids are (user, island ordinal)
+    — deterministic, no monotonically_increasing_id.
+
+    Output: (user_id, session_idx, session_start, session_end,
+    n_events, duration_sec).
+    """
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+    )
+    w = Window.partitionBy("_u").orderBy("_t")
+    gap = F.lit(int(gap_minutes) * 60)
+    # three projections over the SAME (user ORDER BY ts) frame — one
+    # sort, one exchange; Spark disallows a window inside a window's
+    # argument, but lag and the running sum share the physical Sort.
+    # Epoch seconds via unix_micros div 1e6: exact, NTZ-safe under
+    # ANSI, mirrors the oracle's epoch_us // 1000000. The NTZ->LTZ
+    # cast is identity under the session's pinned UTC timezone.
+    lagged = base.select(
+        "_u", "_t", F.lag(F.col("_t")).over(w).alias("_prev")
+    )
+    is_new = F.when(
+        F.col("_prev").isNull()
+        | (
+            F.expr("unix_micros(cast(_t as timestamp)) div 1000000")
+            - F.expr("unix_micros(cast(_prev as timestamp)) div 1000000")
+            > gap
+        ),
+        1,
+    ).otherwise(0)
+    flagged = lagged.select("_u", "_t", is_new.alias("_nf")).select(
+        "_u", "_t",
+        F.sum("_nf")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    return (
+        flagged.groupBy(
+            F.col("_u").alias(user_col), "session_idx"
+        )
+        .agg(
+            F.min("_t").alias("session_start"),
+            F.max("_t").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.expr("unix_micros(cast(session_end as timestamp)) div 1000000")
+            - F.expr("unix_micros(cast(session_start as timestamp)) div 1000000"),
+        )
+    )

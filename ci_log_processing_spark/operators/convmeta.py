@@ -69,3 +69,57 @@ def normalize_meta(df: DataFrame, json_col: str = "meta_json") -> DataFrame:
             new["change_url"], old["change_url"], old["ref_url"], new["ref_url"]
         ).alias("change_url"),
     )
+
+
+def json_schema_profile(
+    events: DataFrame,
+    json_col: str = "props",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Schema-on-read audit of a free-form JSON column: per
+    (group, key), how many records carry the key, how many of its
+    values LOOK integer / float / boolean (lexical classes on the
+    stringified value, so both engines classify identically), and
+    how many distinct values it takes. The profiling pass that runs
+    before anyone writes an extraction schema against a telemetry
+    payload — the props analog of the perf-JSON flatten's fixed
+    schema (functions/perf_json.py), for when the schema is not yet
+    known.
+
+    Scale shape: from_json to map<string,string> + explode is a
+    zero-shuffle projection (per-record fan-out = the record's own
+    key count); one (group, key)-keyed partial+final aggregate onto
+    the schema-cardinality-sized result. The count(distinct value)
+    expand rides the same exchange.
+
+    Output: (group, key, n_records, n_int, n_float, n_bool,
+    n_distinct_values).
+    """
+    kv = events.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "val"),
+    )
+    is_int = F.col("val").rlike(r"^-?[0-9]+$")
+    is_float = F.col("val").rlike(r"^-?[0-9]+\.[0-9]+$")
+    is_bool = F.col("val").isin("true", "false")
+    return (
+        kv.select(
+            "grp",
+            "key",
+            "val",
+            is_int.cast("long").alias("_i"),
+            is_float.cast("long").alias("_f"),
+            is_bool.cast("long").alias("_b"),
+        )
+        .groupBy("grp", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("_i").alias("n_int"),
+            F.sum("_f").alias("n_float"),
+            F.sum("_b").alias("n_bool"),
+            F.countDistinct("val").alias("n_distinct_values"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

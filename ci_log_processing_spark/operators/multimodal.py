@@ -308,3 +308,72 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
     videos = media.filter(F.col("kind") == "video")
     return videos.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, new_w int, new_h int, "
+    "resized_hash string"
+)
+
+
+def resize_images(
+    media: DataFrame, new_w: int = 4, new_h: int = 4
+) -> DataFrame:
+    """mapInPandas nearest-neighbor BMP downsample — the `resize`
+    stage of the decode/feature/resize/frame-sample multimodal set:
+    output pixel (x, y, c) = stored pixel (x*w div new_w,
+    y*h div new_h, c), all-integer source indexing so both engines
+    pick identical source bytes (no float scaling, no filtering —
+    nearest-neighbor IS the deterministic resize). Row order is the
+    container's stored order (the synthesiser writes rows linearly;
+    a general BMP reader would flip bottom-up rows first — same
+    plumbing, one extra slice).
+
+    Same Arrow-batch shape as decode_image_features: batches in,
+    batches out, nothing per-row crosses Py4J; at scale partition by
+    a size-balanced key so decode work is even.
+
+    Output: (doc_id, width, height, new_w, new_h, resized_hash) with
+    resized_hash = md5 of the resized interleaved pixel bytes.
+    """
+    if new_w < 1 or new_h < 1:
+        raise ValueError("resize_images: target dims must be >= 1")
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "new_w": [], "new_h": [], "resized_hash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, _fs, _r1, _r2, off = struct.unpack_from(
+                    "<2sIHHI", b, 0
+                )
+                if magic != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP payload")
+                _dib, w, h, _pl, bpp = struct.unpack_from("<IiiHH", b, 14)
+                ch = bpp // 8
+                h = abs(h)
+                pixels = b[off:off + w * h * ch]
+                out = bytearray()
+                for y in range(new_h):
+                    sy = y * h // new_h
+                    row = sy * w
+                    for x in range(new_w):
+                        p = (row + x * w // new_w) * ch
+                        out += pixels[p:p + ch]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_w"].append(new_w)
+                rows["new_h"].append(new_h)
+                rows["resized_hash"].append(
+                    hashlib.md5(bytes(out)).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    images = media.filter(F.col("kind") == "image")
+    return images.mapInPandas(rs, RESIZED_SCHEMA)

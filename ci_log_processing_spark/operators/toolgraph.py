@@ -129,3 +129,65 @@ def tool_pagerank(
         for t, r in sorted(rank.items())
     ]
     return spark.createDataFrame(rows, RANK_SCHEMA)
+
+
+def tool_cooccurrence(routed: DataFrame) -> DataFrame:
+    """Market-basket co-occurrence of tools at the CONVERSATION
+    grain: for every unordered tool pair, how many conversations
+    used both, and the association LIFT — n_both*N / (n_a*n_b) —
+    in exact integer milli (lift is the log-free face of PMI, so
+    both engines agree bit-for-bit; >1000 = the tools attract,
+    <1000 = they repel). The complement of tool_pagerank's
+    SEQUENTIAL transition graph: pagerank asks "what follows what",
+    this asks "what travels together", the signal behind tool-
+    bundling and workflow-template suggestions.
+
+    Scale shape: distinct (conv_id, tool) is one conv+tool-keyed
+    exchange over visible tool calls; the pair self-join is
+    conv-keyed (per-conv fan-out bounded by the tool CATALOG size
+    squared, not by turns); per-tool totals and the scalar N are
+    model-sized and broadcast. Nothing turn-sized crosses the pair
+    join.
+
+    Output: (tool_a, tool_b, n_both, n_a, n_b, lift_milli).
+    """
+    ct = (
+        routed.filter(
+            (F.col("sink") != "drop_queue") & F.col("tool").isNotNull()
+        )
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    n_total = ct.select(
+        F.countDistinct("conv_id").alias("_n")
+    )
+    per_tool = ct.groupBy("tool").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ct.select("conv_id", F.col("tool").alias("tool_a"))
+    b = ct.select("conv_id", F.col("tool").alias("tool_b"))
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per_tool.select(
+        F.col("tool").alias("tool_a"), F.col("n_t").alias("n_a")
+    )
+    pb = per_tool.select(
+        F.col("tool").alias("tool_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "tool_a")
+        .join(F.broadcast(pb), "tool_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tool_a",
+            "tool_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(n_both * _n * 1000) div (n_a * n_b)").alias(
+                "lift_milli"
+            ),
+        )
+    )

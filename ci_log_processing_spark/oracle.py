@@ -1298,3 +1298,111 @@ SELECT regexp_replace(message, '\\S*[0-9]\\S*', '<*>', 'g')
 FROM routed WHERE sink <> 'drop_queue'
 GROUP BY 1
 """
+
+
+def q_tool_cooccurrence() -> str:
+    """tool_cooccurrence twin (operators/toolgraph.py): distinct
+    (conv, tool) basket, conv-keyed pair self-join, exact-integer
+    lift."""
+    return pipeline_cte() + """,
+ct AS (
+  SELECT DISTINCT conv_id, tool FROM routed
+  WHERE sink <> 'drop_queue' AND tool IS NOT NULL
+),
+n AS (SELECT count(DISTINCT conv_id) AS nn FROM ct),
+pt AS (SELECT tool, count(*) AS n_t FROM ct GROUP BY tool),
+pairs AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_both
+  FROM ct a JOIN ct b
+    ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY 1, 2
+)
+SELECT tool_a, tool_b, n_both::BIGINT AS n_both,
+  pa.n_t::BIGINT AS n_a, pb.n_t::BIGINT AS n_b,
+  ((n_both * nn * 1000) // (pa.n_t * pb.n_t))::BIGINT AS lift_milli
+FROM pairs
+JOIN pt pa ON pa.tool = pairs.tool_a
+JOIN pt pb ON pb.tool = pairs.tool_b, n
+"""
+
+
+def q_json_schema_profile() -> str:
+    """json_schema_profile twin (operators/convmeta.py): unnest
+    json_keys + stringified extraction, identical lexical type
+    classes."""
+    return """
+WITH kv AS (
+  SELECT event_type, t.key AS key,
+         json_extract_string(props, '$."' || t.key || '"') AS val
+  FROM events, unnest(json_keys(props)) AS t(key)
+)
+SELECT event_type, key,
+  count(*)::BIGINT AS n_records,
+  sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+      THEN 1 ELSE 0 END)::BIGINT AS n_int,
+  sum(CASE WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$')
+      THEN 1 ELSE 0 END)::BIGINT AS n_float,
+  sum(CASE WHEN val IN ('true', 'false')
+      THEN 1 ELSE 0 END)::BIGINT AS n_bool,
+  count(DISTINCT val)::BIGINT AS n_distinct_values
+FROM kv GROUP BY 1, 2
+"""
+
+
+def q_cusum_error_drift(k_per_hour: int = 2, h_threshold: int = 6) -> str:
+    """cusum_error_drift twin (operators/aggregate.py): identical
+    prefix-sum / running-min identity, exact integers."""
+    k, h = int(k_per_hour), int(h_threshold)
+    return pipeline_cte() + f""",
+hourly AS (
+  SELECT subsystem, date_trunc('hour', filled_ts) AS window_start,
+         count(*)::BIGINT AS cnt
+  FROM routed WHERE sink = 'errors' GROUP BY 1, 2
+),
+pref AS (
+  SELECT subsystem, window_start, cnt,
+    sum(cnt - {k}) OVER (PARTITION BY subsystem ORDER BY window_start
+                         ROWS UNBOUNDED PRECEDING) AS p
+  FROM hourly
+),
+mins AS (
+  SELECT *, min(p) OVER (PARTITION BY subsystem ORDER BY window_start
+                         ROWS UNBOUNDED PRECEDING) AS rmin
+  FROM pref
+)
+SELECT subsystem, window_start, cnt,
+  (p - least(0, rmin))::BIGINT AS cusum,
+  ((p - least(0, rmin)) > {h}) AS alarm
+FROM mins
+"""
+
+
+def q_sessionize_events(gap_minutes: int = 30) -> str:
+    """sessionize_events twin (operators/aggregate.py): the same
+    lag + boundary-flag + running-sum island id over the raw events
+    view; second arithmetic on floor-truncated epoch seconds exactly
+    as Spark's timestamp->long cast."""
+    gap = int(gap_minutes) * 60
+    return f"""
+WITH f AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) // 1000000
+              - epoch_us(lag(ts) OVER w) // 1000000 > {gap}
+         THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*)::BIGINT AS n_events,
+  (epoch_us(max(ts)) // 1000000
+   - epoch_us(min(ts)) // 1000000)::BIGINT AS duration_sec
+FROM s GROUP BY 1, 2
+"""
