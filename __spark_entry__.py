@@ -2262,6 +2262,36 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize_events(events, gap_minutes=30)
 
 
+def q_hashed_features(spark, sf_dir):
+    """Feature-hashing doc vectors in sparse long format
+    (operators/textstats.py hashed_features)."""
+    from ci_log_processing_spark.operators.textstats import (
+        hashed_features,
+    )
+
+    return hashed_features(_docs(spark, sf_dir), dim=64)
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """MinHash threshold sensitivity curve (operators/dedup.py
+    dedup_threshold_curve) — one estimate pass, pair/doc counts per
+    candidate cutoff."""
+    from ci_log_processing_spark.operators.dedup import (
+        dedup_threshold_curve,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return dedup_threshold_curve(load_corpus(spark, sf_dir))
+
+
+def q_slo_burn_alert(spark, sf_dir):
+    """Multi-window SLO burn-rate alert (operators/aggregate.py
+    slo_burn_alert)."""
+    from ci_log_processing_spark.operators.aggregate import slo_burn_alert
+
+    return slo_burn_alert(_routed(spark, sf_dir), slo_milli=50)
+
+
 def q_tool_arg_outcomes(spark, sf_dir):
     """Per-(tool, argument) failure attribution (operators/
     aggregate.py tool_arg_outcomes) — args= payload extraction +
@@ -2875,6 +2905,22 @@ _VERIFY_FIRST = (
     # covered by every round's local 88-to-151-query strict-ANSI
     # gate re-run (tools/check_correctness.py); never-verified
     # beats stale-refresh for the remaining driver budget.
+    #
+    # ROUND-5 ROTATION PLAN (write it before the r4 driver run so the
+    # next session can apply it mechanically): replace this tuple
+    # with (a) the 13 deferred variants above, (b) every query added
+    # after this rotation landed — the 22 late-round-4 additions:
+    #   text_vocab_stats, ret_bm25_topk, dedup_winnow_pairs,
+    #   pipe_error_spike_mad, pipe_tool_arg_outcomes,
+    #   cur_full_curation_v6, cur_rl_trajectories, cur_quantile_norm,
+    #   dedup_cross_source_matrix, cur_zorder_audit,
+    #   evt_retention_cohorts, pipe_log_templates, pipe_conv_dedup,
+    #   stream_template_novelty, cur_full_curation_v7,
+    #   evt_funnel_steps, cur_k_anon_audit, pipe_tool_cooccurrence,
+    #   evt_json_schema_profile, pipe_cusum_drift, evt_sessionize,
+    #   mm_resize
+    # = 35 never-verified, then (c) fill the remaining ~15 slots with
+    # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     "cur_bloom_decontaminate",
     "cur_cms_tokens",
     "cur_context_windows",
@@ -3110,6 +3156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_cusum_drift": q_cusum_error_drift,
             "evt_sessionize": q_sessionize_events,
             "mm_resize": q_mm_resize,
+            "dedup_threshold_curve": q_dedup_threshold_curve,
+            "pipe_slo_burn": q_slo_burn_alert,
+            "text_hashed_features": q_hashed_features,
         }
     )
 
@@ -3387,6 +3436,9 @@ def oracle_sql() -> dict[str, str]:
             "pipe_cusum_drift": oracle.q_cusum_error_drift(),
             "evt_sessionize": oracle.q_sessionize_events(30),
             "mm_resize": MM_RESIZE_ORACLE,
+            "dedup_threshold_curve": od.q_dedup_threshold_curve(),
+            "pipe_slo_burn": oracle.q_slo_burn_alert(slo_milli=50),
+            "text_hashed_features": od.q_hashed_features(dim=64),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

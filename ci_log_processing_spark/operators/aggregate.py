@@ -1161,3 +1161,73 @@ def sessionize_events(
             - F.expr("unix_micros(cast(session_start as timestamp)) div 1000000"),
         )
     )
+
+
+def slo_burn_alert(
+    routed: DataFrame,
+    slo_milli: int = 50,
+    long_hours: int = 6,
+    ts_col: str = "filled_ts",
+) -> DataFrame:
+    """Multi-window error-budget burn alert (the SRE-book
+    multiwindow-multiburn rule): per hour, the SHORT burn is that
+    hour's error fraction and the LONG burn is the trailing
+    `long_hours` fraction; the alert fires only when BOTH exceed the
+    SLO — the short window gives fast detection, the long window
+    stops a single noisy hour from paging. Rates are exact integer
+    milli (errors * 1000 div total).
+
+    Scale shape: one hour-keyed partial+final aggregate collapses
+    the corpus to the HOURS table (still only ~10^4-10^5 rows at
+    10^12 turns — corpus-size-independent), then one ordered window
+    over those rows computes the trailing sums with a RANGE frame on
+    epoch seconds, so calendar GAPS between busy hours are handled
+    correctly (a missing hour contributes zero, not a frame slot).
+    The single-partition window is over the hours table, never the
+    corpus.
+
+    Output: (window_start, n_total, n_errors, short_burn_milli,
+    long_burn_milli, alert).
+    """
+    from pyspark.sql.window import Window
+
+    hourly = (
+        routed.filter(F.col("sink") != "drop_queue")
+        .groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("sink") == "errors", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+    )
+    span = (int(long_hours) - 1) * 3600
+    w = (
+        Window.orderBy(
+            F.expr(
+                "unix_micros(cast(window_start as timestamp)) div 1000000"
+            )
+        )
+        .rangeBetween(-span, 0)
+    )
+    stepped = hourly.select(
+        "window_start",
+        "n_total",
+        "n_errors",
+        F.sum("n_total").over(w).alias("_lt"),
+        F.sum("n_errors").over(w).alias("_le"),
+    )
+    short = F.expr("(n_errors * 1000) div n_total")
+    long_ = F.expr("(_le * 1000) div _lt")
+    return stepped.select(
+        "window_start",
+        "n_total",
+        "n_errors",
+        short.alias("short_burn_milli"),
+        long_.alias("long_burn_milli"),
+        (
+            (short > int(slo_milli)) & (long_ > int(slo_milli))
+        ).alias("alert"),
+    )

@@ -1699,3 +1699,57 @@ def conv_dedup(routed: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(wc).alias("n_copies"),
         (F.row_number().over(wf) == 1).alias("keeper"),
     )
+
+
+def dedup_threshold_curve(
+    docs: DataFrame,
+    cutoffs_sixteenths: tuple[int, ...] = (4, 8, 12, 16),
+    bucket_cap: int | None = 64,
+) -> DataFrame:
+    """Dedup threshold SENSITIVITY curve: one MinHash estimate pass
+    (minhash_estimate_pairs at the lowest cutoff), then for every
+    candidate threshold c/16 the pair count and the distinct-doc
+    count at est >= c — the design table for choosing a dedup
+    threshold BEFORE running the expensive job ("how much would 0.75
+    drop vs 0.5?"). n_docs is the upper bound on removals (every
+    affected doc minus one keeper per cluster survives); the curve's
+    shape, not its absolute level, is the decision input.
+
+    Scale shape: the candidate pass is the shared LSH machinery; the
+    sweep itself is ONE explode of each pair onto the cutoffs it
+    clears (fan-out <= |cutoffs|) and two cutoff-keyed partial aggs
+    over the pair table — no per-threshold re-run, no second corpus
+    scan. All-integer: cutoffs are sixteenths of the 16-permutation
+    signature, so est >= c/16 is n_equal >= c exactly.
+
+    Output: (cutoff_sixteenths, n_pairs, n_docs).
+    """
+    lo = min(cutoffs_sixteenths)
+    pairs = minhash_estimate_pairs(
+        docs, threshold=lo / 16, bucket_cap=bucket_cap
+    ).select("doc_a", "doc_b", "n_equal")
+    cuts = F.array(
+        *[F.lit(int(c)).cast("long") for c in sorted(cutoffs_sixteenths)]
+    )
+    cleared = pairs.select(
+        F.explode(
+            F.filter(cuts, lambda c: c <= F.col("n_equal"))
+        ).alias("cutoff_sixteenths"),
+        "doc_a",
+        "doc_b",
+    )
+    n_pairs = cleared.groupBy("cutoff_sixteenths").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        cleared.select(
+            "cutoff_sixteenths",
+            F.explode(F.array("doc_a", "doc_b")).alias("_d"),
+        )
+        .groupBy("cutoff_sixteenths")
+        .agg(F.countDistinct("_d").alias("n_docs"))
+    )
+    # the estimate pass registers a persisted signature table; the
+    # caller releases it (dedup.release_persisted) after consuming
+    # the curve, same contract as every other LSH-backed operator
+    return n_pairs.join(n_docs, "cutoff_sixteenths")

@@ -1337,3 +1337,47 @@ def vocab_stats(
             F.expr("(n_hapax * 1000) div n_types").alias("hapax_milli"),
         )
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing doc vectors (the hashing trick, Weinberger
+    2009 / VW): every token maps to bucket h32(token) mod dim with a
+    sign from an INDEPENDENT hash bit, and the doc's vector is the
+    signed token-count sum per bucket — a fixed-dim bag-of-words
+    embedding with NO vocabulary state, which is the whole point at
+    100 TB: no vocab table to build, broadcast, or keep consistent
+    across snapshots; any worker can featurize any shard in one pass.
+    The signed sum makes collisions cancel in expectation instead of
+    biasing upward (Weinberger Lemma 2).
+
+    Output is the sparse LONG format (doc_id, bucket, weight) —
+    exact integers the value-hash gate can compare row-for-row;
+    assemble a dense array downstream if a consumer needs one.
+
+    Scale shape: explode + one (doc, bucket)-keyed partial+final
+    aggregate; per-doc fan-in is bounded by min(doc tokens, dim)
+    groups after the map-side combine. Both hashes are the repo's
+    h32 (md5-prefix) primitive, mirrored bit-for-bit in the DuckDB
+    twin.
+    """
+    from ..operators.dedup import h32, tokens_col
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("_t"),
+    ).filter(F.col("_t") != "")
+    bucket = (h32(F.col("_t")) % dim).alias("bucket")
+    sign = (
+        F.lit(1)
+        - F.lit(2) * (h32(F.concat(F.lit("s|"), F.col("_t"))) % 2)
+    ).alias("_sg")
+    return (
+        tok.select(F.col(id_col), bucket, sign)
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_sg").alias("weight"))
+    )

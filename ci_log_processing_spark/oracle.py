@@ -1406,3 +1406,30 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
    - epoch_us(min(ts)) // 1000000)::BIGINT AS duration_sec
 FROM s GROUP BY 1, 2
 """
+
+
+def q_slo_burn_alert(slo_milli: int = 50, long_hours: int = 6) -> str:
+    """slo_burn_alert twin (operators/aggregate.py): hourly rollup +
+    trailing RANGE frame on epoch seconds, exact integer burns."""
+    span = (int(long_hours) - 1) * 3600
+    return pipeline_cte() + f""",
+hourly AS (
+  SELECT date_trunc('hour', filled_ts) AS window_start,
+         count(*)::BIGINT AS n_total,
+         sum(CASE WHEN sink = 'errors' THEN 1 ELSE 0 END)::BIGINT
+           AS n_errors
+  FROM routed WHERE sink <> 'drop_queue' GROUP BY 1
+),
+st AS (
+  SELECT *, sum(n_total) OVER w AS lt, sum(n_errors) OVER w AS le
+  FROM hourly
+  WINDOW w AS (ORDER BY epoch_us(window_start) // 1000000
+               RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)
+)
+SELECT window_start, n_total, n_errors,
+  ((n_errors * 1000) // n_total)::BIGINT AS short_burn_milli,
+  ((le * 1000) // lt)::BIGINT AS long_burn_milli,
+  ((n_errors * 1000) // n_total > {int(slo_milli)}
+   AND (le * 1000) // lt > {int(slo_milli)}) AS alert
+FROM st
+"""

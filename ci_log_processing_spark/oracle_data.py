@@ -3700,3 +3700,51 @@ SELECT doc_id, source, n_tok, cum_tok FROM (
   FROM kept k2 JOIN counts c USING (doc_id))
 WHERE cum_tok <= {int(budget_milli)}
 """
+
+
+def q_dedup_threshold_curve(
+    cutoffs: tuple = (4, 8, 12, 16), bucket_cap: int | None = 64
+) -> str:
+    """dedup_threshold_curve twin (operators/dedup.py): the minhash
+    estimate query verbatim as a CTE, each pair exploded onto the
+    cutoffs it clears, two cutoff-keyed rollups."""
+    lo = min(cutoffs) / 16
+    lst = ", ".join(str(int(c)) for c in sorted(cutoffs))
+    return f"""
+WITH pairs AS ({q_dedup_minhash_estimate(lo, bucket_cap)}),
+cl AS (
+  SELECT t.c AS cutoff_sixteenths, doc_a, doc_b
+  FROM pairs, unnest([{lst}]) AS t(c)
+  WHERE t.c <= n_equal
+),
+np AS (
+  SELECT cutoff_sixteenths, count(*)::BIGINT AS n_pairs
+  FROM cl GROUP BY 1
+),
+nd AS (
+  SELECT cutoff_sixteenths, count(DISTINCT d)::BIGINT AS n_docs
+  FROM (SELECT cutoff_sixteenths, unnest([doc_a, doc_b]) AS d FROM cl)
+  GROUP BY 1
+)
+SELECT np.cutoff_sixteenths::BIGINT AS cutoff_sixteenths,
+       n_pairs, n_docs
+FROM np JOIN nd USING (cutoff_sixteenths)
+"""
+
+
+def q_hashed_features(dim: int = 64) -> str:
+    """hashed_features twin (operators/textstats.py): identical
+    md5-prefix bucket and independent sign-bit hash over the shared
+    whitespace tokenization."""
+    b = _H32.format(x="t")
+    s = _H32.format(x="'s|' || t")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+)
+SELECT doc_id,
+  ({b} % {int(dim)})::BIGINT AS bucket,
+  sum(1 - 2 * ({s} % 2))::BIGINT AS weight
+FROM tok WHERE t <> ''
+GROUP BY 1, 2
+"""
