@@ -165,6 +165,15 @@ def main():
         "ivf_nprobe4": _recall(
             ivf_multiprobe_topk(emb, ann_q, k=10, nprobe=4)
         ),
+        # extend the probe curve to where recall is production-usable
+        # — the cost dial is probed-fraction-of-corpus per query, so
+        # the (nprobe, recall) pairs ARE the operating curve
+        "ivf_nprobe8": _recall(
+            ivf_multiprobe_topk(emb, ann_q, k=10, nprobe=8)
+        ),
+        "ivf_nprobe16": _recall(
+            ivf_multiprobe_topk(emb, ann_q, k=10, nprobe=16)
+        ),
         # PQ quantization collapses fine ranking (many corpus rows
         # share a code tuple) so pure ADC sits near the cell-occupancy
         # floor; the exact re-rank of a 50-candidate ADC shortlist
@@ -191,6 +200,12 @@ def main():
             ivfpq_ann_topk(
                 emb, ann_q, k=10, nprobe=2, m=4, k_codes=8, n_iter=2,
                 rerank=50,
+            )
+        ),
+        "ivfpq_nprobe8_rerank200": _recall(
+            ivfpq_ann_topk(
+                emb, ann_q, k=10, nprobe=8, m=4, k_codes=8, n_iter=2,
+                rerank=200,
             )
         ),
     }
