@@ -2262,6 +2262,64 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize_events(events, gap_minutes=30)
 
 
+def q_apply_cdc(spark, sf_dir):
+    """MERGE/upsert application (operators/snapshot.py apply_cdc):
+    deterministic change set — updates (seq 1), a second-writer
+    update on even keys (seq 2), deletes (seq 3, beating the
+    updates on shared keys), inserts under fresh keys — applied to
+    the documents snapshot; output is the merged snapshot."""
+    from ci_log_processing_spark.operators.snapshot import apply_cdc
+
+    docs = _docs(spark, sf_dir)
+    payload = ["text", "lang", "source", "n_chars"]
+
+    def _ch(cond, op, seq, text_expr, id_expr="doc_id"):
+        return docs.filter(cond).select(
+            F.expr(id_expr).alias("doc_id"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.expr(text_expr).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    changes = (
+        _ch(F.col("doc_id") % 7 == 0, "U", 1, "upper(text)")
+        .unionByName(
+            _ch(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 2 == 0),
+                "U",
+                2,
+                "text || ' final'",
+            )
+        )
+        .unionByName(_ch(F.col("doc_id") % 11 == 3, "D", 3, "text"))
+        .unionByName(
+            _ch(
+                F.col("doc_id") % 13 == 5,
+                "I",
+                1,
+                "text || ' v2'",
+                id_expr="doc_id + 1000000",
+            )
+        )
+    )
+    out = apply_cdc(docs.select("doc_id", *payload), changes)
+    return out.select("doc_id", "source", "text")
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 validity intervals from the config-update stream
+    (operators/enrich.py scd2_intervals)."""
+    from ci_log_processing_spark.operators.enrich import scd2_intervals
+    from ci_log_processing_spark.sources.derived import config_updates_sql
+
+    _events_view(spark, sf_dir)
+    cfg = spark.sql(config_updates_sql("spark", "events"))
+    return scd2_intervals(cfg)
+
+
 def q_hashed_features(spark, sf_dir):
     """Feature-hashing doc vectors in sparse long format
     (operators/textstats.py hashed_features)."""
@@ -3159,6 +3217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_threshold_curve": q_dedup_threshold_curve,
             "pipe_slo_burn": q_slo_burn_alert,
             "text_hashed_features": q_hashed_features,
+            "cur_apply_cdc": q_apply_cdc,
+            "pipe_scd2_intervals": q_scd2_intervals,
         }
     )
 
@@ -3439,6 +3499,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_threshold_curve": od.q_dedup_threshold_curve(),
             "pipe_slo_burn": oracle.q_slo_burn_alert(slo_milli=50),
             "text_hashed_features": od.q_hashed_features(dim=64),
+            "cur_apply_cdc": od.q_apply_cdc(),
+            "pipe_scd2_intervals": oracle.q_scd2_intervals(),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

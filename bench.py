@@ -538,6 +538,23 @@ def main():
             ["doc_id", "source", "n_tok", "cum_tok"],
         ),
     )
+    # lakehouse write/read-dimension pair: CDC MERGE application
+    # (delta-sized window + key anti-join) and the SCD2 interval
+    # build (one key-keyed lead/row_number window)
+    bench(
+        "cur_apply_cdc",
+        lambda: checksum(
+            entrymod.q_apply_cdc(spark, sf_dir),
+            ["doc_id", "source", "text"],
+        ),
+    )
+    bench(
+        "pipe_scd2_intervals",
+        lambda: checksum(
+            entrymod.q_scd2_intervals(spark, sf_dir),
+            ["conv_id", "state", "valid_from", "version"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -606,7 +623,7 @@ def main():
         "cur_dsir_sample", "cur_decontaminate_spans",
         "cur_full_curation_v5", "ret_bm25_topk", "dedup_winnow_pairs",
         "pipe_log_templates", "cur_zorder_audit", "pipe_conv_dedup",
-        "cur_full_curation_v7",
+        "cur_full_curation_v7", "cur_apply_cdc", "pipe_scd2_intervals",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

@@ -158,3 +158,36 @@ def suffix_tag_cols(
 def with_file_tags(df: DataFrame) -> DataFrame:
     name, tags = suffix_tag_cols(F.col("subsystem"))
     return df.withColumn("file_name", name).withColumn("file_tags", tags)
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "cfg_ts",
+    seq_col: str = "cfg_seq",
+    state_col: str = "cfg_state",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: turn an update STREAM
+    (key, ts, state) into validity INTERVALS (key, state, valid_from,
+    valid_to, version, is_current) — valid_to = the next update's ts,
+    NULL while current. The dimension-table shape the as-of join
+    (operators/asof.py) queries pointwise; building the intervals
+    once lets a warehouse join on `ts >= valid_from AND (ts <
+    valid_to OR valid_to IS NULL)` instead of re-running the as-of
+    window per fact scan.
+
+    Scale shape: ONE key-keyed window (lead + row_number share the
+    (key ORDER BY ts, seq) sort). Ties on ts break by the monotone
+    seq — deterministic in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    return updates.select(
+        key_col,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead(F.col(ts_col)).over(w).isNull().alias("is_current"),
+    )

@@ -90,3 +90,46 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     exceeds a churn budget). One partial-aggregated shuffle over a
     4-value key."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """MERGE/upsert application — the lakehouse write path corpus_diff
+    is the read path of: apply a CDC change set (op = 'I' insert,
+    'U' update, 'D' delete, with a monotone per-key sequence) onto a
+    base snapshot and return the new snapshot. Iceberg/Delta MERGE
+    INTO semantics without needing a catalog: last-writer-wins within
+    the change set (max seq per key), deletes drop the key, upserts
+    replace or add the row.
+
+    Scale shape: one key-keyed window over the CHANGE SET (changes
+    are deltas — orders of magnitude smaller than base), then one
+    key-keyed anti-join of base against the touched keys and a
+    union with the surviving upsert payloads. Base is never
+    shuffled twice and never rewritten where untouched — exactly the
+    property a 100 TB MERGE needs (at file granularity there, at row
+    granularity here).
+    """
+    from pyspark.sql.window import Window
+
+    payload_cols = [c for c in base.columns if c != id_col]
+    w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+    last = (
+        changes.select(
+            id_col, op_col, seq_col, *payload_cols
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = last.select(id_col)
+    kept = base.join(touched, id_col, "left_anti")
+    applied = last.filter(F.col(op_col) != "D").select(
+        id_col, *payload_cols
+    )
+    return kept.unionByName(applied)

@@ -1433,3 +1433,21 @@ SELECT window_start, n_total, n_errors,
    AND (le * 1000) // lt > {int(slo_milli)}) AS alert
 FROM st
 """
+
+
+def q_scd2_intervals() -> str:
+    """scd2_intervals twin (operators/enrich.py) over the config
+    update stream: one key-keyed lead/row_number window."""
+    from .sources.derived import config_updates_sql
+
+    return f"""
+WITH cfg AS ({config_updates_sql('duckdb', 'events')})
+SELECT conv_id,
+  cfg_state AS state,
+  cfg_ts AS valid_from,
+  lead(cfg_ts) OVER w AS valid_to,
+  row_number() OVER w AS version,
+  (lead(cfg_ts) OVER w IS NULL) AS is_current
+FROM cfg
+WINDOW w AS (PARTITION BY conv_id ORDER BY cfg_ts, cfg_seq)
+"""

@@ -3748,3 +3748,38 @@ SELECT doc_id,
 FROM tok WHERE t <> ''
 GROUP BY 1, 2
 """
+
+
+def q_apply_cdc() -> str:
+    """apply_cdc twin (operators/snapshot.py): the same deterministic
+    change set in SQL, last-writer-wins by seq, anti-join + union."""
+    return """
+WITH ch AS (
+  SELECT doc_id, 'U' AS op, 1 AS seq, upper(text) AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'U', 2, text || ' final', lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'D', 3, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 'I', 1, text || ' v2',
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 13 = 5
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY seq DESC) AS rn
+    FROM ch) WHERE rn = 1
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  ANTI JOIN last l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, source, text FROM kept
+UNION ALL
+SELECT doc_id, source, text FROM last WHERE op <> 'D'
+"""
