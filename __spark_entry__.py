@@ -118,6 +118,54 @@ def q_conv_severity(spark, sf_dir):
     return conv_severity_counts(_routed(spark, sf_dir))
 
 
+def q_agg_incremental(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/aggregate.py
+    merge_agg_deltas): split the routed turns into a deterministic
+    base/delta partition (hash of conv_id), aggregate each side
+    separately, and MERGE the two partial rollups. The oracle is the
+    flat recompute over all rows — a hash match proves the monoid
+    identity merge(agg(base), agg(delta)) == agg(all)."""
+    from ci_log_processing_spark.operators.aggregate import (
+        hourly_agg,
+        merge_agg_deltas,
+    )
+
+    routed = _routed(spark, sf_dir)
+    is_delta = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(10)) == 0
+    stored = hourly_agg(routed.filter(~is_delta))
+    delta = hourly_agg(routed.filter(is_delta))
+    return merge_agg_deltas(
+        stored, delta, ["sink", "severity", "subsystem", "window_start"]
+    )
+
+
+def q_dq_audit(spark, sf_dir):
+    """One-scan data-quality constraint audit (operators/dq.py):
+    null text, lang taxonomy ('fr' deliberately excluded so the
+    audit exercises a FAILING constraint), n_chars range and
+    n_chars==length(text) consistency, plus doc_id uniqueness."""
+    from ci_log_processing_spark.operators.dq import (
+        document_checks,
+        dq_audit,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dq_audit(
+        docs,
+        document_checks(allowed_langs=("en", "de", "es", "zh")),
+        unique_key="doc_id",
+    )
+
+
+def q_skew_audit(spark, sf_dir):
+    """Top-20 heaviest shuffle keys with exact row share
+    (operators/skew.py key_skew_audit) — the pre-shuffle planning
+    diagnostic, keyed by conv_id over the routed turns."""
+    from ci_log_processing_spark.operators.skew import key_skew_audit
+
+    return key_skew_audit(_routed(spark, sf_dir), "conv_id", top_n=20)
+
+
 def q_agg_rollup(spark, sf_dir):
     """Multi-grain ROLLUP aggregate (operators/aggregate.py
     rollup_hourly) — detail + subtotals + grand total in one pass."""
@@ -3219,6 +3267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_hashed_features": q_hashed_features,
             "cur_apply_cdc": q_apply_cdc,
             "pipe_scd2_intervals": q_scd2_intervals,
+            "pipe_agg_incremental": q_agg_incremental,
+            "cur_dq_audit": q_dq_audit,
+            "pipe_skew_audit": q_skew_audit,
         }
     )
 
@@ -3501,6 +3552,9 @@ def oracle_sql() -> dict[str, str]:
             "text_hashed_features": od.q_hashed_features(dim=64),
             "cur_apply_cdc": od.q_apply_cdc(),
             "pipe_scd2_intervals": oracle.q_scd2_intervals(),
+            "pipe_agg_incremental": oracle.q_agg_incremental(),
+            "cur_dq_audit": od.q_dq_audit(),
+            "pipe_skew_audit": oracle.q_skew_audit(top_n=20),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

@@ -555,6 +555,29 @@ def main():
             ["conv_id", "state", "valid_from", "version"],
         ),
     )
+    # aggregates-as-state (incremental rollup merge), one-scan DQ
+    # audit, and the pre-shuffle skew diagnostic
+    bench(
+        "pipe_agg_incremental",
+        lambda: checksum(
+            entrymod.q_agg_incremental(spark, sf_dir),
+            ["sink", "severity", "subsystem", "window_start", "cnt"],
+        ),
+    )
+    bench(
+        "cur_dq_audit",
+        lambda: checksum(
+            entrymod.q_dq_audit(spark, sf_dir),
+            ["check_name", "n_violations", "n_rows", "passed"],
+        ),
+    )
+    bench(
+        "pipe_skew_audit",
+        lambda: checksum(
+            entrymod.q_skew_audit(spark, sf_dir),
+            ["key", "cnt", "share_milli", "rank"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -624,6 +647,7 @@ def main():
         "cur_full_curation_v5", "ret_bm25_topk", "dedup_winnow_pairs",
         "pipe_log_templates", "cur_zorder_audit", "pipe_conv_dedup",
         "cur_full_curation_v7", "cur_apply_cdc", "pipe_scd2_intervals",
+        "pipe_agg_incremental", "cur_dq_audit", "pipe_skew_audit",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

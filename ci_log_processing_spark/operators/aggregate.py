@@ -1231,3 +1231,36 @@ def slo_burn_alert(
             (short > int(slo_milli)) & (long_ > int(slo_milli))
         ).alias("alert"),
     )
+
+
+def merge_agg_deltas(
+    stored: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a DELTA batch's
+    partial aggregate into a STORED rollup without re-reading the
+    corpus — the materialized-view refresh the reference re-derives
+    from scratch every scraper pass (logscraper.py:295-304 recomputes
+    its gauges over each run's files).
+
+    count/sum aggregates are commutative monoids, so the refresh is
+    `union -> re-agg on the agg key`: both inputs are ALREADY
+    aggregate-sized (distinct groups, not rows), the union never
+    touches base data, and Catalyst plans a partial agg before the
+    one group-keyed exchange. At 100 TB the stored side is the hours
+    x sink x severity rollup (thousands of rows) and the delta side
+    is one ingest batch — the merge costs seconds regardless of how
+    much history the stored aggregate summarizes, which is the whole
+    point of keeping aggregates as state instead of recomputing.
+
+    Correctness identity (what the gate checks): for any disjoint
+    partition base/delta of the input rows,
+    merge(agg(base), agg(delta)) == agg(base UNION delta).
+    """
+    return (
+        stored.unionByName(delta)
+        .groupBy(*key_cols)
+        .agg(F.sum(cnt_col).alias(cnt_col))
+    )

@@ -1,0 +1,97 @@
+"""Declarative data-quality constraint audit (Deequ-style).
+
+The reference validates records imperatively as it streams them —
+per-line try/except quarantine (logscraper.py:526-540 skips broken
+files, logsender.py drops rows whose timestamp fails every format) —
+which answers "is THIS row ok" but never "how healthy is the
+table". A training-data pipeline needs the table-level statement
+before a corpus ships: null fractions, key uniqueness, accepted
+value sets, range and cross-column consistency, each with an exact
+violation count.
+
+Scale shape: every check compiles to a conditional aggregate over
+ONE table scan (a single Aggregate node; Catalyst plans the partial
+agg map-side, so the shuffled volume is one row per partition). The
+optional uniqueness check adds a count(DISTINCT key), which Catalyst
+plans via Expand over the same single scan — no extra pass, no join.
+The per-constraint output rows are exploded from the one aggregate
+row, so the result is constraint-count-sized, never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dq_audit(
+    df: DataFrame,
+    checks: dict[str, Column],
+    unique_key: str | None = None,
+) -> DataFrame:
+    """Run named constraint checks in one scan.
+
+    `checks` maps constraint name -> boolean Column that is TRUE for
+    a VIOLATING row (nulls count as violations — a row that can't
+    prove it passes, fails). `unique_key` adds a
+    `unique:<col>` constraint whose violation count is
+    n_rows - n_distinct.
+
+    Returns one row per constraint:
+    (check_name, n_violations, n_rows, passed).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, cond in checks.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)
+            ).alias(f"v_{name}")
+        )
+    if unique_key is not None:
+        aggs.append(
+            F.count_distinct(F.col(unique_key)).alias("_n_distinct")
+        )
+    agg = df.agg(*aggs)
+
+    structs = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            F.col(f"v_{name}").alias("n_violations"),
+        )
+        for name in checks
+    ]
+    if unique_key is not None:
+        structs.append(
+            F.struct(
+                F.lit(f"unique:{unique_key}").alias("check_name"),
+                (F.col("n_rows") - F.col("_n_distinct")).alias(
+                    "n_violations"
+                ),
+            )
+        )
+    return (
+        agg.select("n_rows", F.explode(F.array(*structs)).alias("c"))
+        .select(
+            F.col("c.check_name").alias("check_name"),
+            F.col("c.n_violations").alias("n_violations"),
+            "n_rows",
+            (F.col("c.n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+def document_checks(
+    allowed_langs: tuple[str, ...],
+    max_chars: int = 1_000_000,
+) -> dict[str, Column]:
+    """The standard constraint set for the documents corpus —
+    null text, out-of-taxonomy lang, out-of-range n_chars, and the
+    n_chars == length(text) cross-column consistency the generator
+    is supposed to guarantee."""
+    return {
+        "not_null:text": F.col("text").isNull(),
+        "accepted:lang": ~F.col("lang").isin(*allowed_langs),
+        "range:n_chars": (F.col("n_chars") < 1)
+        | (F.col("n_chars") > int(max_chars)),
+        "consistent:n_chars": F.col("n_chars") != F.length("text"),
+    }

@@ -46,3 +46,44 @@ def salted_bucket(turns_per_bucket: int = 512) -> Column:
         F.col("conv_id"),
         (F.col("turn_idx") / turns_per_bucket).cast("int").cast("string"),
     )
+
+
+def key_skew_audit(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Partition-planning diagnostic: the top-N heaviest keys with
+    their exact row share — the table you read BEFORE choosing a
+    shuffle key, salt factor, or AQE skew threshold (the study that
+    motivated this module's repartition_by_conv/salted_bucket pair).
+
+    Scale shape: one partial-aggregated count shuffle over the key
+    (shuffled volume = distinct keys), a TakeOrderedAndProject heap
+    for the top-N (never a global sort), and a broadcast of the
+    1-row total. The per-key counts are persisted (registry-scoped,
+    released via dedup.release_persisted) because BOTH the top-N heap
+    and the total consume them — without the persist each branch
+    would re-shuffle the base data. The rank window runs over the N
+    surviving rows only. share_milli is exact integer thousandths so
+    the audit is engine-reproducible (no float drift).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import _register_persist
+
+    counts = _register_persist(
+        df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col(key_col)
+    ).limit(int(top_n))
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.col(key_col).alias("key"),
+            "cnt",
+            F.expr("(cnt * 1000) div total").alias("share_milli"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )

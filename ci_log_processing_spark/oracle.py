@@ -1451,3 +1451,35 @@ SELECT conv_id,
 FROM cfg
 WINDOW w AS (PARTITION BY conv_id ORDER BY cfg_ts, cfg_seq)
 """
+
+
+def q_agg_incremental() -> str:
+    """merge_agg_deltas twin: the ORACLE recomputes the hourly
+    aggregate FLAT over all rows — identical to q_agg_hourly — while
+    the Spark side computes it incrementally (base agg + delta agg +
+    monoid merge). A hash match is the merge-correctness proof."""
+    return pipeline_cte() + (
+        "SELECT sink, severity, subsystem, "
+        "date_trunc('hour', filled_ts) AS window_start, "
+        "count(*)::BIGINT AS cnt "
+        "FROM routed GROUP BY 1, 2, 3, 4"
+    )
+
+
+def q_skew_audit(top_n: int = 20) -> str:
+    """key_skew_audit twin (operators/skew.py): per-key counts,
+    exact integer-milli share of the total, deterministic top-N."""
+    return pipeline_cte() + f""",
+c AS (
+  SELECT conv_id AS key, count(*)::BIGINT AS cnt
+  FROM routed GROUP BY 1
+),
+t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+top AS (
+  SELECT * FROM c ORDER BY cnt DESC, key LIMIT {int(top_n)}
+)
+SELECT key, cnt,
+  ((cnt * 1000) // total)::BIGINT AS share_milli,
+  CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+FROM top, t
+"""

@@ -3783,3 +3783,36 @@ SELECT doc_id, source, text FROM kept
 UNION ALL
 SELECT doc_id, source, text FROM last WHERE op <> 'D'
 """
+
+
+def q_dq_audit(max_chars: int = 1_000_000) -> str:
+    """dq_audit twin (operators/dq.py): the same five constraints as
+    conditional aggregates over ONE documents scan, exploded to a
+    row per constraint. Null check inputs count as violations
+    (coalesce(cond, TRUE)) in both engines."""
+    langs = "'en', 'de', 'es', 'zh'"
+    return f"""
+WITH a AS (
+  SELECT count(*)::BIGINT AS n_rows,
+    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_text,
+    sum(CASE WHEN coalesce(NOT lang IN ({langs}), TRUE)
+        THEN 1 ELSE 0 END)::BIGINT AS v_lang,
+    sum(CASE WHEN coalesce(n_chars < 1 OR n_chars > {int(max_chars)},
+        TRUE) THEN 1 ELSE 0 END)::BIGINT AS v_range,
+    sum(CASE WHEN coalesce(n_chars <> length(text), TRUE)
+        THEN 1 ELSE 0 END)::BIGINT AS v_cons,
+    count(DISTINCT doc_id)::BIGINT AS n_distinct
+  FROM documents
+)
+SELECT 'not_null:text' AS check_name, v_text AS n_violations,
+       n_rows, v_text = 0 AS passed FROM a
+UNION ALL
+SELECT 'accepted:lang', v_lang, n_rows, v_lang = 0 FROM a
+UNION ALL
+SELECT 'range:n_chars', v_range, n_rows, v_range = 0 FROM a
+UNION ALL
+SELECT 'consistent:n_chars', v_cons, n_rows, v_cons = 0 FROM a
+UNION ALL
+SELECT 'unique:doc_id', n_rows - n_distinct, n_rows,
+       n_rows - n_distinct = 0 FROM a
+"""
