@@ -2320,6 +2320,13 @@ def q_apply_cdc(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     payload = ["text", "lang", "source", "n_chars"]
+    out = apply_cdc(docs.select("doc_id", *payload), _cdc_changes(docs))
+    return out.select("doc_id", "source", "text")
+
+
+def _cdc_changes(docs):
+    """The deterministic change set shared by q_apply_cdc and
+    q_snapshot_asof (and mirrored literally in the oracle SQL)."""
 
     def _ch(cond, op, seq, text_expr, id_expr="doc_id"):
         return docs.filter(cond).select(
@@ -2332,7 +2339,7 @@ def q_apply_cdc(spark, sf_dir):
             "n_chars",
         )
 
-    changes = (
+    return (
         _ch(F.col("doc_id") % 7 == 0, "U", 1, "upper(text)")
         .unionByName(
             _ch(
@@ -2353,8 +2360,37 @@ def q_apply_cdc(spark, sf_dir):
             )
         )
     )
-    out = apply_cdc(docs.select("doc_id", *payload), changes)
+
+
+def q_snapshot_asof(spark, sf_dir):
+    """Time-travel read (operators/snapshot.py snapshot_asof): the
+    SAME change set as q_apply_cdc replayed only through seq <= 2 —
+    the seq-3 deletes are not yet visible, the seq-2 second-writer
+    updates are."""
+    from ci_log_processing_spark.operators.snapshot import snapshot_asof
+
+    docs = _docs(spark, sf_dir)
+    payload = ["text", "lang", "source", "n_chars"]
+    out = snapshot_asof(
+        docs.select("doc_id", *payload), _cdc_changes(docs), as_of_seq=2
+    )
     return out.select("doc_id", "source", "text")
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/snapshot.py
+    compaction_plan + compaction_summary): documents stand in for
+    the file manifest (source = partition, n_chars = bytes); output
+    is the per-bin rollup the rewrite scheduler reads."""
+    from ci_log_processing_spark.operators.snapshot import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return compaction_summary(
+        compaction_plan(docs, target_bytes=4096)
+    )
 
 
 def q_scd2_intervals(spark, sf_dir):
@@ -3270,6 +3306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_agg_incremental": q_agg_incremental,
             "cur_dq_audit": q_dq_audit,
             "pipe_skew_audit": q_skew_audit,
+            "cur_snapshot_asof": q_snapshot_asof,
+            "cur_compaction_plan": q_compaction_plan,
         }
     )
 
@@ -3555,6 +3593,10 @@ def oracle_sql() -> dict[str, str]:
             "pipe_agg_incremental": oracle.q_agg_incremental(),
             "cur_dq_audit": od.q_dq_audit(),
             "pipe_skew_audit": oracle.q_skew_audit(top_n=20),
+            "cur_snapshot_asof": od.q_snapshot_asof(as_of_seq=2),
+            "cur_compaction_plan": od.q_compaction_plan(
+                target_bytes=4096
+            ),
             "text_vocab_stats": od.q_vocab_stats(),
             "ret_bm25_topk": od.q_bm25_topk(k=5),
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),

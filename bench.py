@@ -578,6 +578,22 @@ def main():
             ["key", "cnt", "share_milli", "rank"],
         ),
     )
+    # lakehouse maintenance: time-travel prefix replay + the
+    # manifest-sized compaction planner
+    bench(
+        "cur_snapshot_asof",
+        lambda: checksum(
+            entrymod.q_snapshot_asof(spark, sf_dir),
+            ["doc_id", "source", "text"],
+        ),
+    )
+    bench(
+        "cur_compaction_plan",
+        lambda: checksum(
+            entrymod.q_compaction_plan(spark, sf_dir),
+            ["part", "bin_idx", "n_files", "out_bytes"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -648,6 +664,7 @@ def main():
         "pipe_log_templates", "cur_zorder_audit", "pipe_conv_dedup",
         "cur_full_curation_v7", "cur_apply_cdc", "pipe_scd2_intervals",
         "pipe_agg_incremental", "cur_dq_audit", "pipe_skew_audit",
+        "cur_snapshot_asof", "cur_compaction_plan",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

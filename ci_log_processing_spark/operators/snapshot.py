@@ -133,3 +133,88 @@ def apply_cdc(
         id_col, *payload_cols
     )
     return kept.unionByName(applied)
+
+
+def snapshot_asof(
+    base: DataFrame,
+    changes: DataFrame,
+    as_of_seq: int,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Time-travel read: reconstruct the snapshot AS OF a sequence
+    number by replaying only the change-set prefix `seq <=
+    as_of_seq` through apply_cdc. The CDC log plus ONE retained base
+    snapshot gives every historical version without storing them —
+    the read path of Iceberg/Delta `VERSION AS OF`, at row
+    granularity. Cost is identical to a current-snapshot merge: the
+    seq predicate prunes the (delta-sized) change set before the
+    last-writer window, and base still meets only the touched keys.
+    """
+    return apply_cdc(
+        base,
+        changes.filter(F.col(seq_col) <= int(as_of_seq)),
+        id_col=id_col,
+        op_col=op_col,
+        seq_col=seq_col,
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    target_bytes: int = 64 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner — which files to rewrite
+    together so each output file lands near `target_bytes` (the
+    OPTIMIZE / rewrite_data_files planning step, minus the catalog).
+
+    Binning rule: within a partition, in file-id order, a file joins
+    bin `floor(cum_bytes_before / target)`. This is the running-sum
+    approximation of bin packing: it is a PURE WINDOW expression (no
+    sequential per-group Python — contrast pack_sequences, which
+    needs applyInPandas for exact next-fit), so the whole plan is
+    one partition-keyed window over the file MANIFEST, which is
+    orders of magnitude smaller than the data it describes. A bin
+    can overshoot the target by at most one file — acceptable for
+    compaction, where the target is a heuristic, not a capacity.
+
+    Output: (part, file_id, bytes, bin_idx) plus per-bin totals via
+    a second tiny agg on the manifest.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer `div`, not float floor: cumulative byte counts reach
+    # 2^50+ at fleet scale, past double's exact range
+    return files.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("file_id"),
+        F.col(size_col).alias("bytes"),
+        F.coalesce(F.sum(size_col).over(w), F.lit(0)).alias(
+            "_cum_before"
+        ),
+    ).select(
+        "part",
+        "file_id",
+        "bytes",
+        F.expr(f"_cum_before div {int(target_bytes)}").alias("bin_idx"),
+    )
+
+
+def compaction_summary(plan: DataFrame) -> DataFrame:
+    """Per-output-bin rollup of a compaction_plan: files merged and
+    resulting size — the table an operator reads to decide whether
+    the rewrite is worth scheduling. One partial-agg shuffle over
+    the (part, bin) key of the manifest-sized plan."""
+    return plan.groupBy("part", "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("out_bytes"),
+    )

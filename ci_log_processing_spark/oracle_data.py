@@ -3816,3 +3816,59 @@ UNION ALL
 SELECT 'unique:doc_id', n_rows - n_distinct, n_rows,
        n_rows - n_distinct = 0 FROM a
 """
+
+
+def q_snapshot_asof(as_of_seq: int = 2) -> str:
+    """snapshot_asof twin (operators/snapshot.py): the q_apply_cdc
+    change set replayed only through seq <= as_of_seq — time-travel
+    by CDC-prefix replay."""
+    return f"""
+WITH ch AS (
+  SELECT doc_id, 'U' AS op, 1 AS seq, upper(text) AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'U', 2, text || ' final', lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'D', 3, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 'I', 1, text || ' v2',
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 13 = 5
+),
+pre AS (SELECT * FROM ch WHERE seq <= {int(as_of_seq)}),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY seq DESC) AS rn
+    FROM pre) WHERE rn = 1
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  ANTI JOIN last l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, source, text FROM kept
+UNION ALL
+SELECT doc_id, source, text FROM last WHERE op <> 'D'
+"""
+
+
+def q_compaction_plan(target_bytes: int = 4096) -> str:
+    """compaction_plan + compaction_summary twin
+    (operators/snapshot.py): running-sum binning of the file
+    manifest, per-bin rollup."""
+    return f"""
+WITH plan AS (
+  SELECT source AS part, doc_id AS file_id, n_chars AS bytes,
+    (coalesce(sum(n_chars) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) // {int(target_bytes)})::BIGINT AS bin_idx
+  FROM documents
+)
+SELECT part, bin_idx, count(*)::BIGINT AS n_files,
+       sum(bytes)::BIGINT AS out_bytes
+FROM plan GROUP BY 1, 2
+"""

@@ -71,3 +71,53 @@ def test_scd2_ties_break_by_seq(spark):
     )
     out = {r.version: r.state for r in scd2_intervals(cfg).collect()}
     assert out == {1: "first", 2: "second"}
+
+
+def test_snapshot_asof_prefix_replay(spark):
+    from ci_log_processing_spark.operators.snapshot import snapshot_asof
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "U", 1, "one-v2"), (1, "D", 2, "one-v2"), (3, "I", 3, "three")],
+        "doc_id long, op string, seq long, text string",
+    )
+    # as of seq 1: only the update is visible
+    v1 = {r.doc_id: r.text for r in
+          snapshot_asof(base, changes, 1).collect()}
+    assert v1 == {1: "one-v2", 2: "two"}
+    # as of seq 2: the delete lands
+    v2 = {r.doc_id: r.text for r in
+          snapshot_asof(base, changes, 2).collect()}
+    assert v2 == {2: "two"}
+    # as of seq 3: the late insert appears
+    v3 = {r.doc_id: r.text for r in
+          snapshot_asof(base, changes, 3).collect()}
+    assert v3 == {2: "two", 3: "three"}
+
+
+def test_compaction_plan_running_sum_bins(spark):
+    from ci_log_processing_spark.operators.snapshot import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    files = spark.createDataFrame(
+        [("p", 1, 60), ("p", 2, 60), ("p", 3, 60), ("q", 4, 250)],
+        "source string, doc_id long, n_chars long",
+    )
+    plan = {
+        r.file_id: r.bin_idx
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    # cum_before: 0, 60, 120 -> bins 0, 0, 1; q restarts at 0
+    assert plan == {1: 0, 2: 0, 3: 1, 4: 0}
+    summ = {
+        (r.part, r.bin_idx): (r.n_files, r.out_bytes)
+        for r in compaction_summary(
+            compaction_plan(files, target_bytes=100)
+        ).collect()
+    }
+    assert summ == {("p", 0): (2, 120), ("p", 1): (1, 60),
+                    ("q", 0): (1, 250)}
