@@ -529,6 +529,38 @@ def q_stream_watermark_agg(spark, sf_dir):
     )
 
 
+def q_stream_agg_incremental(spark, sf_dir):
+    """Streaming rollup maintenance (streaming/agg_incremental.py):
+    the conv subset (user_id % 23 == 7) arrives as THREE files —
+    three micro-batches, three batch-scoped partials — and the
+    folded rollup must equal the flat batch aggregate (the SQL
+    twin), which is the streaming statement of the
+    merge_agg_deltas monoid identity."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.agg_incremental import (
+        run_agg_maintenance,
+    )
+
+    sub = load_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 6, 10).cast("int") % 23 == 7
+    )
+    work = tempfile.mkdtemp(prefix="gate_agginc_")
+    try:
+        in_dir = os.path.join(work, "in")
+        sub.repartition(3).write.parquet(in_dir)
+        out = run_agg_maintenance(
+            spark, in_dir, os.path.join(work, "out")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "severity string, window_start timestamp, cnt long"
+    )
+
+
 def q_stream_session_window(spark, sf_dir):
     """Watermarked streaming SESSION windows (streaming/watermark.py
     streaming_session_counts) over the conv subset user_id % 23 == 2,
@@ -3051,7 +3083,7 @@ _VERIFY_FIRST = (
     # ROUND-5 ROTATION PLAN (write it before the r4 driver run so the
     # next session can apply it mechanically): replace this tuple
     # with (a) the 13 deferred variants above, (b) every query added
-    # after this rotation landed — the 22 late-round-4 additions:
+    # after this rotation landed — the 32 late-round-4 additions:
     #   text_vocab_stats, ret_bm25_topk, dedup_winnow_pairs,
     #   pipe_error_spike_mad, pipe_tool_arg_outcomes,
     #   cur_full_curation_v6, cur_rl_trajectories, cur_quantile_norm,
@@ -3060,9 +3092,13 @@ _VERIFY_FIRST = (
     #   stream_template_novelty, cur_full_curation_v7,
     #   evt_funnel_steps, cur_k_anon_audit, pipe_tool_cooccurrence,
     #   evt_json_schema_profile, pipe_cusum_drift, evt_sessionize,
-    #   mm_resize
-    # = 35 never-verified, then (c) fill the remaining ~15 slots with
+    #   mm_resize, dedup_threshold_curve, pipe_slo_burn,
+    #   text_hashed_features, cur_apply_cdc, pipe_scd2_intervals,
+    #   pipe_agg_incremental, cur_dq_audit, pipe_skew_audit,
+    #   cur_snapshot_asof, cur_compaction_plan
+    # = 45 never-verified, then (c) fill the remaining ~5 slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
+    # Queries added later in round 4 than this comment join (b).
     "cur_bloom_decontaminate",
     "cur_cms_tokens",
     "cur_context_windows",
@@ -3171,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_session_evictions"] = q_stream_session_evictions
     qs["stream_dedup_exact"] = q_stream_dedup
     qs["stream_session_window"] = q_stream_session_window
+    qs["stream_agg_incremental"] = q_stream_agg_incremental
     qs["stream_interval_join"] = q_stream_interval_join
     qs["stream_watermark_agg"] = q_stream_watermark_agg
     qs["stream_ingest_curation"] = q_stream_ingest_curation
@@ -3391,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["stream_hll_distinct"] = oracle.q_hll_distinct(include_exact=False)
     sqls["stream_latency_hdr"] = oracle.q_hdr_latency(sub_bits=4)
     sqls["stream_session_window"] = oracle.q_stream_session_window()
+    sqls["stream_agg_incremental"] = oracle.q_stream_agg_incremental()
     sqls["stream_interval_join"] = oracle.q_stream_interval_join()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
     # order-insensitive survivor set: one row per distinct text hash

@@ -1483,3 +1483,17 @@ SELECT key, cnt,
   CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
 FROM top, t
 """
+
+
+def q_stream_agg_incremental() -> str:
+    """run_agg_maintenance twin (streaming/agg_incremental.py): the
+    folded batch partials must equal this FLAT hourly severity
+    aggregate over the same conv subset — no watermark clause, since
+    exact partial merging never drops late rows."""
+    return pipeline_cte() + (
+        "SELECT severity, date_trunc('hour', ts) AS window_start, "
+        "count(*)::BIGINT AS cnt "
+        "FROM parsed2 "
+        "WHERE CAST(substr(conv_id, 6) AS INT) % 23 = 7 "
+        "GROUP BY 1, 2"
+    )

@@ -173,6 +173,99 @@ def main():
             .collect(),
             warmup=True,
         )
+        # lakehouse tier (round 4): CDC merge (delta-sized window +
+        # key anti-join against the corpus-sized base), manifest
+        # compaction binning, the one-scan DQ audit, and the skew
+        # diagnostic — the maintenance ops a 100 TB table needs
+        from ci_log_processing_spark.operators.dedup import (
+            release_persisted as _release_persisted,
+        )
+        from ci_log_processing_spark.operators.dq import dq_audit
+        from ci_log_processing_spark.operators.skew import (
+            key_skew_audit,
+        )
+        from ci_log_processing_spark.operators.snapshot import (
+            apply_cdc,
+            compaction_plan,
+            compaction_summary,
+        )
+
+        def _cdc():
+            base = corpus.select("doc_id", "text", "source")
+            upd = base.filter(F.col("doc_id") % 9 == 0).select(
+                "doc_id",
+                F.lit("U").alias("op"),
+                F.lit(1).cast("long").alias("seq"),
+                F.upper("text").alias("text"),
+                "source",
+            )
+            dele = base.filter(F.col("doc_id") % 17 == 3).select(
+                "doc_id",
+                F.lit("D").alias("op"),
+                F.lit(2).cast("long").alias("seq"),
+                "text",
+                "source",
+            )
+            ins = base.filter(F.col("doc_id") % 23 == 5).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                F.lit("I").alias("op"),
+                F.lit(1).cast("long").alias("seq"),
+                "text",
+                "source",
+            )
+            return (
+                apply_cdc(base, upd.unionByName(dele).unionByName(ins))
+                .select(F.bit_xor(F.xxhash64("doc_id", "text")))
+                .collect()
+            )
+
+        t("apply_cdc", _cdc, warmup=True)
+        t(
+            "compaction",
+            lambda: compaction_summary(
+                compaction_plan(
+                    corpus.withColumn("n_chars", F.length("text")),
+                    target_bytes=64 * 1024,
+                )
+            )
+            .select(
+                F.bit_xor(
+                    F.xxhash64("part", "bin_idx", "n_files", "out_bytes")
+                )
+            )
+            .collect(),
+            warmup=True,
+        )
+        t(
+            "dq_audit",
+            lambda: dq_audit(
+                corpus,
+                {
+                    "not_null:text": F.col("text").isNull(),
+                    "range:len": (F.length("text") < 1)
+                    | (F.length("text") > 10_000),
+                },
+                unique_key="doc_id",
+            )
+            .select(
+                F.bit_xor(F.xxhash64("check_name", "n_violations"))
+            )
+            .collect(),
+            warmup=True,
+        )
+
+        def _skew():
+            r = (
+                key_skew_audit(corpus, "source", top_n=20)
+                .select(
+                    F.bit_xor(F.xxhash64("key", "cnt", "share_milli"))
+                )
+                .collect()
+            )
+            _release_persisted()  # free the counts cache
+            return r
+
+        t("skew_audit", _skew, warmup=True)
         from ci_log_processing_spark.operators import dedup as _dedup
         from ci_log_processing_spark.operators.dedup import winnow_pairs
         from ci_log_processing_spark.operators.retrieval import bm25_topk
