@@ -157,6 +157,17 @@ def q_dq_audit(spark, sf_dir):
     )
 
 
+def q_column_profile(spark, sf_dir):
+    """ANALYZE-style column statistics over documents
+    (operators/dq.py column_profile): nulls / ndv / min / max per
+    column in one Expand-widened scan."""
+    from ci_log_processing_spark.operators.dq import column_profile
+
+    return column_profile(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def q_skew_audit(spark, sf_dir):
     """Top-20 heaviest shuffle keys with exact row share
     (operators/skew.py key_skew_audit) — the pre-shuffle planning
@@ -3345,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_skew_audit": q_skew_audit,
             "cur_snapshot_asof": q_snapshot_asof,
             "cur_compaction_plan": q_compaction_plan,
+            "cur_column_profile": q_column_profile,
         }
     )
 
@@ -3632,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_dq_audit": od.q_dq_audit(),
             "pipe_skew_audit": oracle.q_skew_audit(top_n=20),
             "cur_snapshot_asof": od.q_snapshot_asof(as_of_seq=2),
+            "cur_column_profile": od.q_column_profile(),
             "cur_compaction_plan": od.q_compaction_plan(
                 target_bytes=4096
             ),

@@ -594,6 +594,14 @@ def main():
             ["part", "bin_idx", "n_files", "out_bytes"],
         ),
     )
+    bench(
+        "cur_column_profile",
+        lambda: checksum(
+            entrymod.q_column_profile(spark, sf_dir),
+            ["column", "n_rows", "n_nulls", "n_distinct",
+             "min_value", "max_value"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and
@@ -665,6 +673,7 @@ def main():
         "cur_full_curation_v7", "cur_apply_cdc", "pipe_scd2_intervals",
         "pipe_agg_incremental", "cur_dq_audit", "pipe_skew_audit",
         "cur_snapshot_asof", "cur_compaction_plan",
+        "cur_column_profile",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the

@@ -95,3 +95,49 @@ def document_checks(
         | (F.col("n_chars") > int(max_chars)),
         "consistent:n_chars": F.col("n_chars") != F.length("text"),
     }
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE TABLE-style column statistics: per column, null count,
+    distinct count, and min/max (serialized to string for a uniform
+    schema across types). These are the stats cost-based optimizers
+    and file-skipping layouts feed on (the zorder_layout_audit
+    companion: that op measures how well a layout skips, this one
+    produces the numbers a planner would skip WITH).
+
+    Scale shape: every statistic is an aggregate over ONE scan;
+    the n distinct-counts widen the plan via Expand (xN input rows
+    map-side, combined before the single exchange) — still one pass,
+    no joins, no per-column re-scan. Output is column-count-sized.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    agg = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return agg.select(
+        "n_rows", F.explode(F.array(*structs)).alias("c")
+    ).select(
+        F.col("c.column").alias("column"),
+        "n_rows",
+        F.col("c.n_nulls").alias("n_nulls"),
+        F.col("c.n_distinct").alias("n_distinct"),
+        F.col("c.min_value").alias("min_value"),
+        F.col("c.max_value").alias("max_value"),
+    )

@@ -3872,3 +3872,26 @@ SELECT part, bin_idx, count(*)::BIGINT AS n_files,
        sum(bytes)::BIGINT AS out_bytes
 FROM plan GROUP BY 1, 2
 """
+
+
+def q_column_profile() -> str:
+    """column_profile twin (operators/dq.py): the same per-column
+    statistics as one aggregate CTE, a UNION ALL row per column,
+    min/max serialized to VARCHAR for the uniform schema."""
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = ", ".join(
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT "
+        f"AS nn_{c}, count(DISTINCT {c})::BIGINT AS nd_{c}, "
+        f"min({c})::VARCHAR AS mn_{c}, max({c})::VARCHAR AS mx_{c}"
+        for c in cols
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, n_rows, nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_value, "
+        f"mx_{c} AS max_value FROM a"
+        for c in cols
+    )
+    return (
+        f"WITH a AS (SELECT count(*)::BIGINT AS n_rows, {aggs} "
+        f"FROM documents) {rows}"
+    )

@@ -109,3 +109,22 @@ def test_dq_audit_is_single_scan(spark):
     # distinct-count; no self-join, no union of scans)
     assert plan.count("LogicalRDD") == 1
     assert "Join" not in plan
+
+
+def test_column_profile_stats(spark):
+    from ci_log_processing_spark.operators.dq import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (2, "de")], "doc_id long, lang string"
+    )
+    out = {
+        r.column: r
+        for r in column_profile(df, ["doc_id", "lang"]).collect()
+    }
+    assert out["doc_id"].n_nulls == 0
+    assert out["doc_id"].n_distinct == 2
+    assert (out["doc_id"].min_value, out["doc_id"].max_value) == ("1", "2")
+    assert out["lang"].n_nulls == 1
+    assert out["lang"].n_distinct == 2  # nulls excluded from ndv
+    assert (out["lang"].min_value, out["lang"].max_value) == ("de", "en")
+    assert all(r.n_rows == 3 for r in out.values())
