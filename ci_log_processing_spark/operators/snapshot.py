@@ -114,6 +114,14 @@ def apply_cdc(
     shuffled twice and never rewritten where untouched — exactly the
     property a 100 TB MERGE needs (at file granularity there, at row
     granularity here).
+
+    Plan notes (verified on the executed plan): Catalyst rewrites
+    the row_number-top-1 into WindowGroupLimit (per-key top-1, no
+    full sort materialization), and at realistic change rates AQE
+    picks a broadcast anti-join — base moves through ZERO exchanges.
+    The last-writer window is evaluated once per consumer (touched
+    keys + surviving payloads); both are delta-sized, so recompute
+    is cheaper than managing a cache entry.
     """
     from pyspark.sql.window import Window
 
