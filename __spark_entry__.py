@@ -2436,6 +2436,26 @@ def q_compaction_plan(spark, sf_dir):
     )
 
 
+def q_merge_stats_refresh(spark, sf_dir):
+    """Composed lakehouse write path (operators/snapshot.py +
+    operators/dq.py): apply the CDC change set, then refresh the
+    column statistics of the MERGED snapshot — the write→ANALYZE
+    cycle a real table runs after every MERGE. Proves the ops
+    compose: the profile scans the merge's output plan directly, no
+    materialization between stages."""
+    from ci_log_processing_spark.operators.dq import column_profile
+    from ci_log_processing_spark.operators.snapshot import apply_cdc
+
+    docs = _docs(spark, sf_dir)
+    payload = ["text", "lang", "source", "n_chars"]
+    merged = apply_cdc(
+        docs.select("doc_id", *payload), _cdc_changes(docs)
+    )
+    return column_profile(
+        merged, ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 validity intervals from the config-update stream
     (operators/enrich.py scd2_intervals)."""
@@ -3357,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_snapshot_asof": q_snapshot_asof,
             "cur_compaction_plan": q_compaction_plan,
             "cur_column_profile": q_column_profile,
+            "cur_merge_stats_refresh": q_merge_stats_refresh,
         }
     )
 
@@ -3645,6 +3666,7 @@ def oracle_sql() -> dict[str, str]:
             "pipe_skew_audit": oracle.q_skew_audit(top_n=20),
             "cur_snapshot_asof": od.q_snapshot_asof(as_of_seq=2),
             "cur_column_profile": od.q_column_profile(),
+            "cur_merge_stats_refresh": od.q_merge_stats_refresh(),
             "cur_compaction_plan": od.q_compaction_plan(
                 target_bytes=4096
             ),

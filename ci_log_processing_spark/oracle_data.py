@@ -3895,3 +3895,53 @@ def q_column_profile() -> str:
         f"WITH a AS (SELECT count(*)::BIGINT AS n_rows, {aggs} "
         f"FROM documents) {rows}"
     )
+
+
+def q_merge_stats_refresh() -> str:
+    """Composed twin: the q_apply_cdc merged snapshot (full payload)
+    feeding the q_column_profile statistics — write then ANALYZE."""
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = ", ".join(
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT "
+        f"AS nn_{c}, count(DISTINCT {c})::BIGINT AS nd_{c}, "
+        f"min({c})::VARCHAR AS mn_{c}, max({c})::VARCHAR AS mx_{c}"
+        for c in cols
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, n_rows, nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_value, "
+        f"mx_{c} AS max_value FROM a"
+        for c in cols
+    )
+    return f"""
+WITH ch AS (
+  SELECT doc_id, 'U' AS op, 1 AS seq, upper(text) AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'U', 2, text || ' final', lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'D', 3, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 'I', 1, text || ' v2',
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 13 = 5
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY seq DESC) AS rn
+    FROM ch) WHERE rn = 1
+),
+merged AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d ANTI JOIN last l ON d.doc_id = l.doc_id
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars
+  FROM last WHERE op <> 'D'
+),
+a AS (SELECT count(*)::BIGINT AS n_rows, {aggs} FROM merged)
+{rows}
+"""
