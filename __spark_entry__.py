@@ -2436,6 +2436,29 @@ def q_compaction_plan(spark, sf_dir):
     )
 
 
+def q_html_clean(spark, sf_dir):
+    """HTML boilerplate strip (functions/html.py): documents.text is
+    deterministically wrapped in tags + entities + a script block
+    (identically in the SQL twin), then cleaned back to plain text —
+    tags gone, entities decoded (&amp; last), whitespace collapsed."""
+    from ci_log_processing_spark.functions.html import html_clean
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{margin:0}</style></head>'
+                  '<body><h1>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1>\n<p>"),
+            F.col("text"),
+            F.lit(" &amp; more &lt;tail&gt;&nbsp;end</p>"
+                  "<script>var x = 1 < 2;</script></body></html>"),
+        ).alias("html"),
+    )
+    return html_clean(wrapped)
+
+
 def q_merge_stats_refresh(spark, sf_dir):
     """Composed lakehouse write path (operators/snapshot.py +
     operators/dq.py): apply the CDC change set, then refresh the
@@ -3378,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_compaction_plan": q_compaction_plan,
             "cur_column_profile": q_column_profile,
             "cur_merge_stats_refresh": q_merge_stats_refresh,
+            "text_html_clean": q_html_clean,
         }
     )
 
@@ -3667,6 +3691,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_snapshot_asof": od.q_snapshot_asof(as_of_seq=2),
             "cur_column_profile": od.q_column_profile(),
             "cur_merge_stats_refresh": od.q_merge_stats_refresh(),
+            "text_html_clean": od.q_html_clean(),
             "cur_compaction_plan": od.q_compaction_plan(
                 target_bytes=4096
             ),

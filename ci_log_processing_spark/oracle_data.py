@@ -3945,3 +3945,41 @@ merged AS (
 a AS (SELECT count(*)::BIGINT AS n_rows, {aggs} FROM merged)
 {rows}
 """
+
+
+def q_html_clean() -> str:
+    """html_clean twin (functions/html.py): the same wrap -> strip ->
+    decode -> collapse chain in DuckDB (RE2 via 'gis' options where
+    Spark uses inline (?is); no backreferences used so both engines
+    accept every pattern; &amp; decoded last in both)."""
+    return r"""
+WITH wrapped AS (
+  SELECT doc_id,
+    '<html><head><style>p{margin:0}</style></head><body><h1>Doc '
+    || doc_id || '</h1>' || chr(10) || '<p>' || text
+    || ' &amp; more &lt;tail&gt;&nbsp;end</p>'
+    || '<script>var x = 1 < 2;</script></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+        '<style[^>]*>.*?</style>', ' ', 'gis'),
+      '<[^>]+>', ' ', 'g') AS t
+  FROM wrapped
+),
+decoded AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(
+      t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+  FROM stripped
+)
+SELECT doc_id,
+  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+  length(trim(regexp_replace(t, '\s+', ' ', 'g')))::BIGINT
+    AS n_chars_clean
+FROM decoded
+"""

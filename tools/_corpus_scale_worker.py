@@ -220,6 +220,26 @@ def main():
             )
 
         t("apply_cdc", _cdc, warmup=True)
+
+        def _cdc_low():
+            # ~1% change rate — the production regime, where the
+            # touched-key build side is broadcast-sized and base
+            # should cross zero exchanges (BASELINE.md claim)
+            base = corpus.select("doc_id", "text", "source")
+            upd = base.filter(F.col("doc_id") % 97 == 0).select(
+                "doc_id",
+                F.lit("U").alias("op"),
+                F.lit(1).cast("long").alias("seq"),
+                F.upper("text").alias("text"),
+                "source",
+            )
+            return (
+                apply_cdc(base, upd)
+                .select(F.bit_xor(F.xxhash64("doc_id", "text")))
+                .collect()
+            )
+
+        t("apply_cdc_low", _cdc_low, warmup=True)
         t(
             "compaction",
             lambda: compaction_summary(
