@@ -540,6 +540,40 @@ def q_stream_watermark_agg(spark, sf_dir):
     )
 
 
+def q_stream_cdc_merge(spark, sf_dir):
+    """Streaming CDC merge with bucket-granularity rewrite
+    (streaming/cdc_merge.py): the q_apply_cdc change set (text-only
+    payload) arrives as THREE files routed by key hash — every key's
+    ops share one batch, so the sequentially-merged snapshot equals
+    the global last-writer merge the SQL twin computes."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.cdc_merge import (
+        bootstrap_snapshot,
+        run_cdc_merge,
+    )
+
+    docs = _docs(spark, sf_dir)
+    changes = _cdc_changes(docs).select("doc_id", "op", "seq", "text")
+    work = tempfile.mkdtemp(prefix="gate_cdcm_")
+    try:
+        ch_dir = os.path.join(work, "changes")
+        changes.repartition(3, F.col("doc_id")).write.parquet(ch_dir)
+        snap = os.path.join(work, "snap")
+        bootstrap_snapshot(
+            docs.select("doc_id", "text"), snap, n_buckets=8
+        )
+        out = run_cdc_merge(
+            spark, ch_dir, snap, os.path.join(work, "chk"),
+            n_buckets=8,
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def q_stream_agg_incremental(spark, sf_dir):
     """Streaming rollup maintenance (streaming/agg_incremental.py):
     the conv subset (user_id % 23 == 7) arrives as THREE files —
@@ -3262,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_dedup_exact"] = q_stream_dedup
     qs["stream_session_window"] = q_stream_session_window
     qs["stream_agg_incremental"] = q_stream_agg_incremental
+    qs["stream_cdc_merge"] = q_stream_cdc_merge
     qs["stream_interval_join"] = q_stream_interval_join
     qs["stream_watermark_agg"] = q_stream_watermark_agg
     qs["stream_ingest_curation"] = q_stream_ingest_curation
@@ -3499,6 +3534,8 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["stream_ingest_curation"] = _qsic(0.45)
     from ci_log_processing_spark import oracle_data as od
+
+    sqls["stream_cdc_merge"] = od.q_stream_cdc_merge()
     from ci_log_processing_spark.operators.curation import (
         bloom_bits as _bloom_bits,
     )

@@ -3983,3 +3983,37 @@ SELECT doc_id,
     AS n_chars_clean
 FROM decoded
 """
+
+
+def q_stream_cdc_merge() -> str:
+    """run_cdc_merge twin (streaming/cdc_merge.py): because the gate
+    routes every key's ops into one micro-batch, the sequential
+    bucket-rewrite merge equals this GLOBAL last-writer merge."""
+    return """
+WITH ch AS (
+  SELECT doc_id, 'U' AS op, 1 AS seq, upper(text) AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'U', 2, text || ' final'
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'D', 3, text
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 'I', 1, text || ' v2'
+  FROM documents WHERE doc_id % 13 = 5
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY seq DESC) AS rn
+    FROM ch) WHERE rn = 1
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  ANTI JOIN last l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, text FROM kept
+UNION ALL
+SELECT doc_id, text FROM last WHERE op <> 'D'
+"""
