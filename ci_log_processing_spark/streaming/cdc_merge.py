@@ -197,6 +197,10 @@ def run_cdc_merge(
                 merged.withColumn(
                     "bucket", _bucket(F.col("doc_id"), n_buckets)
                 )
+                # key-sorted within each bucket file: parquet zone
+                # maps then prune point lookups inside a bucket, the
+                # same reason bucketed tables sort on the bucket key
+                .sortWithinPartitions("bucket", "doc_id")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(staged)
@@ -218,3 +222,40 @@ def run_cdc_merge(
     )
     q.awaitTermination()
     return read_snapshot(spark, snap_dir)
+
+
+def vacuum_snapshot(
+    spark: SparkSession, snap_dir: str, keep_last: int = 1
+) -> int:
+    """Version GC: per bucket, delete all but the newest `keep_last`
+    version directories; returns the count removed. Old versions are
+    what time travel reads, so keep_last is the retention window —
+    exactly Delta VACUUM's contract. Safe against concurrent readers
+    of the LATEST version by construction (the latest is never
+    deleted); historical readers must finish inside the retention
+    window, the same caveat every lakehouse vacuum carries."""
+    fs, jvm = _fs(spark, snap_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(snap_dir)
+    removed = 0
+    if not fs.exists(root):
+        return 0
+    for st in fs.listStatus(root):
+        if not st.getPath().getName().startswith("bucket="):
+            continue
+        versions = sorted(
+            (
+                int(vst.getPath().getName()[1:])
+                for vst in fs.listStatus(st.getPath())
+                if vst.getPath().getName().startswith("v")
+            ),
+            reverse=True,
+        )
+        for v in versions[max(1, int(keep_last)):]:
+            fs.delete(
+                Path(os.path.join(snap_dir, st.getPath().getName(),
+                                  f"v{v}")),
+                True,
+            )
+            removed += 1
+    return removed
