@@ -259,3 +259,47 @@ def vacuum_snapshot(
             )
             removed += 1
     return removed
+
+
+def lookup(
+    spark: SparkSession,
+    snap_dir: str,
+    keys: list[int],
+    n_buckets: int = 16,
+    version: int = 1 << 60,
+) -> DataFrame:
+    """Point lookup against the merged table: hash each key to its
+    bucket and read ONLY those buckets at their latest version —
+    the secondary-index behaviour the bucketed, key-sorted layout
+    buys without an index structure (zone maps prune within the
+    bucket). Buckets for the requested keys are computed with a
+    1-job Spark expression so the hash matches the write path
+    exactly (no Python xxhash reimplementation to drift); the key
+    list is query-sized, so the job is trivial and only the needed
+    paths are ever opened."""
+    kdf = spark.createDataFrame(
+        [(int(k),) for k in keys], "doc_id long"
+    )
+    wanted = {
+        r.b
+        for r in kdf.select(
+            _bucket(F.col("doc_id"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    latest = _latest_versions(spark, snap_dir, version)
+    paths = [
+        os.path.join(snap_dir, f"bucket={b}", f"v{v}")
+        for b, v in sorted(latest.items())
+        if b in wanted
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], f"doc_id long, {', '.join(c + ' string' for c in _PAYLOAD)}"
+        )
+    return (
+        spark.read.parquet(*paths)
+        .join(F.broadcast(kdf), "doc_id")
+        .select("doc_id", *_PAYLOAD)
+    )

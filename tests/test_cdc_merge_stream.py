@@ -166,3 +166,17 @@ def test_vacuum_keeps_latest_versions(spark, work):
         r.doc_id: r.text for r in read_snapshot(spark, snap).collect()
     }
     assert after == before
+
+
+def test_lookup_reads_only_key_buckets(spark, work):
+    from ci_log_processing_spark.streaming.cdc_merge import lookup
+
+    snap = os.path.join(work, "snap")
+    bootstrap_snapshot(_base(spark, 30), snap, n_buckets=4)
+    got = {
+        r.doc_id: r.text
+        for r in lookup(spark, snap, [3, 17], n_buckets=4).collect()
+    }
+    assert got == {3: "base-3", 17: "base-17"}
+    # a missing key returns nothing rather than erroring
+    assert lookup(spark, snap, [999], n_buckets=4).count() == 0
