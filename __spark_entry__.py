@@ -2513,6 +2513,89 @@ def q_merge_stats_refresh(spark, sf_dir):
     )
 
 
+def q_volume_trend(spark, sf_dir):
+    """Per-sink daily volume OLS trend (operators/aggregate.py
+    volume_trend): exact-integer slope_milli over observed days —
+    the drift-quantifying companion to the spike/MAD/CUSUM
+    detectors."""
+    from ci_log_processing_spark.operators.aggregate import volume_trend
+
+    return volume_trend(_routed(spark, sf_dir))
+
+
+def q_chat_lint(spark, sf_dir):
+    """Chat-template structural lint (operators/sft.py chat_lint):
+    role-alternation violations, orphan tool calls, unanswered
+    closings — per-conversation flags over visible turns."""
+    from ci_log_processing_spark.operators.sft import chat_lint
+
+    return chat_lint(_routed(spark, sf_dir))
+
+
+def q_stratified_split(spark, sf_dir):
+    """Exact-proportion stratified train/val/test split
+    (operators/curation.py stratified_split): per-source md5-rank
+    assignment against integer cut-offs."""
+    from ci_log_processing_spark.operators.curation import (
+        stratified_split,
+    )
+
+    return stratified_split(_docs(spark, sf_dir))
+
+
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence pair counts (operators/textstats.py
+    skipgram_pairs): word2vec/PMI preprocessing — forward-window
+    directed token pairs, one pair-keyed aggregate."""
+    from ci_log_processing_spark.operators.textstats import (
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(_docs(spark, sf_dir), window=3, min_count=2)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted-index build (operators/retrieval.py
+    inverted_index): term -> 'doc:p1,p2|doc:p3' posting strings with
+    forced ordering. The gate opens the df band wide (the synthetic
+    vocabulary is a ~30-term closed set, so every term is a head
+    term); the max_df state cap is pytest-exercised."""
+    from ci_log_processing_spark.operators.retrieval import (
+        inverted_index,
+    )
+
+    return inverted_index(
+        _docs(spark, sf_dir), min_df=2, max_df=1000000
+    )
+
+
+def q_count_cosine_pairs(spark, sf_dir):
+    """Sparse count-vector cosine near-dup pairs
+    (operators/dedup.py count_cosine_pairs) over the planted-dup
+    corpus: positional 4-gram counts, df-cut candidate gate, exact
+    squared integer threshold test at cos >= 0.8."""
+    from ci_log_processing_spark.operators.dedup import (
+        count_cosine_pairs,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    return count_cosine_pairs(
+        load_corpus(spark, sf_dir), threshold_milli=800, df_cut=128,
+        ngram=4,
+    )
+
+
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed training-batch construction
+    (operators/curation.py length_batches): per-source length-DESC
+    chunking with an exact integer padding-waste share per batch."""
+    from ci_log_processing_spark.operators.curation import (
+        length_batches,
+    )
+
+    return length_batches(_docs(spark, sf_dir))
+
+
 def q_scd2_intervals(spark, sf_dir):
     """SCD2 validity intervals from the config-update stream
     (operators/enrich.py scd2_intervals)."""
@@ -3183,8 +3266,12 @@ _VERIFY_FIRST = (
     #   mm_resize, dedup_threshold_curve, pipe_slo_burn,
     #   text_hashed_features, cur_apply_cdc, pipe_scd2_intervals,
     #   pipe_agg_incremental, cur_dq_audit, pipe_skew_audit,
-    #   cur_snapshot_asof, cur_compaction_plan
-    # = 45 never-verified, then (c) fill the remaining ~5 slots with
+    #   cur_snapshot_asof, cur_compaction_plan, cur_column_profile,
+    #   cur_merge_stats_refresh, text_html_clean, stream_cdc_merge,
+    #   pipe_volume_trend, cur_chat_lint, cur_stratified_split,
+    #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
+    #   dedup_count_cosine
+    # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
     "cur_bloom_decontaminate",
@@ -3437,6 +3524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_column_profile": q_column_profile,
             "cur_merge_stats_refresh": q_merge_stats_refresh,
             "text_html_clean": q_html_clean,
+            "pipe_volume_trend": q_volume_trend,
+            "cur_chat_lint": q_chat_lint,
+            "cur_stratified_split": q_stratified_split,
+            "cur_length_batches": q_length_batches,
+            "text_skipgram_pairs": q_skipgram_pairs,
+            "ret_inverted_index": q_inverted_index,
+            "dedup_count_cosine": q_count_cosine_pairs,
         }
     )
 
@@ -3737,6 +3831,19 @@ def oracle_sql() -> dict[str, str]:
             "dedup_winnow_pairs": od.q_winnow_pairs(overlap_milli=400),
             "cur_full_curation_v6": od.q_full_curation_v6(
                 budget=600, min_words=40, seed="v6"
+            ),
+            "pipe_volume_trend": oracle.q_volume_trend(),
+            "cur_chat_lint": oracle.q_chat_lint(),
+            "cur_stratified_split": od.q_stratified_split(),
+            "cur_length_batches": od.q_length_batches(),
+            "text_skipgram_pairs": od.q_skipgram_pairs(
+                window=3, min_count=2
+            ),
+            "ret_inverted_index": od.q_inverted_index(
+                min_df=2, max_df=1000000
+            ),
+            "dedup_count_cosine": od.q_count_cosine_pairs(
+                threshold_milli=800, df_cut=128, ngram=4
             ),
         }
     )

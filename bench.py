@@ -602,6 +602,60 @@ def main():
              "min_value", "max_value"],
         ),
     )
+    # late-round-4 additions (kept OUT of the frozen R4 subset, like
+    # the mid-round-3 joins before them — they enter R5_QUERIES)
+    bench(
+        "pipe_volume_trend",
+        lambda: checksum(
+            entrymod.q_volume_trend(spark, sf_dir),
+            ["sink", "n_days", "first_day", "last_day", "total_rows",
+             "slope_milli"],
+        ),
+    )
+    bench(
+        "cur_chat_lint",
+        lambda: checksum(
+            entrymod.q_chat_lint(spark, sf_dir),
+            ["conv_id", "n_visible", "opens_role", "ends_role",
+             "n_role_repeats", "n_tool_wo_assistant", "lint_ok"],
+        ),
+    )
+    bench(
+        "cur_stratified_split",
+        lambda: checksum(
+            entrymod.q_stratified_split(spark, sf_dir),
+            ["doc_id", "source", "split"],
+        ),
+    )
+    bench(
+        "cur_length_batches",
+        lambda: checksum(
+            entrymod.q_length_batches(spark, sf_dir),
+            ["source", "batch_id", "n_docs", "max_tokens",
+             "min_tokens", "sum_tokens", "pad_waste_milli"],
+        ),
+    )
+    bench(
+        "text_skipgram_pairs",
+        lambda: checksum(
+            entrymod.q_skipgram_pairs(spark, sf_dir),
+            ["tok_a", "tok_b", "n"],
+        ),
+    )
+    bench(
+        "ret_inverted_index",
+        lambda: checksum(
+            entrymod.q_inverted_index(spark, sf_dir),
+            ["term", "df", "n_occurrences", "postings"],
+        ),
+    )
+    bench(
+        "dedup_count_cosine",
+        lambda: checksum(
+            entrymod.q_count_cosine_pairs(spark, sf_dir),
+            ["doc_a", "doc_b", "dot", "norm_a2", "norm_b2"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and

@@ -1264,3 +1264,87 @@ def merge_agg_deltas(
         .groupBy(*key_cols)
         .agg(F.sum(cnt_col).alias(cnt_col))
     )
+
+
+def volume_trend(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    ts_col: str = "filled_ts",
+    sink: str | None = None,
+) -> DataFrame:
+    """Per-group daily volume TREND: the ordinary-least-squares
+    slope of daily row counts against the day index — the
+    capacity-planning companion to the three burst detectors
+    (`error_spike_hours` finds hours that jump, the MAD variant
+    resists the spike inflating its own fence, `cusum_error_drift`
+    finds sustained level SHIFTS; this one quantifies the steady
+    drift itself: "volume in group X grows by N/day"). The
+    reference answers this by eyeballing its dashboard time series
+    (logscraper.py:295-304 gauges). Group on sink for the routing
+    fan-out's growth, or on (subsystem, severity) with sink='errors'
+    for the error drill-down.
+
+    The slope runs in EXACT integer arithmetic so the DuckDB oracle
+    matches bit-for-bit: with x = days-since-epoch and y = daily
+    count over the n OBSERVED days (zero-error days contribute no
+    row and are deliberately absent — the trend is over observed
+    volume, documented contract),
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    emitted as slope_milli = (1000 * num) div den via a single exact
+    integer floor division (num first, so no compounded rounding).
+    Every term fits int64: x < 2^15 (epoch days), so Sxx < n * 2^30
+    and 1000*n*Sxy < 10^3 * n^2 * 2^15 * max_daily — safe past 10^9
+    daily errors. Singleton subsystems (n == 1, den == 0) emit NULL.
+
+    Scale shape: one partial+final hash aggregate on
+    (group_cols, day) — shuffled volume is distinct groups, not rows
+    — then a group-keyed rollup over those GROUP rows computes the
+    five OLS sums. Nothing row-sized crosses the second exchange;
+    the plan class is independent of corpus size.
+
+    Output: (group_cols..., n_days, first_day, last_day, total_rows,
+    slope_milli).
+    """
+    if group_cols is None:
+        group_cols = ["sink"]
+    if sink is not None:
+        df = df.filter(F.col("sink") == sink)
+    daily = (
+        df.groupBy(
+            *group_cols,
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            "day",
+            "n",
+            F.datediff(F.col("day"), F.lit("1970-01-01")).cast(
+                "long"
+            ).alias("x"),
+        )
+    )
+    sums = daily.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.sum("n").alias("total_rows"),
+        F.sum("x").alias("_sx"),
+        F.sum("n").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("x") * F.col("n")).alias("_sxy"),
+    )
+    den = F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return sums.select(
+        *group_cols,
+        "n_days",
+        # serialized yyyy-MM-dd so both engines emit the same string
+        # (a DATE cell round-trips through pandas differently)
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        "total_rows",
+        F.when(den != 0, F.expr(
+            "(1000 * (n_days * _sxy - _sx * _sy))"
+            " div (n_days * _sxx - _sx * _sx)"
+        )).alias("slope_milli"),
+    )

@@ -1955,3 +1955,137 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("at_risk", F.col("n_docs") < k)
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    strata_col: str = "source",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "split1",
+) -> DataFrame:
+    """EXACT-proportion stratified train/val/test assignment: within
+    every stratum, exactly floor(n * test_pct / 100) documents go to
+    test and floor(n * val_pct / 100) to val, chosen in
+    deterministic md5 pseudo-random order — the held-out-set
+    construction an eval pipeline needs when per-stratum proportions
+    must be exact, not expected. This is the exact-count complement
+    of `leakage_safe_split` (hash-threshold draw: unbiased but only
+    approximately proportioned, plus contamination quarantine) and of
+    `mixture_sample` (per-source keep RATES): same family, different
+    contract.
+
+    Membership is decided by per-stratum RANK against integer
+    cut-offs, not by hash threshold, so proportions hold exactly in
+    every stratum however skewed the stratum sizes: rank <= n_test ->
+    test, <= n_test + n_val -> val, else train. The rank key is
+    md5(seed || id) with the id as tie-break — re-runs and the oracle
+    reproduce the assignment bit-for-bit, and changing the seed
+    redraws the split without touching the code.
+
+    Scale shape: ONE stratum-keyed exchange shared by the row_number
+    window and the count window (same partition key); the md5 rank
+    key is computed before the exchange, assignment is per-row
+    arithmetic after it. No joins, no driver state; AQE splits a
+    skewed stratum.
+
+    Output: (id_col, strata_col, split) — split in
+    {'train','val','test'}.
+    """
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct >= 100:
+        raise ValueError(
+            "stratified_split: need val_pct, test_pct >= 0 and "
+            "val_pct + test_pct < 100"
+        )
+    rank_key = F.md5(
+        F.concat(
+            F.lit(seed), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy(strata_col).orderBy(rank_key, id_col)
+    wn = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        id_col,
+        strata_col,
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    n_test = F.expr(f"(_n * {int(test_pct)}) div 100")
+    n_val = F.expr(f"(_n * {int(val_pct)}) div 100")
+    return ranked.select(
+        id_col,
+        strata_col,
+        F.when(F.col("_rk") <= n_test, F.lit("test"))
+        .when(F.col("_rk") <= n_test + n_val, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def length_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed training-batch construction with a padding-
+    waste report: within every group, documents sort by token count
+    DESCENDING (id tie-break) and chunk into fixed-size batches — the
+    standard bucketing trick that puts like-length sequences
+    together, because a batch pads every sequence to its longest
+    member and random batching wastes the difference. The output is
+    the BATCH table (one row per batch) with the exact integer
+    padding-waste share, i.e. the design table that says what
+    bucketed batching saves before anyone trains.
+
+    pad_waste_milli = ((n_docs * max_tokens - sum_tokens) * 1000)
+    div (n_docs * max_tokens) — exact integer division, zero for a
+    batch of equal lengths; the last (possibly short) batch of each
+    group reports its true share.
+
+    Scale shape: token counts are a zero-shuffle per-row projection;
+    ONE group-keyed exchange carries the row_number window, and the
+    (group, batch_id) rollup rides the SAME partitioning (its group
+    key is a superset of the window's partition key, so co-location
+    is already satisfied — subset-key reuse, no second exchange).
+    Batch ids are per-group sequential integers: (rank - 1) div
+    batch_size.
+
+    Output: (group_col, batch_id, n_docs, max_tokens, min_tokens,
+    sum_tokens, pad_waste_milli).
+    """
+    if batch_size < 1:
+        raise ValueError("length_batches: batch_size must be >= 1")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_tok").desc(), F.col(id_col))
+    )
+    toks = (
+        docs.select(id_col, group_col, n_tok.alias("_tok"))
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "batch_id",
+            F.expr(f"(_rk - 1) div {int(batch_size)}").cast("long"),
+        )
+    )
+    agg = toks.groupBy(group_col, "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("_tok").alias("max_tokens"),
+        F.min("_tok").alias("min_tokens"),
+        F.sum("_tok").alias("sum_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "batch_id",
+        "n_docs",
+        "max_tokens",
+        "min_tokens",
+        "sum_tokens",
+        F.expr(
+            "((n_docs * max_tokens - sum_tokens) * 1000)"
+            " div (n_docs * max_tokens)"
+        ).alias("pad_waste_milli"),
+    )

@@ -1753,3 +1753,139 @@ def dedup_threshold_curve(
     # caller releases it (dedup.release_persisted) after consuming
     # the curve, same contract as every other LSH-backed operator
     return n_pairs.join(n_docs, "cutoff_sixteenths")
+
+
+def count_cosine_pairs(
+    docs: DataFrame,
+    threshold_milli: int = 800,
+    df_cut: int = 128,
+    ngram: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse token-count COSINE near-dup pairs — the bag-of-words
+    complement of the set-based detectors (`ngram_jaccard_pairs`
+    ignores multiplicity, `embedding_near_dup_pairs` needs dense
+    vectors; this scores the raw count vectors, so a doc that
+    repeats its own sentences still pairs with its unrepeated twin
+    where Jaccard-on-sets saturates).
+
+    EXACT integer decision rule (the repo-wide oracle contract —
+    cosine needs a sqrt, so the threshold test is algebraically
+    squared instead of computed in floats): with dot = sum over
+    SHARED terms of tf_a*tf_b and na2/nb2 the full squared norms,
+
+        cos >= t/1000  <=>  1e6 * dot^2 >= t^2 * na2 * nb2
+
+    (dot >= 0, so squaring preserves the inequality). The products
+    are evaluated in DECIMAL(38,0) — Spark decimal128 == DuckDB
+    HUGEINT semantics — because dot^2 overflows int64 already at
+    ~100k-token documents; OUTPUT columns stay int64 (dot and the
+    norms are linear in document length).
+
+    Two-phase scale shape (the ngram_jaccard plan, weighted):
+    a persisted (doc, term) tf aggregate feeds (1) the vocabulary-
+    sized df table whose df <= df_cut band gates CANDIDATE
+    generation — per-term pair fan-out is bounded by df_cut^2, the
+    stop-term guard — and (2) the per-doc squared norms. The dot
+    product accumulates in the SAME term-keyed pair join that
+    generates candidates (no second lookup of either side's vector:
+    non-shared terms contribute zero, and cut terms are excluded
+    from dot on BOTH the operator and the oracle — the documented
+    head-trim the threshold sees symmetrically). Norms use ALL
+    terms: the denominator is the true vector length.
+
+    `ngram` > 1 counts POSITIONAL n-gram occurrences (md5-keyed,
+    multiplicity kept — unlike shingles_col's distinct sets) instead
+    of unigrams: the right granularity when the unigram vocabulary
+    is so small that every term's df exceeds any sane cut (tiny
+    closed vocabularies, log templates), and what makes the df_cut a
+    real candidate gate rather than an all-or-nothing switch.
+
+    Output: (doc_a, doc_b, dot, norm_a2, norm_b2) for passing pairs.
+    """
+    if not 0 < threshold_milli <= 1000:
+        raise ValueError(
+            "count_cosine_pairs: threshold_milli must be in (0, 1000]"
+        )
+    if ngram < 1:
+        raise ValueError("count_cosine_pairs: ngram must be >= 1")
+    if ngram == 1:
+        terms = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+    else:
+        toks = F.col("_lt")
+        n = F.size(toks)
+        grams = F.when(
+            n >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), n - (ngram - 1)),
+                # slice unrolled into element_at args (see
+                # shingles_col: interpreted Slice with a lambda-var
+                # start boxes a window copy per position)
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, i + j)
+                            for j in range(ngram)
+                        ],
+                    ).cast("binary")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        terms = docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("_lt"),
+        ).select("doc_id", F.explode(grams).alias("term"))
+    tf = _register_persist(
+        terms.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    rare = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cut)
+        .select("term")
+    )
+    idx = tf.join(rare, "term", "left_semi")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm_a2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm_b2")
+    )
+    dec = "decimal(38,0)"
+    lhs = (
+        F.lit(1000000).cast(dec)
+        * F.col("dot").cast(dec)
+        * F.col("dot").cast(dec)
+    )
+    rhs = (
+        F.lit(int(threshold_milli) ** 2).cast(dec)
+        * F.col("norm_a2").cast(dec)
+        * F.col("norm_b2").cast(dec)
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(lhs >= rhs)
+        .select("doc_a", "doc_b", "dot", "norm_a2", "norm_b2")
+    )

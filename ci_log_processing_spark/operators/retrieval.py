@@ -136,3 +136,97 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "n_terms", "score_milli", "rank")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted-index construction: term -> serialized
+    posting list "doc:p1,p2|doc:p3" with 1-based token positions —
+    the index-build half of the retrieval tier (bm25_topk is the
+    query half; it recomputes tf on the fly, this materializes the
+    artifact a search system would persist and the reference's
+    OpenSearch backend builds internally on ingest,
+    logsender.py:467-495).
+
+    Order is FORCED twice, never assumed: positions sort inside each
+    (term, doc) posting via sort_array, and postings sort by doc_id
+    via array_sort over (doc_id, posting) structs before the join —
+    the same force-the-order trick as rl_trajectories, so the flat
+    string is deterministic under any shuffle order and the oracle
+    hash-matches cell-for-cell.
+
+    The df band [min_df, max_df] is the SCALE guard: max_df caps
+    per-term state (a stop-term appearing in f docs would otherwise
+    collect an f-sized posting array into ONE reducer row — the
+    posting-list analog of the LSH mega-bucket), and min_df drops
+    hapax noise. Real systems shard the hot tail instead of dropping
+    it; the cap keeps per-group state bounded at any corpus size and
+    is the documented trade.
+
+    Scale shape: zero-shuffle posexplode, then a persisted
+    (term, doc) partial+final agg feeding BOTH the vocabulary-sized
+    df table and the posting build; the df band filters BEFORE the
+    posting collect (semi-join on the term key the rows are already
+    hashed by), so no reducer ever aggregates a stop-term's f-sized
+    list only to throw it away — the cap truly bounds per-group
+    state, it doesn't just hide the rows. The final df/n_occ attach
+    is a term-keyed join of two vocabulary-sized tables.
+
+    Output: (term, df, n_occurrences, postings).
+    """
+    if min_df < 1 or max_df < min_df:
+        raise ValueError(
+            "inverted_index: need 1 <= min_df <= max_df"
+        )
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "_p0", "term"
+        ),
+    ).select("doc_id", "term", (F.col("_p0") + 1).alias("pos"))
+    td = _register_persist(
+        pos.groupBy("term", "doc_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("_plist"),
+            F.count(F.lit(1)).alias("_n_occ"),
+        )
+    )
+    band = (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("_n_occ").alias("n_occurrences"),
+        )
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    posting = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.array_join(
+            F.transform(F.col("_plist"), lambda p: p.cast("string")),
+            ",",
+        ),
+    )
+    posts = (
+        td.join(band.select("term"), "term", "left_semi")
+        .select(
+            "term",
+            F.struct(F.col("doc_id"), posting.alias("s")).alias(
+                "_post"
+            ),
+        )
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("_post")).alias("_posts"))
+    )
+    return posts.join(band, "term").select(
+        "term",
+        "df",
+        "n_occurrences",
+        F.array_join(
+            F.transform(F.col("_posts"), lambda s: s["s"]), "|"
+        ).alias("postings"),
+    )

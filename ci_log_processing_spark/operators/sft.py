@@ -288,3 +288,71 @@ def rl_trajectories(df: DataFrame) -> DataFrame:
             F.transform(F.col("_steps"), lambda s: s["s"]), "|"
         ).alias("traj"),
     )
+
+
+def chat_lint(df: DataFrame) -> DataFrame:
+    """Chat-template LINT over routed transcripts: the structural
+    validation an SFT corpus runs before rendering conversations into
+    a chat template — malformed role structure silently teaches the
+    model broken dialogue turns. Per conversation (VISIBLE turns
+    only; drop_queue rows are already the pipeline's row-level lint):
+
+    * opens_role / ends_role — who speaks first and last; a
+      conversation that ends on a user turn is an unanswered
+      question and fails the lint.
+    * n_role_repeats — consecutive visible turns with the SAME role
+      (user;user or assistant;assistant), the classic alternation
+      violation chat templates reject or force-merge.
+    * n_tool_wo_assistant — tool-invocation turns whose previous
+      visible turn is NOT an assistant turn: an orphan call with no
+      visible request, the transcript analog of a tool result whose
+      call was dropped.
+    * lint_ok — no repeats, no orphan tool calls, ends on an
+      assistant turn.
+
+    Scale shape: one lag(role) window inside the conv_id
+    partitioning the pipeline already established, then a conv-keyed
+    rollup riding the SAME exchange (group key == window partition
+    key). opens/ends come from min/max over (turn_idx, role) structs
+    — turn_idx is unique per conversation, so the struct extrema are
+    deterministic; no sort beyond the window's, no joins, output is
+    conversation-sized.
+
+    Output: (conv_id, n_visible, opens_role, ends_role,
+    n_role_repeats, n_tool_wo_assistant, lint_ok).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    visible = (
+        df.filter(F.col("sink") != "drop_queue")
+        .select("conv_id", "turn_idx", "role")
+        .withColumn("_prev", F.lag("role").over(w))
+    )
+    agg = visible.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.min(F.struct("turn_idx", "role")).alias("_first"),
+        F.max(F.struct("turn_idx", "role")).alias("_last"),
+        F.sum(
+            F.when(F.col("role") == F.col("_prev"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("n_role_repeats"),
+        F.sum(
+            (
+                (F.col("role") == "tool")
+                & (F.coalesce(F.col("_prev"), F.lit("")) != "assistant")
+            ).cast("long")
+        ).alias("n_tool_wo_assistant"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_visible",
+        F.col("_first.role").alias("opens_role"),
+        F.col("_last.role").alias("ends_role"),
+        "n_role_repeats",
+        "n_tool_wo_assistant",
+        (
+            (F.col("n_role_repeats") == 0)
+            & (F.col("n_tool_wo_assistant") == 0)
+            & (F.col("_last.role") == "assistant")
+        ).alias("lint_ok"),
+    )

@@ -1381,3 +1381,56 @@ def hashed_features(
         .groupBy(id_col, "bucket")
         .agg(F.sum("_sg").alias("weight"))
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence pair counts — the word2vec/GloVe
+    preprocessing table: for every token position i, the ordered
+    pairs (tok[i], tok[j]) with i < j <= i + window, counted over
+    the corpus. This is the sufficient statistic every static-
+    embedding trainer (SGNS, GloVe) and PMI-based collocation miner
+    consumes; `tool_cooccurrence` is the same idea at the
+    conversation/basket grain, this is the token grain.
+
+    Pair generation is a PER-ROW nested array expression (sequence ×
+    transform inside Catalyst, no HOF over a join, no self-join on
+    positions): fan-out is <= window × len per document before the
+    single (tok_a, tok_b)-keyed partial+final count aggregate. The
+    Zipf head means map-side combine absorbs most of the volume;
+    `min_count` prunes the hapax tail HAVING-style after the final
+    aggregate. Empty/short docs contribute nothing (guarded CASE —
+    Spark's sequence(a, b) with a > b would generate DESCENDING
+    sequences, so both bounds are guarded, not clamped).
+
+    Pairs are DIRECTED left-to-right (the window scans forward;
+    symmetric counts are the sum of the two directions, which a
+    consumer can fold) — documented contract shared with the oracle.
+
+    Output: (tok_a, tok_b, n) with n >= min_count.
+    """
+    if window < 1:
+        raise ValueError("skipgram_pairs: window must be >= 1")
+    pairs = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "flatten(transform(sequence(1, size(_toks) - 1), i -> "
+        f"transform(sequence(i + 1, least(i + {int(window)}, "
+        "size(_toks))), j -> "
+        "struct(element_at(_toks, i) AS a, element_at(_toks, j) AS b))))"
+        " ELSE array() END"
+    )
+    return (
+        docs.select(
+            F.split(F.lower(F.col(text_col)), " ").alias("_toks")
+        )
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -1497,3 +1497,73 @@ def q_stream_agg_incremental() -> str:
         "WHERE CAST(substr(conv_id, 6) AS INT) % 23 = 7 "
         "GROUP BY 1, 2"
     )
+
+
+def q_volume_trend() -> str:
+    """volume_trend twin (operators/aggregate.py): daily per-sink
+    row counts over OBSERVED days, then the SAME exact-integer OLS
+    slope — (1000 * (n*Sxy - Sx*Sy)) // (n*Sxx - Sx^2) with x =
+    days-since-epoch; both engines truncate integer division toward
+    zero, so negative slopes agree bit-for-bit. Singleton groups
+    emit NULL."""
+    return pipeline_cte() + """,
+daily AS (
+  SELECT sink, CAST(filled_ts AS DATE) AS day,
+         count(*)::BIGINT AS n
+  FROM routed GROUP BY 1, 2
+),
+xs AS (
+  SELECT sink, day, n,
+         date_diff('day', DATE '1970-01-01', day)::BIGINT AS x
+  FROM daily
+),
+sums AS (
+  SELECT sink, count(*)::BIGINT AS n_days,
+         min(day) AS first_day, max(day) AS last_day,
+         sum(n)::BIGINT AS total_rows,
+         sum(x)::BIGINT AS sx, sum(n)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(x * n)::BIGINT AS sxy
+  FROM xs GROUP BY 1
+)
+SELECT sink, n_days,
+       strftime(first_day, '%Y-%m-%d') AS first_day,
+       strftime(last_day, '%Y-%m-%d') AS last_day,
+       total_rows,
+       CAST(CASE WHEN n_days * sxx - sx * sx <> 0
+            THEN (1000 * (n_days * sxy - sx * sy))
+                 // (n_days * sxx - sx * sx)
+       END AS BIGINT) AS slope_milli
+FROM sums
+"""
+
+
+def q_chat_lint() -> str:
+    """chat_lint twin (operators/sft.py): lag(role) over visible conv
+    order, arg_min/arg_max on the unique turn_idx for opens/ends,
+    CASE-summed violation counts (NULL-safe: a lag NULL is never a
+    repeat, and a leading tool turn IS an orphan)."""
+    return pipeline_cte() + """,
+visible AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev
+  FROM routed WHERE sink <> 'drop_queue'
+),
+lint AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_visible,
+         arg_min(role, turn_idx) AS opens_role,
+         arg_max(role, turn_idx) AS ends_role,
+         sum(CASE WHEN role = prev THEN 1 ELSE 0 END)::BIGINT
+           AS n_role_repeats,
+         sum(CASE WHEN role = 'tool'
+                   AND coalesce(prev, '') <> 'assistant'
+              THEN 1 ELSE 0 END)::BIGINT AS n_tool_wo_assistant
+  FROM visible GROUP BY 1
+)
+SELECT conv_id, n_visible, opens_role, ends_role, n_role_repeats,
+       n_tool_wo_assistant,
+       (n_role_repeats = 0 AND n_tool_wo_assistant = 0
+        AND ends_role = 'assistant') AS lint_ok
+FROM lint
+"""

@@ -4017,3 +4017,162 @@ SELECT doc_id, text FROM kept
 UNION ALL
 SELECT doc_id, text FROM last WHERE op <> 'D'
 """
+
+
+def q_stratified_split(
+    val_pct: int = 10, test_pct: int = 10, seed: str = "split1"
+) -> str:
+    """stratified_split twin (operators/curation.py): identical
+    md5(seed || id) pseudo-random rank within each source, identical
+    integer cut-offs — exact per-stratum proportions, not expected
+    ones."""
+    key = f"md5({_sql_str(seed)} || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {key}, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN rk <= (n * {int(test_pct)}) // 100 THEN 'test'
+            WHEN rk <= (n * {int(test_pct)}) // 100
+                       + (n * {int(val_pct)}) // 100 THEN 'val'
+            ELSE 'train' END AS split
+FROM r
+"""
+
+
+def q_length_batches(batch_size: int = 8) -> str:
+    """length_batches twin (operators/curation.py): same
+    length-DESC/id rank, same (rank-1)//batch_size chunking, same
+    exact-integer padding-waste share."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOKS})::BIGINT AS tok
+  FROM documents
+),
+r AS (
+  SELECT source, tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tok DESC, doc_id) AS rk
+  FROM t
+),
+b AS (
+  SELECT source, ((rk - 1) // {int(batch_size)})::BIGINT AS batch_id,
+         tok
+  FROM r
+)
+SELECT source, batch_id, count(*)::BIGINT AS n_docs,
+       max(tok)::BIGINT AS max_tokens, min(tok)::BIGINT AS min_tokens,
+       sum(tok)::BIGINT AS sum_tokens,
+       (((count(*) * max(tok) - sum(tok)) * 1000)
+        // (count(*) * max(tok)))::BIGINT AS pad_waste_milli
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_skipgram_pairs(window: int = 3, min_count: int = 2) -> str:
+    """skipgram_pairs twin (operators/textstats.py): positions via
+    unnest WITH ORDINALITY semantics (generate_subscripts), the same
+    forward window join, directed pairs, min_count HAVING."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n
+FROM p a JOIN p b
+  ON a.doc_id = b.doc_id
+ AND b.i > a.i AND b.i <= a.i + {int(window)}
+GROUP BY 1, 2 HAVING count(*) >= {int(min_count)}
+"""
+
+
+def q_inverted_index(min_df: int = 1, max_df: int = 64) -> str:
+    """inverted_index twin (operators/retrieval.py): per-(term, doc)
+    position list via string_agg ORDER BY i, postings via string_agg
+    ORDER BY doc_id, df band on the term table."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+),
+td AS (
+  SELECT term, doc_id,
+         string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS plist,
+         count(*)::BIGINT AS n_occ
+  FROM p GROUP BY 1, 2
+),
+d AS (
+  SELECT term, count(*)::BIGINT AS df,
+         sum(n_occ)::BIGINT AS n_occurrences
+  FROM td GROUP BY 1
+)
+SELECT td.term, d.df, d.n_occurrences,
+       string_agg(CAST(td.doc_id AS VARCHAR) || ':' || td.plist,
+                  '|' ORDER BY td.doc_id) AS postings
+FROM td JOIN d USING (term)
+WHERE d.df BETWEEN {int(min_df)} AND {int(max_df)}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_count_cosine_pairs(
+    threshold_milli: int = 800, df_cut: int = 128, ngram: int = 4
+) -> str:
+    """count_cosine_pairs twin (operators/dedup.py) over the dedup
+    corpus: md5-keyed positional n-gram counts (multiplicity kept),
+    the same df-cut candidate gate, and the same SQUARED integer
+    threshold test in HUGEINT (int128 == Spark's decimal(38,0) at
+    these magnitudes)."""
+    grams = (
+        "CASE WHEN len({t}) >= {n} THEN "
+        "list_transform(range(1, len({t}) - {nm2}), i -> "
+        "md5(array_to_string(list_slice({t}, i, i + {nm1}), ' '))) "
+        "ELSE []::VARCHAR[] END"
+    ).format(t=_TOKS, n=int(ngram), nm1=int(ngram) - 1,
+             nm2=int(ngram) - 2)
+    t2 = int(threshold_milli) ** 2
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+g AS (
+  SELECT doc_id, unnest({grams}) AS term FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1
+),
+rare AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+  ) WHERE df <= {int(df_cut)}
+),
+idx AS (
+  SELECT * FROM tf WHERE term IN (SELECT term FROM rare)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.tf * b.tf)::BIGINT AS dot
+  FROM idx a JOIN idx b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot, na.n2 AS norm_a2, nb.n2 AS norm_b2
+FROM pairs
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE CAST(1000000 AS HUGEINT) * dot * dot
+      >= CAST({t2} AS HUGEINT) * na.n2 * nb.n2
+"""

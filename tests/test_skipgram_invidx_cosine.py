@@ -1,0 +1,159 @@
+"""skipgram_pairs (operators/textstats.py), inverted_index
+(operators/retrieval.py), count_cosine_pairs (operators/dedup.py):
+semantics vs hand-computed expectations and a pure-Python cosine
+reference."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from ci_log_processing_spark.operators.dedup import (
+    count_cosine_pairs,
+    release_persisted,
+)
+from ci_log_processing_spark.operators.retrieval import inverted_index
+from ci_log_processing_spark.operators.textstats import skipgram_pairs
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def test_skipgram_window_and_direction(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (2, ""), (3, "x")], DOCS_SCHEMA
+    )
+    out = {
+        (r.tok_a, r.tok_b): r.n
+        for r in skipgram_pairs(df, window=2, min_count=1).collect()
+    }
+    # forward window of 2: (a,b)x2 docs, (a,c), (b,c), (b,d), (c,d);
+    # never (a,d) (gap 3) and never a reversed pair
+    assert out == {
+        ("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1,
+        ("b", "d"): 1, ("c", "d"): 1,
+    }
+    assert skipgram_pairs(df, window=2, min_count=2).collect()[0].n == 2
+    with pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
+
+
+def test_skipgram_matches_python_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the cat",
+        "a cat and a dog",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), DOCS_SCHEMA)
+    w = 3
+    ref = Counter()
+    for t in texts:
+        toks = t.lower().split(" ")
+        for i, a in enumerate(toks):
+            for j in range(i + 1, min(i + w, len(toks) - 1) + 1):
+                ref[(a, toks[j])] += 1
+    got = {
+        (r.tok_a, r.tok_b): r.n
+        for r in skipgram_pairs(df, window=w, min_count=1).collect()
+    }
+    assert got == dict(ref)
+
+
+def test_inverted_index_postings_and_band(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "b a b"),
+            (2, "a c"),
+            (7, "b"),
+        ],
+        DOCS_SCHEMA,
+    )
+    out = {
+        r.term: r
+        for r in inverted_index(df, min_df=1, max_df=2).collect()
+    }
+    # 'b': docs 10 (pos 1,3) and 7 (pos 1) -> doc order forced
+    assert out["b"].postings == "7:1|10:1,3"
+    assert (out["b"].df, out["b"].n_occurrences) == (2, 3)
+    # 'a': docs 2 (pos 1) and 10 (pos 2)
+    assert out["a"].postings == "2:1|10:2"
+    # 'c': df 1
+    assert out["c"].postings == "2:2"
+    # min_df=2 drops 'c'; max_df=1 keeps only 'c'
+    assert set(
+        r.term for r in inverted_index(df, min_df=2, max_df=9).collect()
+    ) == {"a", "b"}
+    assert set(
+        r.term for r in inverted_index(df, min_df=1, max_df=1).collect()
+    ) == {"c"}
+    with pytest.raises(ValueError):
+        inverted_index(df, min_df=0)
+    with pytest.raises(ValueError):
+        inverted_index(df, min_df=3, max_df=2)
+
+
+def _cos(a: str, b: str) -> float:
+    ca, cb = Counter(a.split()), Counter(b.split())
+    dot = sum(ca[t] * cb[t] for t in ca)
+    return dot / math.sqrt(
+        sum(v * v for v in ca.values())
+        * sum(v * v for v in cb.values())
+    )
+
+
+def test_count_cosine_unigram_vs_python(spark):
+    texts = {
+        0: "alpha beta gamma alpha",
+        1: "alpha beta gamma alpha delta",   # near-dup of 0
+        2: "epsilon zeta eta theta",         # unrelated
+        3: "alpha beta gamma alpha",         # exact dup of 0
+    }
+    df = spark.createDataFrame(list(texts.items()), DOCS_SCHEMA)
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in count_cosine_pairs(
+            df, threshold_milli=900, df_cut=128
+        ).collect()
+    }
+    release_persisted()
+    expected = {
+        (a, b)
+        for a in texts
+        for b in texts
+        if a < b and _cos(texts[a], texts[b]) >= 0.9
+    }
+    assert set(out) == expected and (0, 3) in expected
+    # the exact pair carries dot == norms (identical vectors)
+    r = out[(0, 3)]
+    assert r.dot == r.norm_a2 == r.norm_b2
+    with pytest.raises(ValueError):
+        count_cosine_pairs(df, threshold_milli=0)
+    with pytest.raises(ValueError):
+        count_cosine_pairs(df, ngram=0)
+
+
+def test_count_cosine_repeated_sentence_multiplicity(spark):
+    # multiplicity matters: doc 1 repeats doc 0's sentence 3x.
+    # Count-cosine keeps them close; a SET-based measure would too,
+    # but the dot here is 3x the set overlap — assert the exact
+    # integer dot to pin the multiplicity semantics.
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "x y z x y z x y z")], DOCS_SCHEMA
+    )
+    rows = count_cosine_pairs(df, threshold_milli=990).collect()
+    release_persisted()
+    assert len(rows) == 1
+    r = rows[0]
+    # tf doc0 = 1 each; doc1 = 3 each; dot = 3*3 = 9
+    assert (r.dot, r.norm_a2, r.norm_b2) == (9, 3, 27)
+
+
+def test_count_cosine_df_cut_gates_candidates(spark):
+    # every shared term has df > cut -> no candidates at all
+    df = spark.createDataFrame(
+        [(i, "same text here") for i in range(5)], DOCS_SCHEMA
+    )
+    assert (
+        count_cosine_pairs(df, threshold_milli=500, df_cut=2).count()
+        == 0
+    )
+    release_persisted()
