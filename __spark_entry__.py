@@ -2585,6 +2585,40 @@ def q_count_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    """Collocation lift over the skip-gram pair table
+    (operators/textstats.py collocations): exact integral
+    lift_milli in decimal128 — PMI's log-free face at the token
+    grain."""
+    from ci_log_processing_spark.operators.textstats import (
+        collocations,
+    )
+
+    return collocations(_docs(spark, sf_dir), window=3, min_count=2)
+
+
+def q_index_incremental(spark, sf_dir):
+    """Incremental inverted-index maintenance
+    (operators/retrieval.py merge_posting_rows): the oracle indexes
+    the WHOLE corpus in one pass; the Spark side indexes two
+    doc-disjoint halves separately and merges at the posting grain —
+    the hash match proves finalize(rows(even) ∪ rows(odd)) ==
+    index(all), the same monoid identity pipe_agg_incremental checks
+    for count rollups."""
+    from ci_log_processing_spark.operators.retrieval import (
+        finalize_index,
+        merge_posting_rows,
+        posting_rows,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = posting_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    delta = posting_rows(docs.filter(F.col("doc_id") % 2 == 1))
+    return finalize_index(
+        merge_posting_rows(base, delta), min_df=2, max_df=1000000
+    )
+
+
 def q_length_batches(spark, sf_dir):
     """Length-bucketed training-batch construction
     (operators/curation.py length_batches): per-source length-DESC
@@ -3270,7 +3304,7 @@ _VERIFY_FIRST = (
     #   cur_merge_stats_refresh, text_html_clean, stream_cdc_merge,
     #   pipe_volume_trend, cur_chat_lint, cur_stratified_split,
     #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
-    #   dedup_count_cosine
+    #   dedup_count_cosine, text_collocations, ret_index_incremental
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3531,6 +3565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_skipgram_pairs": q_skipgram_pairs,
             "ret_inverted_index": q_inverted_index,
             "dedup_count_cosine": q_count_cosine_pairs,
+            "text_collocations": q_collocations,
+            "ret_index_incremental": q_index_incremental,
         }
     )
 
@@ -3844,6 +3880,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             "dedup_count_cosine": od.q_count_cosine_pairs(
                 threshold_milli=800, df_cut=128, ngram=4
+            ),
+            "text_collocations": od.q_collocations(
+                window=3, min_count=2
+            ),
+            # identical SQL to the one-pass index: the Spark side
+            # merges two doc-disjoint batches at the posting grain
+            "ret_index_incremental": od.q_inverted_index(
+                min_df=2, max_df=1000000
             ),
         }
     )

@@ -656,6 +656,13 @@ def main():
             ["doc_a", "doc_b", "dot", "norm_a2", "norm_b2"],
         ),
     )
+    bench(
+        "text_collocations",
+        lambda: checksum(
+            entrymod.q_collocations(spark, sf_dir),
+            ["tok_a", "tok_b", "n_ab", "n_a", "n_b", "lift_milli"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and

@@ -179,22 +179,60 @@ def inverted_index(
 
     Output: (term, df, n_occurrences, postings).
     """
-    if min_df < 1 or max_df < min_df:
-        raise ValueError(
-            "inverted_index: need 1 <= min_df <= max_df"
-        )
+    return finalize_index(
+        posting_rows(docs, text_col=text_col, id_col=id_col),
+        min_df=min_df,
+        max_df=max_df,
+    )
+
+
+def posting_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (term, doc) posting GRAIN of the inverted index — the
+    mergeable intermediate: positions are doc-local, so posting rows
+    from DOC-DISJOINT batches are disjoint and index maintenance is
+    plain union at this grain (`merge_posting_rows`), never a
+    re-read of the already-indexed corpus. One zero-shuffle
+    posexplode + one (term, doc)-keyed partial+final aggregate.
+
+    Output: (term, doc_id, _plist sorted positions, _n_occ).
+    """
     pos = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
             "_p0", "term"
         ),
     ).select("doc_id", "term", (F.col("_p0") + 1).alias("pos"))
-    td = _register_persist(
-        pos.groupBy("term", "doc_id").agg(
-            F.sort_array(F.collect_list("pos")).alias("_plist"),
-            F.count(F.lit(1)).alias("_n_occ"),
-        )
+    return pos.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_plist"),
+        F.count(F.lit(1)).alias("_n_occ"),
     )
+
+
+def merge_posting_rows(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental index maintenance at the posting grain: for
+    doc-disjoint batches the (term, doc) rows are disjoint, so the
+    merge is a UNION — the inverted-index analog of
+    aggregate.merge_agg_deltas' monoid fold, and the gate proves the
+    same identity: finalize(rows(base) ∪ rows(delta)) ==
+    index(base ∪ delta). Both inputs are already aggregate-sized;
+    the indexed corpus is never re-read."""
+    return stored.unionByName(delta)
+
+
+def finalize_index(
+    td: DataFrame, min_df: int = 1, max_df: int = 64
+) -> DataFrame:
+    """Serialize posting rows into the published index table (the
+    df-banded term -> postings strings inverted_index documents)."""
+    if min_df < 1 or max_df < min_df:
+        raise ValueError(
+            "inverted_index: need 1 <= min_df <= max_df"
+        )
+    td = _register_persist(td)
     band = (
         td.groupBy("term")
         .agg(

@@ -1434,3 +1434,100 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def collocations(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by association LIFT over the skip-gram
+    pair table: lift = P(a,b) / (P(a)·P(b)) — the log-free face of
+    PMI (the same contract as toolgraph.tool_cooccurrence, at the
+    token grain). lift >> 1 marks pairs that travel together far
+    more than their marginals predict ("new york", "tool call"),
+    the phrase/collocation signal an n-gram vocabulary builder or
+    tokenizer-merge seeder consumes.
+
+    EXACT integer rule: with n_ab the windowed pair count (N_p the
+    total), n_a/n_b the unigram counts (N_t the total),
+
+        lift_milli = (1000 * n_ab * N_t * N_t) div (N_p * n_a * n_b)
+
+    evaluated in DECIMAL(38,0) — at 10^12 tokens the numerator is
+    ~1e3·n_ab·1e24, inside decimal128 for any n_ab below ~1e11,
+    which a min_count'd pair table satisfies by construction
+    (documented bound); the OUTPUT columns are int64.
+
+    Scale shape: the skipgram_pairs aggregate (corpus-sized fan-out
+    into a vocabulary²-bounded table) + a unigram count aggregate
+    (vocabulary-sized) + two vocab-sized equi-joins AQE broadcasts,
+    with the two scalar totals attached as 1-row broadcast cross
+    joins. Nothing corpus-sized after the two aggregates.
+
+    Output: (tok_a, tok_b, n_ab, n_a, n_b, lift_milli).
+    """
+    pairs = skipgram_pairs(
+        docs, window=window, min_count=min_count, text_col=text_col
+    ).withColumnRenamed("n", "n_ab")
+    uni = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n_t = uni.agg(F.sum("n_tok").alias("N_t"))
+    n_p = pairs.agg(F.sum("n_ab").alias("N_p"))
+    dec = "decimal(38,0)"
+    joined = (
+        pairs.join(
+            uni.select(
+                F.col("tok").alias("tok_a"),
+                F.col("n_tok").alias("n_a"),
+            ),
+            "tok_a",
+        )
+        .join(
+            uni.select(
+                F.col("tok").alias("tok_b"),
+                F.col("n_tok").alias("n_b"),
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_p))
+    )
+    num = (
+        F.lit(1000).cast(dec)
+        * F.col("n_ab").cast(dec)
+        * F.col("N_t").cast(dec)
+        * F.col("N_t").cast(dec)
+    )
+    den = (
+        F.col("N_p").cast(dec)
+        * F.col("n_a").cast(dec)
+        * F.col("n_b").cast(dec)
+    )
+    return joined.select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        # `div` on decimals is the EXACT integral quotient (bigint) —
+        # decimal `/` rounds HALF_UP at its result scale, which can
+        # cross an integer boundary the oracle's integer // never does
+        F.expr("_num div _den").cast("long").alias("lift_milli"),
+    )

@@ -4176,3 +4176,40 @@ JOIN norms nb ON nb.doc_id = doc_b
 WHERE CAST(1000000 AS HUGEINT) * dot * dot
       >= CAST({t2} AS HUGEINT) * na.n2 * nb.n2
 """
+
+
+def q_collocations(window: int = 3, min_count: int = 5) -> str:
+    """collocations twin (operators/textstats.py): the skipgram pair
+    CTE + unigram marginals + the same exact integral lift in
+    HUGEINT — both engines truncate toward zero, no float
+    anywhere."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_ab
+  FROM p a JOIN p b
+    ON a.doc_id = b.doc_id
+   AND b.i > a.i AND b.i <= a.i + {int(window)}
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_count)}
+),
+uni AS (
+  SELECT tok, count(*)::BIGINT AS n_tok FROM p GROUP BY 1
+),
+tot AS (SELECT sum(n_tok)::BIGINT AS nt FROM uni),
+ptot AS (SELECT sum(n_ab)::BIGINT AS np FROM pairs)
+SELECT tok_a, tok_b, n_ab,
+       ua.n_tok AS n_a, ub.n_tok AS n_b,
+       CAST((CAST(1000 AS HUGEINT) * n_ab * nt * nt)
+            // (CAST(np AS HUGEINT) * ua.n_tok * ub.n_tok)
+            AS BIGINT) AS lift_milli
+FROM pairs
+JOIN uni ua ON ua.tok = tok_a
+JOIN uni ub ON ub.tok = tok_b, tot, ptot
+"""

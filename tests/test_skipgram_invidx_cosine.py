@@ -157,3 +157,67 @@ def test_count_cosine_df_cut_gates_candidates(spark):
         == 0
     )
     release_persisted()
+
+
+def test_collocations_lift_vs_python(spark):
+    from ci_log_processing_spark.operators.textstats import collocations
+
+    texts = ["new york new york", "in new york today", "a b a b a"]
+    df = spark.createDataFrame(list(enumerate(texts)), DOCS_SCHEMA)
+    w, mc = 2, 2
+    pair_ref = Counter()
+    uni_ref = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni_ref.update(toks)
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + w, len(toks) - 1) + 1):
+                pair_ref[(toks[i], toks[j])] += 1
+    pair_ref = {k: v for k, v in pair_ref.items() if v >= mc}
+    n_t = sum(uni_ref.values())
+    n_p = sum(pair_ref.values())
+    got = {
+        (r.tok_a, r.tok_b): r
+        for r in collocations(df, window=w, min_count=mc).collect()
+    }
+    assert set(got) == set(pair_ref)
+    for (a, b), n_ab in pair_ref.items():
+        r = got[(a, b)]
+        assert (r.n_ab, r.n_a, r.n_b) == (n_ab, uni_ref[a], uni_ref[b])
+        assert r.lift_milli == (1000 * n_ab * n_t * n_t) // (
+            n_p * uni_ref[a] * uni_ref[b]
+        )
+    # 'new york' travels together: lift far above 1000 (independence)
+    assert got[("new", "york")].lift_milli > 1000
+
+
+def test_incremental_index_merge_identity(spark):
+    from ci_log_processing_spark.operators.retrieval import (
+        finalize_index,
+        inverted_index,
+        merge_posting_rows,
+        posting_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3} common t{i % 5}") for i in range(20)],
+        DOCS_SCHEMA,
+    )
+    whole = {
+        r.term: (r.df, r.n_occurrences, r.postings)
+        for r in inverted_index(df, min_df=1, max_df=100).collect()
+    }
+    merged = finalize_index(
+        merge_posting_rows(
+            posting_rows(df.filter("doc_id % 2 = 0")),
+            posting_rows(df.filter("doc_id % 2 = 1")),
+        ),
+        min_df=1,
+        max_df=100,
+    )
+    got = {
+        r.term: (r.df, r.n_occurrences, r.postings)
+        for r in merged.collect()
+    }
+    release_persisted()
+    assert got == whole

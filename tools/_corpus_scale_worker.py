@@ -587,6 +587,89 @@ def main():
             return r
 
         t("bigram_lm", _bigram, warmup=True)
+        # round-4e tier: skip-gram pair counts, positional inverted
+        # index, sparse count-cosine near-dup, stratified split,
+        # length batches — requested via ops_csv like the embed tier
+        R4E_OPS = {
+            "skipgram",
+            "inverted_index",
+            "count_cosine",
+            "stratified_split",
+            "length_batches",
+        }
+        if only is not None and only & R4E_OPS:
+            from ci_log_processing_spark.operators.curation import (
+                length_batches,
+                stratified_split,
+            )
+            from ci_log_processing_spark.operators.dedup import (
+                count_cosine_pairs,
+            )
+            from ci_log_processing_spark.operators.retrieval import (
+                inverted_index,
+            )
+            from ci_log_processing_spark.operators.textstats import (
+                skipgram_pairs,
+            )
+
+            t(
+                "skipgram",
+                lambda: skipgram_pairs(corpus, window=3, min_count=2)
+                .select(F.bit_xor(F.xxhash64("tok_a", "tok_b", "n")))
+                .collect(),
+                warmup=True,
+            )
+
+            def _invidx():
+                r = (
+                    inverted_index(corpus, min_df=2, max_df=1 << 30)
+                    .select(
+                        F.bit_xor(
+                            F.xxhash64("term", "df", "postings")
+                        )
+                    )
+                    .collect()
+                )
+                _dedup.release_persisted()
+                return r
+
+            t("inverted_index", _invidx, warmup=True)
+
+            def _ccos():
+                r = (
+                    count_cosine_pairs(
+                        corpus, threshold_milli=800, df_cut=128,
+                        ngram=4,
+                    )
+                    .select(
+                        F.bit_xor(F.xxhash64("doc_a", "doc_b", "dot"))
+                    )
+                    .collect()
+                )
+                _dedup.release_persisted()
+                return r
+
+            t("count_cosine", _ccos, warmup=True)
+            t(
+                "stratified_split",
+                lambda: stratified_split(corpus)
+                .select(F.bit_xor(F.xxhash64("doc_id", "split")))
+                .collect(),
+                warmup=True,
+            )
+            t(
+                "length_batches",
+                lambda: length_batches(corpus)
+                .select(
+                    F.bit_xor(
+                        F.xxhash64(
+                            "source", "batch_id", "pad_waste_milli"
+                        )
+                    )
+                )
+                .collect(),
+                warmup=True,
+            )
         # shuffle/iteration tier: materializing `pairs` IS the LSH
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds
