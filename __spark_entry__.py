@@ -2619,6 +2619,49 @@ def q_index_incremental(spark, sf_dir):
     )
 
 
+def q_stream_index(spark, sf_dir):
+    """Streaming inverted-index maintenance
+    (streaming/index_stream.py): the documents arrive as TWO
+    micro-batches (odd/even doc_id, so every term's posting list
+    straddles the batch boundary), each batch writes its
+    posting-grain partial, and the served index must hash-equal the
+    ONE-PASS inverted_index oracle over all docs — the disjoint-
+    union merge identity, not just plumbing."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.streaming.index_stream import (
+        run_index_maintenance,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="gate_sidx_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+
+        def _write_wave(df, name, mtime):
+            tmp = os.path.join(work, "w_" + name)
+            df.coalesce(1).write.parquet(tmp)
+            pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(in_dir, name + ".parquet")
+            shutil.copy(os.path.join(tmp, pq[0]), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_wave(docs.filter(F.col("doc_id") % 2 == 0), "w0", 1_000_000)
+        _write_wave(docs.filter(F.col("doc_id") % 2 == 1), "w1", 2_000_000)
+        out = run_index_maintenance(
+            spark, in_dir, os.path.join(work, "out"),
+            min_df=2, max_df=1000000,
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "term string, df long, n_occurrences long, postings string"
+    )
+
+
 def q_length_batches(spark, sf_dir):
     """Length-bucketed training-batch construction
     (operators/curation.py length_batches): per-source length-DESC
@@ -3304,7 +3347,8 @@ _VERIFY_FIRST = (
     #   cur_merge_stats_refresh, text_html_clean, stream_cdc_merge,
     #   pipe_volume_trend, cur_chat_lint, cur_stratified_split,
     #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
-    #   dedup_count_cosine, text_collocations, ret_index_incremental
+    #   dedup_count_cosine, text_collocations, ret_index_incremental,
+    #   stream_index_maintenance
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3567,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_count_cosine": q_count_cosine_pairs,
             "text_collocations": q_collocations,
             "ret_index_incremental": q_index_incremental,
+            "stream_index_maintenance": q_stream_index,
         }
     )
 
@@ -3887,6 +3932,11 @@ def oracle_sql() -> dict[str, str]:
             # identical SQL to the one-pass index: the Spark side
             # merges two doc-disjoint batches at the posting grain
             "ret_index_incremental": od.q_inverted_index(
+                min_df=2, max_df=1000000
+            ),
+            # the STREAMED index folds per-batch posting partials and
+            # must equal the same one-pass oracle
+            "stream_index_maintenance": od.q_inverted_index(
                 min_df=2, max_df=1000000
             ),
         }

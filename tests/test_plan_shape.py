@@ -447,3 +447,117 @@ def test_nb_classifier_shuffles_vocab_not_instances(spark, tmp_path):
     assert plan.count("Exchange SinglePartition") == 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_stratified_split_single_exchange_no_join(spark, tmp_path):
+    """One stratum-keyed hash exchange feeds both the rank and count
+    windows; assignment is per-row arithmetic — no joins anywhere."""
+    from ci_log_processing_spark.operators.curation import (
+        stratified_split,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)],
+        "doc_id long, source string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        stratified_split(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_length_batches_group_agg_rides_window_exchange(spark, tmp_path):
+    """The (source, batch_id) rollup's group key is a superset of the
+    window's partition key, so HashPartitioning(source) satisfies it
+    — ONE exchange for the window AND the batch aggregate."""
+    from ci_log_processing_spark.operators.curation import (
+        length_batches,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", "w " * (i % 7 + 1)) for i in range(30)],
+        "doc_id long, source string, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        length_batches(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_skipgram_single_pair_exchange_no_join(spark, tmp_path):
+    """Pair generation is a per-row array expression — the ONLY
+    exchange is the (tok_a, tok_b) count aggregate; a positional
+    self-join here would be the quadratic anti-pattern."""
+    from ci_log_processing_spark.operators.textstats import (
+        skipgram_pairs,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        skipgram_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_inverted_index_band_filters_before_collect(spark, tmp_path):
+    """The df band must gate the posting collect (LeftSemi against
+    the banded term table), and nothing may go cartesian."""
+    from ci_log_processing_spark.operators.dedup import (
+        release_persisted,
+    )
+    from ci_log_processing_spark.operators.retrieval import (
+        inverted_index,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"t{i % 3} common") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        inverted_index(docs, min_df=1, max_df=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    release_persisted()
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_count_cosine_no_cartesian_tf_reused(spark, tmp_path):
+    """Candidate generation must stay on the term-keyed equi-join
+    (df-cut bounded) — never a cartesian — and the persisted tf
+    grain must feed norms, df, and the pair join from cache."""
+    from ci_log_processing_spark.operators.dedup import (
+        count_cosine_pairs,
+        release_persisted,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        count_cosine_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    release_persisted()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan
