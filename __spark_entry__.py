@@ -2662,6 +2662,47 @@ def q_stream_index(spark, sf_dir):
     )
 
 
+def q_mm_ahash_pairs(spark, sf_dir):
+    """Image near-dup pairs (operators/multimodal.py image_ahash +
+    ahash_near_dup_pairs): the image docs plus planted EXACT copies
+    (+3M, hamming 0) and single-character NOISY copies (+6M — same
+    geometry, ~1/L of the pixel bytes moved, a few aHash bits flip)
+    run through the real BMP decode -> integer aHash -> banded
+    Hamming plan; the oracle recomputes the hashes from the cycled
+    text bytes in SQL and compares ALL pairs (banding at
+    max_hamming <= n_bands - 1 is total-recall, so the sets must
+    hash-equal)."""
+    from ci_log_processing_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        attach_media,
+        image_ahash,
+    )
+
+    imgs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text", "source")
+    )
+    noisy_text = F.concat(
+        F.expr("substring(text, 1, length(text) - 1)"), F.lit("x")
+    )
+    corpus = imgs.unionByName(
+        imgs.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            "text",
+            "source",
+        )
+    ).unionByName(
+        imgs.select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            noisy_text.alias("text"),
+            "source",
+        )
+    )
+    ah = image_ahash(attach_media(corpus))
+    return ahash_near_dup_pairs(ah, max_hamming=7, n_bands=8)
+
+
 def q_length_batches(spark, sf_dir):
     """Length-bucketed training-batch construction
     (operators/curation.py length_batches): per-source length-DESC
@@ -3348,7 +3389,7 @@ _VERIFY_FIRST = (
     #   pipe_volume_trend, cur_chat_lint, cur_stratified_split,
     #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
-    #   stream_index_maintenance
+    #   stream_index_maintenance, mm_ahash_pairs
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3612,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_collocations": q_collocations,
             "ret_index_incremental": q_index_incremental,
             "stream_index_maintenance": q_stream_index,
+            "mm_ahash_pairs": q_mm_ahash_pairs,
         }
     )
 
@@ -3939,6 +3981,7 @@ def oracle_sql() -> dict[str, str]:
             "stream_index_maintenance": od.q_inverted_index(
                 min_df=2, max_df=1000000
             ),
+            "mm_ahash_pairs": od.q_mm_ahash_pairs(max_hamming=7),
         }
     )
     return _never_verified_first(sqls)

@@ -663,6 +663,13 @@ def main():
             ["tok_a", "tok_b", "n_ab", "n_a", "n_b", "lift_milli"],
         ),
     )
+    bench(
+        "mm_ahash_pairs",
+        lambda: checksum(
+            entrymod.q_mm_ahash_pairs(spark, sf_dir),
+            ["doc_a", "doc_b", "hamming"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and

@@ -377,3 +377,136 @@ def resize_images(
 
     images = media.filter(F.col("kind") == "image")
     return images.mapInPandas(rs, RESIZED_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over the REAL
+    decoded pixel bytes — the image analog of simhash: a 64-bit
+    signature whose Hamming distance tracks visual similarity, so
+    image dedup becomes the same banded-Hamming problem the text
+    tier already solves. (`decode_image_features.phash` is a
+    CONTENT hash — one changed byte randomizes it; this one moves a
+    few bits when a few pixels move, which is what near-dup needs.)
+
+    All-integer spec (shared verbatim with the DuckDB twin — no
+    float, no libm):
+      * gray(p) = (b0 + b1 + b2) div 3 over the pixel's 3 channels;
+      * 64 cells by LINEAR pixel index: cell(p) = (p * 64) div n_pix
+        (resolution-independent, no 2-D resample needed);
+      * bit k = 1  iff  sum_k * N > S * n_k  — the "cell mean above
+        global mean" test cross-multiplied into exact int64
+        (sum_k <= 255*n_pix, N <= n_pix: products stay tiny);
+      * bits pack little-endian into one int64 (two's complement —
+        bit 63 makes the value negative identically in both
+        engines).
+
+    mapInPandas with numpy int64 accumulators inside the existing
+    Arrow batch shape; zero shuffle — a per-row scan op like the
+    other decoders.
+    """
+
+    def ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "ahash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, _fs, _r1, _r2, data_off = struct.unpack_from(
+                    "<2sIHHI", b, 0
+                )
+                if magic != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP payload")
+                _dib, w, h, _planes, bpp = struct.unpack_from(
+                    "<IiiHH", b, 14
+                )
+                h = abs(h)
+                ch = bpp // 8
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=w * h * ch, offset=data_off
+                ).astype(np.int64)
+                gray = arr.reshape(-1, ch).sum(axis=1) // ch
+                n_pix = gray.shape[0]
+                cells = (np.arange(n_pix, dtype=np.int64) * 64) // n_pix
+                sums = np.zeros(64, dtype=np.int64)
+                np.add.at(sums, cells, gray)
+                counts = np.bincount(cells, minlength=64).astype(
+                    np.int64
+                )
+                total = int(gray.sum())
+                bits = sums * n_pix > total * counts
+                hv = 0
+                for k in range(64):
+                    if bits[k]:
+                        hv |= 1 << k
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                out["doc_id"].append(doc_id)
+                out["ahash"].append(hv)
+            yield pd.DataFrame(out)
+
+    images = media.filter(F.col("kind") == "image")
+    return images.mapInPandas(ah, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    ah: DataFrame, max_hamming: int = 7, n_bands: int = 8
+) -> DataFrame:
+    """Image near-dup pairs by banded Hamming over the 64-bit aHash
+    — dedup.simhash_pairs' pigeonhole plan on the image tier: any
+    pair within Hamming <= n_bands - 1 agrees exactly on at least
+    one band slice, so candidates come from an equi-join on
+    (band, slice) and bit_count(xor) verifies exactly. Banding uses
+    UNSIGNED shifts (bit 63 is in play on a 64-bit signature; an
+    arithmetic shift would sign-smear the top band).
+
+    One (band, key) shuffle whose cost tracks duplicate density —
+    never |images|^2.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee broken: max_hamming={max_hamming} "
+            f"needs n_bands >= {max_hamming + 1}"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must divide 64 (full coverage)"
+        )
+    band_w = 64 // n_bands
+    mask = (1 << band_w) - 1
+    bands = ah.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        "ahash", i * band_w
+                    ).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

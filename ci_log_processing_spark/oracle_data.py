@@ -4213,3 +4213,81 @@ FROM pairs
 JOIN uni ua ON ua.tok = tok_a
 JOIN uni ub ON ub.tok = tok_b, tot, ptot
 """
+
+
+def q_mm_ahash_pairs(max_hamming: int = 7) -> str:
+    """image_ahash + ahash_near_dup_pairs twin (operators/
+    multimodal.py): reconstructs the BMP pixel stream from the
+    cycled text bytes (the same derivation MM_IMAGE_ORACLE uses),
+    computes the identical all-integer aHash — gray = byte-triple
+    div 3, 64 linear cells, bit k iff s_k*N > S*n_k, bits packed
+    via four 16-bit words into HUGEINT then two's-complemented to
+    BIGINT — and compares ALL pairs (banding is total-recall at
+    max_hamming <= n_bands - 1, so the pair sets are identical)."""
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 6000000,
+         substr(text, 1, length(text) - 1) || 'x'
+  FROM documents WHERE doc_id % 3 = 0
+),
+g AS (
+  SELECT doc_id, text, length(text) AS L,
+         4 * (1 + length(text) % 16) AS w,
+         1 + (length(text) * 31) % 16 AS h
+  FROM imgs
+),
+px AS (
+  SELECT doc_id, text, L, w * h AS n_pix,
+         unnest(range(0, w * h)) AS p
+  FROM g
+),
+gr AS (
+  SELECT doc_id, n_pix, p,
+         (ascii(substr(text, ((3 * p) % L) + 1, 1))
+          + ascii(substr(text, ((3 * p + 1) % L) + 1, 1))
+          + ascii(substr(text, ((3 * p + 2) % L) + 1, 1))) // 3
+           AS gray
+  FROM px
+),
+cs AS (
+  SELECT doc_id, n_pix, (p * 64) // n_pix AS k,
+         sum(gray)::BIGINT AS s_k, count(*)::BIGINT AS n_k
+  FROM gr GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT doc_id, sum(s_k)::BIGINT AS s, sum(n_k)::BIGINT AS n
+  FROM cs GROUP BY 1
+),
+words AS (
+  SELECT cs.doc_id,
+         cs.k // 16 AS wi,
+         sum(CASE WHEN cs.s_k * t.n > t.s * cs.n_k
+              THEN 1 << (cs.k % 16) ELSE 0 END)::BIGINT AS wv
+  FROM cs JOIN tot t ON t.doc_id = cs.doc_id
+  GROUP BY 1, 2
+),
+hu AS (
+  SELECT doc_id,
+         sum(CAST(wv AS HUGEINT) * (CASE wi
+              WHEN 0 THEN CAST(1 AS HUGEINT)
+              WHEN 1 THEN CAST(65536 AS HUGEINT)
+              WHEN 2 THEN CAST(4294967296 AS HUGEINT)
+              ELSE CAST(281474976710656 AS HUGEINT) END)) AS u
+  FROM words GROUP BY 1
+),
+hv AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+              THEN u - CAST(18446744073709551616 AS HUGEINT)
+              ELSE u END AS BIGINT) AS ahash
+  FROM hu
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {int(max_hamming)}
+"""

@@ -136,3 +136,51 @@ def test_audio_chunks_contract(spark):
     # doc 7: L=500 -> ns 90, 180 bytes -> 6 chunks, 20-byte tail
     c7 = sorted(by_doc[7], key=lambda r: r["chunk_idx"])
     assert [r["n_bytes"] for r in c7] == [32] * 5 + [20]
+
+
+def test_image_ahash_near_dup_pairs(spark):
+    from ci_log_processing_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        attach_media,
+        image_ahash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    noisy = base[:-1] + "x"          # same length, one byte moved
+    rows = [
+        (0, base, "s0"),             # doc_id % 3 == 0 -> image
+        (3, base, "s0"),             # exact pixel copy of doc 0
+        (6, noisy, "s0"),            # near copy: few aHash bits flip
+        (9, "completely different words here that share nothing at "
+            "all with the others in any way shape or form", "s0"),
+    ]
+    media = attach_media(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+    )
+    ah = {r.doc_id: r.ahash for r in image_ahash(media).collect()}
+    assert ah[0] == ah[3]            # identical pixels -> same hash
+    assert ah[0] != ah[9]
+    ham_noisy = bin((ah[0] ^ ah[6]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((ah[0] ^ ah[9]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham_noisy < ham_far   # close, not identical
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ahash_near_dup_pairs(
+            image_ahash(media), max_hamming=15, n_bands=16
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert pairs[(0, 6)] == ham_noisy
+    assert (0, 9) not in pairs and (3, 9) not in pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ahash_near_dup_pairs(image_ahash(media), max_hamming=8,
+                             n_bands=8)
+    with _pytest.raises(ValueError):
+        ahash_near_dup_pairs(image_ahash(media), max_hamming=2,
+                             n_bands=5)
