@@ -2703,6 +2703,56 @@ def q_mm_ahash_pairs(spark, sf_dir):
     return ahash_near_dup_pairs(ah, max_hamming=7, n_bands=8)
 
 
+def q_phrase_merge(spark, sf_dir):
+    """Greedy phrase merging (operators/textstats.py phrase_merge):
+    adjacent-pair collocations above a lift cut become a_b tokens,
+    greedy left-to-right via the gaps-and-islands closed form — the
+    word2phrase pass after skipgram -> collocations."""
+    from ci_log_processing_spark.operators.textstats import (
+        collocations,
+        phrase_merge,
+    )
+
+    docs = _docs(spark, sf_dir)
+    phrases = collocations(docs, window=1, min_count=5).filter(
+        F.col("lift_milli") >= 1450
+    )
+    return phrase_merge(docs, phrases)
+
+
+def q_sft_examples(spark, sf_dir):
+    """Composed SFT export: chat_lint AND conversation_select gate
+    the conversations (structural validity x quality), then
+    context_windows builds the sliding-context examples — the
+    transcript-native end-to-end SFT construction, three operators
+    composing on the one conv-keyed exchange."""
+    from ci_log_processing_spark.operators.sft import (
+        chat_lint,
+        context_windows,
+        conversation_select,
+    )
+
+    routed = _routed(spark, sf_dir)
+    # lint policy for THIS corpus: roles alternate freely in the
+    # derived transcripts (every conversation has repeats), so the
+    # composition gates on the discriminating flags — no orphan
+    # tool calls, closes on an assistant turn
+    lint_ok = (
+        chat_lint(routed)
+        .filter(
+            (F.col("n_tool_wo_assistant") == 0)
+            & (F.col("ends_role") == "assistant")
+        )
+        .select("conv_id")
+    )
+    sel = conversation_select(routed).filter("selected").select(
+        "conv_id"
+    )
+    keep = lint_ok.join(sel, "conv_id")
+    kept = routed.join(F.broadcast(keep), "conv_id", "left_semi")
+    return context_windows(kept)
+
+
 def q_length_batches(spark, sf_dir):
     """Length-bucketed training-batch construction
     (operators/curation.py length_batches): per-source length-DESC
@@ -3389,7 +3439,8 @@ _VERIFY_FIRST = (
     #   pipe_volume_trend, cur_chat_lint, cur_stratified_split,
     #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
-    #   stream_index_maintenance, mm_ahash_pairs
+    #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
+    #   cur_sft_examples
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3654,6 +3705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ret_index_incremental": q_index_incremental,
             "stream_index_maintenance": q_stream_index,
             "mm_ahash_pairs": q_mm_ahash_pairs,
+            "text_phrase_merge": q_phrase_merge,
+            "cur_sft_examples": q_sft_examples,
         }
     )
 
@@ -3982,6 +4035,10 @@ def oracle_sql() -> dict[str, str]:
                 min_df=2, max_df=1000000
             ),
             "mm_ahash_pairs": od.q_mm_ahash_pairs(max_hamming=7),
+            "text_phrase_merge": od.q_phrase_merge(
+                min_count=5, lift_cut=1450
+            ),
+            "cur_sft_examples": oracle.q_sft_examples(),
         }
     )
     return _never_verified_first(sqls)

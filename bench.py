@@ -670,6 +670,21 @@ def main():
             ["doc_a", "doc_b", "hamming"],
         ),
     )
+    bench(
+        "text_phrase_merge",
+        lambda: checksum(
+            entrymod.q_phrase_merge(spark, sf_dir),
+            ["doc_id", "text", "n_phrases"],
+        ),
+    )
+    bench(
+        "cur_sft_examples",
+        lambda: checksum(
+            entrymod.q_sft_examples(spark, sf_dir),
+            ["conv_id", "turn_idx", "n_context_turns", "context",
+             "target"],
+        ),
+    )
 
     # kNN-graph fitness: recall@5 vs the exact neighbors of a
     # 64-vector probe sample, at nprobe=1 (argmin cell only) and

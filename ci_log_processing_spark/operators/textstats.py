@@ -1531,3 +1531,106 @@ def collocations(
         # cross an integer boundary the oracle's integer // never does
         F.expr("_num div _den").cast("long").alias("lift_milli"),
     )
+
+
+def phrase_merge(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """word2phrase-style GREEDY phrase merging: re-tokenize every
+    document with adjacent token pairs from the `phrases` table
+    (tok_a, tok_b — typically `collocations` survivors above a lift
+    cut) joined into single a_b tokens, scanning left to right and
+    never re-using a consumed token. The third stage of the static-
+    embedding preprocessing chain (skipgram_pairs -> collocations ->
+    THIS), and the input transform a phrase-aware tokenizer or
+    vocabulary builder consumes.
+
+    Greedy-without-recursion: the sequential rule start(i) =
+    matched(i) AND NOT start(i-1) looks inherently serial, but
+    within each maximal RUN of consecutive matched positions the
+    starts are simply the even offsets from the run head — so the
+    scan becomes gaps-and-islands: island = i - running-count of
+    matched positions, run head = min(i) within (doc, island), and
+    start is an offset-parity test. One closed form, no recursion,
+    no UDF — the same islands trick as duplicate_spans and
+    sessionize_events, applied to make a SEQUENTIAL tokenizer rule
+    distributed.
+
+    Scale shape: posexplode + a broadcast join against the
+    vocab²-bounded phrase table, then every window (lead, running
+    count, run min, lag) and the final rebuild aggregate share the
+    ONE doc-keyed exchange (identical partition key). Token order in
+    the rebuild is FORCED via array_sort over (pos, token) structs.
+
+    Output: (id_col, text, n_phrases) — text re-tokenized, phrases
+    joined with '_'.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).alias("_p0", "tok"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("i"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cand = toks.withColumn("nxt", F.lead("tok").over(w))
+    ph = phrases.select(
+        F.col("tok_a").alias("tok"),
+        F.col("tok_b").alias("nxt"),
+        F.lit(True).alias("_m"),
+    ).distinct()
+    marked = cand.join(
+        F.broadcast(ph), ["tok", "nxt"], "left"
+    ).select(
+        "doc_id",
+        "i",
+        "tok",
+        "nxt",
+        F.coalesce(F.col("_m"), F.lit(False)).alias("matched"),
+    )
+    rn_m = F.sum(F.col("matched").cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = marked.withColumn(
+        "island", F.col("i") - rn_m
+    )
+    w_isl = Window.partitionBy("doc_id", "matched", "island")
+    run_min = F.min(F.when(F.col("matched"), F.col("i"))).over(w_isl)
+    started = marked.withColumn(
+        "start",
+        F.col("matched") & (((F.col("i") - run_min) % 2) == 0),
+    )
+    prev_start = F.coalesce(
+        F.lag("start").over(w), F.lit(False)
+    )
+    out_tok = F.when(
+        F.col("start"), F.concat_ws("_", F.col("tok"), F.col("nxt"))
+    ).otherwise(
+        F.when(~prev_start, F.col("tok"))
+    )
+    rebuilt = (
+        started.select(
+            "doc_id",
+            "i",
+            F.col("start"),
+            out_tok.alias("_ot"),
+            prev_start.alias("_ps"),
+        )
+        .filter(F.col("_ot").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", F.col("_ot").alias("t")))
+            ).alias("_arr"),
+            F.sum(F.col("start").cast("long")).alias("n_phrases"),
+        )
+    )
+    return rebuilt.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(
+            F.transform(F.col("_arr"), lambda s: s["t"]), " "
+        ).alias("text"),
+        "n_phrases",
+    )

@@ -1567,3 +1567,79 @@ SELECT conv_id, n_visible, opens_role, ends_role, n_role_repeats,
         AND ends_role = 'assistant') AS lint_ok
 FROM lint
 """
+
+
+def q_sft_examples(
+    min_turns: int = 5,
+    max_error_frac: float = 0.2,
+    min_tool_calls: int = 1,
+    n_context: int = 4,
+) -> str:
+    """Composed SFT export twin (chat_lint AND conversation_select
+    gate the conversations, context_windows builds the examples —
+    the operators compose, so the oracle chains their CTEs): a
+    conversation contributes examples only if it passes BOTH the
+    structural lint and the quality selection. Lint policy here:
+    the discriminating flags for this corpus (no orphan tool calls,
+    assistant closing) — roles alternate freely in the derived
+    transcripts, so the repeats flag would empty the set."""
+    return pipeline_cte() + f""",
+visible AS (
+  SELECT conv_id, turn_idx, role, message
+  FROM routed WHERE sink <> 'drop_queue'
+),
+lv AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev
+  FROM visible
+),
+lint AS (
+  SELECT conv_id,
+         arg_max(role, turn_idx) AS ends_role,
+         sum(CASE WHEN role = 'tool'
+                   AND coalesce(prev, '') <> 'assistant'
+              THEN 1 ELSE 0 END) AS orph
+  FROM lv GROUP BY 1
+),
+per AS (
+  SELECT conv_id,
+         sum(CASE WHEN sink <> 'drop_queue' THEN 1 ELSE 0 END)::BIGINT
+           AS n_visible,
+         sum(CASE WHEN sink = 'errors' THEN 1 ELSE 0 END)::BIGINT
+           AS n_errors,
+         sum(CASE WHEN sink = 'tool_calls' THEN 1 ELSE 0 END)::BIGINT
+           AS n_tool_calls
+  FROM routed GROUP BY conv_id
+),
+frac AS (
+  SELECT *,
+         CASE WHEN n_visible > 0
+              THEN round(n_errors / CAST(n_visible AS DOUBLE), 5)
+              ELSE 0.0 END AS error_frac
+  FROM per
+),
+keep AS (
+  SELECT l.conv_id
+  FROM lint l JOIN frac f USING (conv_id)
+  WHERE l.orph = 0 AND l.ends_role = 'assistant'
+    AND f.n_visible >= {min_turns}
+    AND f.error_frac <= {max_error_frac}
+    AND f.n_tool_calls >= {min_tool_calls}
+),
+vk AS (
+  SELECT v.* FROM visible v JOIN keep USING (conv_id)
+),
+w AS (
+  SELECT conv_id, turn_idx, role, message,
+         list(role || ': ' || message) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {n_context} PRECEDING AND 1 PRECEDING) AS ctx
+  FROM vk
+)
+SELECT conv_id, turn_idx,
+       coalesce(len(ctx), 0)::BIGINT AS n_context_turns,
+       coalesce(array_to_string(ctx, chr(10)), '') AS context,
+       message AS target
+FROM w WHERE role = 'assistant'
+"""

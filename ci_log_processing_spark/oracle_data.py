@@ -4291,3 +4291,65 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM hv a JOIN hv b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= {int(max_hamming)}
 """
+
+
+def q_phrase_merge(
+    min_count: int = 5, lift_cut: int = 1450
+) -> str:
+    """phrase_merge twin (operators/textstats.py): the adjacent-pair
+    collocation query as the phrase table (window=1, lift cut), then
+    the SAME greedy-as-islands rewrite — running matched count ->
+    island key, run-head min, offset parity for starts, lag(start)
+    for consumption, string_agg ORDER BY i rebuild."""
+    return f"""
+WITH colls AS ({q_collocations(window=1, min_count=min_count)}),
+ph AS (
+  SELECT DISTINCT tok_a, tok_b FROM colls
+  WHERE lift_milli >= {int(lift_cut)}
+),
+t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+),
+cand AS (
+  SELECT doc_id, i, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM p
+),
+mk AS (
+  SELECT c.doc_id, c.i, c.tok, c.nxt,
+         (ph.tok_a IS NOT NULL) AS matched
+  FROM cand c
+  LEFT JOIN ph ON ph.tok_a = c.tok AND ph.tok_b = c.nxt
+),
+isl AS (
+  SELECT *, i - sum(CASE WHEN matched THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS UNBOUNDED PRECEDING) AS island
+  FROM mk
+),
+st AS (
+  SELECT *, matched AND ((i - min(CASE WHEN matched THEN i END)
+           OVER (PARTITION BY doc_id, matched, island)) % 2 = 0)
+           AS strt
+  FROM isl
+),
+fin AS (
+  SELECT *, coalesce(lag(strt) OVER (
+           PARTITION BY doc_id ORDER BY i), false) AS ps
+  FROM st
+),
+ot AS (
+  SELECT doc_id, i, strt,
+         CASE WHEN strt THEN tok || '_' || nxt
+              WHEN NOT ps THEN tok END AS t
+  FROM fin
+)
+SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text,
+       sum(CASE WHEN strt THEN 1 ELSE 0 END)::BIGINT AS n_phrases
+FROM ot WHERE t IS NOT NULL GROUP BY 1
+"""

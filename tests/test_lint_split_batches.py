@@ -179,3 +179,55 @@ def test_length_batches_chunking_and_waste(spark):
 
     with pytest.raises(ValueError):
         length_batches(spark.createDataFrame(rows, DOCS_SCHEMA), 0)
+
+
+def test_sft_composition_gates_conversations(spark):
+    """chat_lint x conversation_select jointly gate which
+    conversations produce context-window examples."""
+    from pyspark.sql import functions as F
+
+    from ci_log_processing_spark.operators.sft import (
+        chat_lint,
+        context_windows,
+        conversation_select,
+    )
+
+    rows = []
+    # conv G: good — 5 visible turns, a proper tool call, ends on
+    # assistant, no errors
+    for i, (role, tool, sink) in enumerate([
+        ("user", None, "agent_turns"),
+        ("assistant", None, "agent_turns"),
+        ("tool", "grep", "tool_calls"),
+        ("user", None, "agent_turns"),
+        ("assistant", None, "agent_turns"),
+    ]):
+        rows.append(("G", i, role, tool, f"m{i}", sink))
+    # conv B: orphan tool call (tool after user) — lint rejects it
+    for i, (role, tool, sink) in enumerate([
+        ("user", None, "agent_turns"),
+        ("tool", "grep", "tool_calls"),
+        ("assistant", None, "agent_turns"),
+        ("user", None, "agent_turns"),
+        ("assistant", None, "agent_turns"),
+    ]):
+        rows.append(("B", i, role, tool, f"m{i}", sink))
+    routed = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, "
+        "message string, sink string",
+    )
+    lint_ok = chat_lint(routed).filter(
+        (F.col("n_tool_wo_assistant") == 0)
+        & (F.col("ends_role") == "assistant")
+    ).select("conv_id")
+    sel = conversation_select(routed).filter("selected").select(
+        "conv_id"
+    )
+    kept = routed.join(
+        F.broadcast(lint_ok.join(sel, "conv_id")), "conv_id",
+        "left_semi",
+    )
+    ex = context_windows(kept).collect()
+    assert {r.conv_id for r in ex} == {"G"}
+    assert all(r.target.startswith("m") for r in ex)

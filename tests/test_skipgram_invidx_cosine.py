@@ -221,3 +221,37 @@ def test_incremental_index_merge_identity(spark):
     }
     release_persisted()
     assert got == whole
+
+
+def test_phrase_merge_greedy_islands(spark):
+    from ci_log_processing_spark.operators.textstats import phrase_merge
+
+    docs = spark.createDataFrame(
+        [
+            (0, "new york city hall"),   # chain: greedy takes
+            #                             (new,york) then (city,hall)
+            (1, "a a a"),                # overlap run: a_a then a
+            (2, "a a a a"),              # even run: a_a a_a
+            (3, "x new york y"),         # phrase mid-doc
+            (4, "plain words only"),     # no phrases
+            (5, "york new"),             # reversed pair: no match
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("new", "york"), ("york", "city"), ("city", "hall"),
+         ("a", "a")],
+        "tok_a string, tok_b string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_phrases)
+        for r in phrase_merge(docs, phrases).collect()
+    }
+    # greedy: (new,york) consumes york, so (york,city) is blocked,
+    # then (city,hall) fires — exactly word2phrase's L2R scan
+    assert out[0] == ("new_york city_hall", 2)
+    assert out[1] == ("a_a a", 1)
+    assert out[2] == ("a_a a_a", 2)
+    assert out[3] == ("x new_york y", 1)
+    assert out[4] == ("plain words only", 0)
+    assert out[5] == ("york new", 0)
