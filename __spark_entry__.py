@@ -2753,6 +2753,36 @@ def q_sft_examples(spark, sf_dir):
     return context_windows(kept)
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion
+    (operators/retrieval.py rrf_fuse): BM25 over the documents and
+    brute-force cosine over the embeddings, ranked over the SAME
+    query id set, fused by the exact integer 1/(k0+rank) rule — the
+    score-calibration-free combiner every hybrid search stack
+    runs."""
+    from ci_log_processing_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from ci_log_processing_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    lex = bm25_topk(
+        docs, docs.filter(F.col("doc_id") % 101 == 7), k=10
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 101 == 7), k=10
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex.select("qid", "doc_id", "rank"), dense])
+
+
 def q_length_batches(spark, sf_dir):
     """Length-bucketed training-batch construction
     (operators/curation.py length_batches): per-source length-DESC
@@ -3440,7 +3470,7 @@ _VERIFY_FIRST = (
     #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
-    #   cur_sft_examples
+    #   cur_sft_examples, ret_rrf_fusion
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3707,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_ahash_pairs": q_mm_ahash_pairs,
             "text_phrase_merge": q_phrase_merge,
             "cur_sft_examples": q_sft_examples,
+            "ret_rrf_fusion": q_rrf_fusion,
         }
     )
 
@@ -4039,6 +4070,7 @@ def oracle_sql() -> dict[str, str]:
                 min_count=5, lift_cut=1450
             ),
             "cur_sft_examples": oracle.q_sft_examples(),
+            "ret_rrf_fusion": od.q_rrf_fusion(k=10, k0=60),
         }
     )
     return _never_verified_first(sqls)

@@ -678,6 +678,13 @@ def main():
         ),
     )
     bench(
+        "ret_rrf_fusion",
+        lambda: checksum(
+            entrymod.q_rrf_fusion(spark, sf_dir),
+            ["qid", "doc_id", "rrf_micro", "n_systems", "rank"],
+        ),
+    )
+    bench(
         "cur_sft_examples",
         lambda: checksum(
             entrymod.q_sft_examples(spark, sf_dir),

@@ -268,3 +268,49 @@ def finalize_index(
             F.transform(F.col("_posts"), lambda s: s["s"]), "|"
         ).alias("postings"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k0: int = 60, topk: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: each input ranking contributes
+    1/(k0 + rank) per (query, doc) and documents re-rank by the
+    summed score, so lexical BM25 and dense ANN lists fuse without
+    any score calibration (ranks are comparable, raw scores are
+    not). k0=60 is the published default damping.
+
+    EXACT integer rule: the contribution is 1000000 div (k0 + rank)
+    in micro-units — at k0=60 every distinct rank maps to a distinct
+    integer well past rank 900, and the sum over systems is exact,
+    so the fused ORDER is deterministic and the oracle hash-matches
+    with no float tolerance. Final rank = (rrf_micro DESC, doc_id).
+
+    Inputs are (qid, doc_id, rank) tables (callers rename); the fuse
+    is union -> one (qid, doc)-keyed partial+final aggregate ->
+    a qid-keyed row_number window over candidate-sized rows — the
+    corpus never appears, cost tracks k x queries x systems.
+
+    Output: (qid, doc_id, rrf_micro, n_systems, rank), rank <= topk.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k0 < 1 or topk < 1:
+        raise ValueError("rrf_fuse: k0 and topk must be >= 1")
+    u = rankings[0].select("qid", "doc_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("qid", "doc_id", "rank"))
+    scored = u.groupBy("qid", "doc_id").agg(
+        F.sum(F.expr(f"1000000 div ({int(k0)} + rank)")).alias(
+            "rrf_micro"
+        ),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "doc_id", "rrf_micro", "n_systems", "rank")
+    )

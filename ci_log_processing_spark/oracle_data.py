@@ -4353,3 +4353,51 @@ SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text,
        sum(CASE WHEN strt THEN 1 ELSE 0 END)::BIGINT AS n_phrases
 FROM ot WHERE t IS NOT NULL GROUP BY 1
 """
+
+
+def q_rrf_fusion(
+    k: int = 10, k0: int = 60, q_mod: int = 101, q_rem: int = 7
+) -> str:
+    """rrf_fuse twin (operators/retrieval.py): the bm25 oracle and
+    an inline brute-force ANN ranking over the SAME query id set
+    (doc_id/vec_id % q_mod == q_rem), fused by the exact integer
+    1000000 // (k0 + rank) rule and re-ranked (rrf DESC, doc_id)."""
+    return f"""
+WITH bm AS ({q_bm25_topk(k=k, q_mod=q_mod, q_rem=q_rem)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e
+  WHERE vec_id % {q_mod} = {q_rem}
+),
+ann_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_emb, e.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(e.emb, e.emb))), 5) AS cosine
+  FROM e, q WHERE e.vec_id != q.query_id
+),
+ann AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id)
+           AS rank
+  FROM ann_scored
+  QUALIFY rank <= {k}
+),
+u AS (
+  SELECT qid, doc_id, rank FROM bm
+  UNION ALL
+  SELECT query_id AS qid, neighbor_id AS doc_id, rank FROM ann
+),
+s AS (
+  SELECT qid, doc_id,
+         sum(1000000 // ({k0} + rank))::BIGINT AS rrf_micro,
+         count(*)::BIGINT AS n_systems
+  FROM u GROUP BY 1, 2
+)
+SELECT qid, doc_id, rrf_micro, n_systems,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+FROM s
+QUALIFY rank <= {k}
+"""

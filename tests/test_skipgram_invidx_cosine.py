@@ -255,3 +255,36 @@ def test_phrase_merge_greedy_islands(spark):
     assert out[3] == ("x new_york y", 1)
     assert out[4] == ("plain words only", 0)
     assert out[5] == ("york new", 0)
+
+
+def test_rrf_fuse_math_and_order(spark):
+    from ci_log_processing_spark.operators.retrieval import rrf_fuse
+
+    schema = "qid long, doc_id long, rank int"
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], schema
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], schema
+    )
+    out = {
+        r.doc_id: r
+        for r in rrf_fuse([lex, dense], k0=60, topk=10).collect()
+    }
+    # doc 11: 1e6//62 + 1e6//61 = 16129 + 16393 = 32522 — fused to
+    # the top though neither system ranked it first
+    assert out[11].rrf_micro == 1000000 // 62 + 1000000 // 61
+    assert out[11].rank == 1 and out[11].n_systems == 2
+    # doc 10: 1e6//61 + 1e6//63
+    assert out[10].rrf_micro == 1000000 // 61 + 1000000 // 63
+    assert out[10].rank == 2
+    # single-system docs trail
+    assert out[12].n_systems == 1 and out[13].n_systems == 1
+    assert out[13].rank == 3 and out[12].rank == 4  # 62 beats 63
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([lex], k0=0)
