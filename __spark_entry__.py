@@ -3420,6 +3420,18 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_symspell_pairs(spark, sf_dir):
+    """Edit-distance near-dup key pairs via SymSpell
+    delete-neighborhood blocking (operators/linkage.py
+    symspell_pairs) — the short-string similarity axis MinHash
+    saturates on. The oracle is DELIBERATELY a different algorithm
+    (brute-force all-pairs Levenshtein with a length-band
+    prefilter), so the gate proves the blocking's total recall."""
+    from ci_log_processing_spark.operators.linkage import symspell_pairs
+
+    return symspell_pairs(_docs(spark, sf_dir), max_dist=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse -> enrich -> route -> hourly aggregate."""
     return q_agg_hourly(spark, "/root/testdata/sf0.001")
@@ -3470,7 +3482,7 @@ _VERIFY_FIRST = (
     #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
-    #   cur_sft_examples, ret_rrf_fusion
+    #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3738,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_phrase_merge": q_phrase_merge,
             "cur_sft_examples": q_sft_examples,
             "ret_rrf_fusion": q_rrf_fusion,
+            "dedup_symspell_pairs": q_symspell_pairs,
         }
     )
 
@@ -4071,6 +4084,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "cur_sft_examples": oracle.q_sft_examples(),
             "ret_rrf_fusion": od.q_rrf_fusion(k=10, k0=60),
+            "dedup_symspell_pairs": od.q_symspell_pairs(max_dist=1),
         }
     )
     return _never_verified_first(sqls)

@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "dedup_symspell_pairs",
+        lambda: checksum(
+            entrymod.q_symspell_pairs(spark, sf_dir),
+            ["doc_a", "doc_b", "dist"],
+        ),
+    )
+    bench(
         "cur_sft_examples",
         lambda: checksum(
             entrymod.q_sft_examples(spark, sf_dir),

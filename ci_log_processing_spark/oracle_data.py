@@ -4401,3 +4401,27 @@ SELECT qid, doc_id, rrf_micro, n_systems,
 FROM s
 QUALIFY rank <= {k}
 """
+
+
+def q_symspell_pairs(max_dist: int = 1, key_len: int = 24) -> str:
+    """symspell_pairs twin (operators/linkage.py) — DELIBERATELY a
+    different algorithm: brute-force all-pairs Levenshtein with only
+    a length-band prefilter (|len(a)-len(b)| <= d is a necessary
+    condition for distance <= d). The operator blocks through the
+    delete-neighborhood equi-join; the oracle proves its TOTAL
+    recall by comparing against the exhaustive scan, which is
+    exactly the check hash blocking needs."""
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')),
+                1, {key_len}) AS key
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE abs(length(a.key) - length(b.key)) <= {max_dist}
+  AND levenshtein(a.key, b.key) <= {max_dist}
+"""
