@@ -3420,6 +3420,26 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_reliability_iso(spark, sf_dir):
+    """Reliability table + EXACT isotonic calibration of the NB
+    quality gate (operators/calibrate.py reliability_isotonic):
+    corpus work is one bin aggregate; the isotonic fit is the O(B^3)
+    minimax closed form over the <= 8-row bin table — no PAVA sweep,
+    no iteration, integer micro units end to end."""
+    from ci_log_processing_spark.operators.calibrate import (
+        reliability_isotonic,
+    )
+    from ci_log_processing_spark.operators.textstats import (
+        nb_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label",
+        F.col("source").isin("src0", "src1", "src2").cast("int"),
+    )
+    return reliability_isotonic(nb_quality_classifier(docs), n_bins=8)
+
+
 def q_symspell_pairs(spark, sf_dir):
     """Edit-distance near-dup key pairs via SymSpell
     delete-neighborhood blocking (operators/linkage.py
@@ -3482,7 +3502,8 @@ _VERIFY_FIRST = (
     #   cur_length_batches, text_skipgram_pairs, ret_inverted_index,
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
-    #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs
+    #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
+    #   cur_reliability_iso
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3751,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_sft_examples": q_sft_examples,
             "ret_rrf_fusion": q_rrf_fusion,
             "dedup_symspell_pairs": q_symspell_pairs,
+            "cur_reliability_iso": q_reliability_iso,
         }
     )
 
@@ -4085,6 +4107,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_sft_examples": oracle.q_sft_examples(),
             "ret_rrf_fusion": od.q_rrf_fusion(k=10, k0=60),
             "dedup_symspell_pairs": od.q_symspell_pairs(max_dist=1),
+            "cur_reliability_iso": od.q_reliability_isotonic(n_bins=8),
         }
     )
     return _never_verified_first(sqls)

@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "cur_reliability_iso",
+        lambda: checksum(
+            entrymod.q_reliability_iso(spark, sf_dir),
+            ["bin", "score_lo", "n", "pos", "rate_micro", "iso_micro"],
+        ),
+    )
+    bench(
         "dedup_symspell_pairs",
         lambda: checksum(
             entrymod.q_symspell_pairs(spark, sf_dir),

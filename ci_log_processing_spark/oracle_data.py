@@ -4425,3 +4425,53 @@ FROM k a JOIN k b ON a.doc_id < b.doc_id
 WHERE abs(length(a.key) - length(b.key)) <= {max_dist}
   AND levenshtein(a.key, b.key) <= {max_dist}
 """
+
+
+def q_reliability_isotonic(n_bins: int = 8) -> str:
+    """reliability_isotonic twin (operators/calibrate.py): the NB
+    quality oracle feeds the SAME equal-width integer binning, then
+    isotonic regression by its exact minimax closed form
+    iso(i) = max_{a<=i} min_{b>=i} pooled_rate(a, b) over the bin
+    table — pooled rates floored to integer micro units BEFORE the
+    lattice, so every comparison is exact int64 in both engines
+    (floor commutes with min/max: monotone integer-valued map)."""
+    return f"""
+WITH scored AS ({q_nb_quality()}),
+base AS (SELECT score_bits AS s, label AS y FROM scored),
+span AS (SELECT min(s) AS mn, max(s) AS mx FROM base),
+binned AS (
+  SELECT ((s - mn) * {n_bins}) // (mx - mn + 1) AS bin, y, mn, mx
+  FROM base, span
+),
+bins AS (
+  SELECT bin,
+         mn + (bin * (mx - mn + 1) + {n_bins} - 1) // {n_bins} AS score_lo,
+         count(*) AS n, sum(y) AS pos
+  FROM binned GROUP BY bin, mn, mx
+),
+cum AS (
+  SELECT bin, score_lo, n, pos,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(pos) OVER (ORDER BY bin) AS cpos
+  FROM bins
+),
+pooled AS (
+  SELECT a.bin AS pa, b.bin AS pb,
+         (1000000 * (b.cpos - (a.cpos - a.pos)))
+           // (b.cn - (a.cn - a.n)) AS rate_ab
+  FROM cum a JOIN cum b ON a.bin <= b.bin
+),
+mm AS (
+  SELECT i.bin AS i, p.pa, min(p.rate_ab) AS m
+  FROM cum i JOIN pooled p ON p.pa <= i.bin AND p.pb >= i.bin
+  GROUP BY 1, 2
+),
+iso AS (SELECT i, max(m) AS iso_micro FROM mm GROUP BY 1)
+SELECT CAST(c.bin AS BIGINT) AS bin,
+       CAST(c.score_lo AS BIGINT) AS score_lo,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.pos AS BIGINT) AS pos,
+       CAST((1000000 * c.pos) // c.n AS BIGINT) AS rate_micro,
+       CAST(iso.iso_micro AS BIGINT) AS iso_micro
+FROM cum c JOIN iso ON iso.i = c.bin
+"""
