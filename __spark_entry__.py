@@ -3420,6 +3420,20 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_mm_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over real Y4M payloads
+    (operators/multimodal.py scene_cuts): per-frame Y-plane mean
+    luma in integer milli, lag delta, threshold flag — only the Y
+    plane is read (2/3 of chroma bytes skipped), the production
+    shot-scan shape."""
+    from ci_log_processing_spark.operators.multimodal import (
+        attach_media,
+        scene_cuts,
+    )
+
+    return scene_cuts(attach_media(_docs(spark, sf_dir)))
+
+
 def q_reliability_iso(spark, sf_dir):
     """Reliability table + EXACT isotonic calibration of the NB
     quality gate (operators/calibrate.py reliability_isotonic):
@@ -3503,7 +3517,7 @@ _VERIFY_FIRST = (
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
-    #   cur_reliability_iso
+    #   cur_reliability_iso, mm_scene_cuts
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3773,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ret_rrf_fusion": q_rrf_fusion,
             "dedup_symspell_pairs": q_symspell_pairs,
             "cur_reliability_iso": q_reliability_iso,
+            "mm_scene_cuts": q_mm_scene_cuts,
         }
     )
 
@@ -4108,6 +4123,7 @@ def oracle_sql() -> dict[str, str]:
             "ret_rrf_fusion": od.q_rrf_fusion(k=10, k0=60),
             "dedup_symspell_pairs": od.q_symspell_pairs(max_dist=1),
             "cur_reliability_iso": od.q_reliability_isotonic(n_bins=8),
+            "mm_scene_cuts": od.q_scene_cuts(threshold_milli=4000),
         }
     )
     return _never_verified_first(sqls)

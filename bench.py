@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "mm_scene_cuts",
+        lambda: checksum(
+            entrymod.q_mm_scene_cuts(spark, sf_dir),
+            ["doc_id", "frame_idx", "luma_milli", "delta_milli",
+             "is_cut"],
+        ),
+    )
+    bench(
         "cur_reliability_iso",
         lambda: checksum(
             entrymod.q_reliability_iso(spark, sf_dir),

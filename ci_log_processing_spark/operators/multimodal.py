@@ -510,3 +510,71 @@ def ahash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+SCENE_CUT_SCHEMA = (
+    "doc_id long, frame_idx int, luma_milli long, delta_milli long, "
+    "is_cut boolean"
+)
+
+
+def scene_cuts(media: DataFrame, threshold_milli: int = 4000) -> DataFrame:
+    """Scene-cut detection over Y4M payloads — the shot-boundary
+    pass a video curation pipeline runs before frame dedup / caption
+    alignment (split at cuts, sample within shots). The detector is
+    the classic mean-luma difference: per frame, the Y-plane mean in
+    integer MILLI units (1000 * sum(Y bytes) div (w*h) — the Y plane
+    is the first w*h bytes of each 4:2:0 frame); a cut is flagged
+    where |mean_f - mean_{f-1}| > threshold_milli. All-integer, so
+    the DuckDB twin (which recomputes the lumas from the cycled-text
+    pixel stream the synthesiser embeds) matches hash-exactly.
+
+    Plumbing is the real seek shape: the YUV4MPEG2 header is parsed
+    for geometry, every FRAME marker is verified while walking the
+    payload, and only the Y plane of each frame is touched — 2/3 of
+    the chroma bytes are never read, exactly what a production
+    shot-boundary scan does. Arrow batches in/out via mapInPandas;
+    the frame walk is per-row bounded work (frame count x w x h),
+    no shuffle — the cut table inherits the scan's partitioning.
+
+    Output: one row per frame. Frame 0 has delta_milli NULL and
+    is_cut false (no predecessor).
+    """
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "luma_milli": [],
+                "delta_milli": [], "is_cut": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                nl = b.index(b"\n")
+                tokens = b[:nl].decode().split(" ")
+                if tokens[0] != "YUV4MPEG2":
+                    raise ValueError(f"doc {doc_id}: not a Y4M payload")
+                params = {t[0]: t[1:] for t in tokens[1:]}
+                w, h = int(params["W"]), int(params["H"])
+                fsz = w * h * 3 // 2
+                total = (len(b) - (nl + 1)) // (6 + fsz)
+                prev = None
+                for fi in range(total):
+                    off = (nl + 1) + fi * (6 + fsz) + 6
+                    if b[off - 6:off] != b"FRAME\n":
+                        raise ValueError(
+                            f"doc {doc_id}: bad FRAME marker at {off - 6}"
+                        )
+                    luma = 1000 * sum(b[off:off + w * h]) // (w * h)
+                    delta = None if prev is None else abs(luma - prev)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["luma_milli"].append(luma)
+                    rows["delta_milli"].append(delta)
+                    rows["is_cut"].append(
+                        delta is not None and delta > threshold_milli
+                    )
+                    prev = luma
+            yield pd.DataFrame(rows)
+
+    videos = media.filter(F.col("kind") == "video")
+    return videos.mapInPandas(cuts, SCENE_CUT_SCHEMA)

@@ -4475,3 +4475,42 @@ SELECT CAST(c.bin AS BIGINT) AS bin,
        CAST(iso.iso_micro AS BIGINT) AS iso_micro
 FROM cum c JOIN iso ON iso.i = c.bin
 """
+
+
+def q_scene_cuts(threshold_milli: int = 4000) -> str:
+    """scene_cuts twin (operators/multimodal.py): recomputes every
+    frame's Y-plane mean straight from the cycled-text pixel stream
+    the synthesiser embeds (geometry = _y4m_geometry), then the same
+    integer milli luma, lag delta and threshold flag. Frame 0 keeps
+    a NULL delta and is_cut = false."""
+    return f"""
+WITH v AS (
+  SELECT doc_id, text, length(text) AS L,
+         2 * (2 + length(text) % 8) AS w,
+         2 * (2 + (length(text) * 3) % 8) AS h,
+         3 + length(text) % 6 AS T
+  FROM documents WHERE doc_id % 3 = 2
+),
+g AS (SELECT *, w * h * 3 // 2 AS fsz FROM v),
+f AS (SELECT *, unnest(range(T)) AS fi FROM g),
+lu AS (
+  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+         1000 * list_aggregate(list_transform(range(1, w * h + 1),
+             i -> ord(substr(substr(repeat(text,
+                      CAST(T * fsz // L + 1 AS INT)),
+                      CAST(fi * fsz + 1 AS INT), CAST(fsz AS INT)),
+                  CAST(i AS INT), 1))), 'sum')
+           // (w * h) AS luma_milli
+  FROM f
+),
+d AS (
+  SELECT doc_id, frame_idx, CAST(luma_milli AS BIGINT) AS luma_milli,
+         CAST(abs(luma_milli - lag(luma_milli) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx)) AS BIGINT)
+           AS delta_milli
+  FROM lu
+)
+SELECT doc_id, frame_idx, luma_milli, delta_milli,
+       coalesce(delta_milli > {threshold_milli}, false) AS is_cut
+FROM d
+"""

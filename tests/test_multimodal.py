@@ -184,3 +184,47 @@ def test_image_ahash_near_dup_pairs(spark):
     with _pytest.raises(ValueError):
         ahash_near_dup_pairs(image_ahash(media), max_hamming=2,
                              n_bands=5)
+
+
+def test_scene_cuts_planted_boundary(spark):
+    # hand-built Y4M: 4 frames, first two all-32 luma, last two
+    # all-120 luma -> exactly one cut at frame 2
+    w, h = 4, 4
+    fsz = w * h * 3 // 2
+    header = f"YUV4MPEG2 W{w} H{h} F25:1\n".encode()
+    lo = bytes([32]) * fsz
+    hi = bytes([120]) * fsz
+    payload = header + b"".join(
+        b"FRAME\n" + fr for fr in (lo, lo, hi, hi)
+    )
+    df = spark.createDataFrame(
+        [(7, "video", payload)], "doc_id long, kind string, payload binary"
+    )
+    rows = {r["frame_idx"]: r for r in mm.scene_cuts(df).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["delta_milli"] is None and not rows[0]["is_cut"]
+    assert rows[1]["delta_milli"] == 0 and not rows[1]["is_cut"]
+    assert rows[2]["delta_milli"] == 88000 and rows[2]["is_cut"]
+    assert rows[3]["delta_milli"] == 0 and not rows[3]["is_cut"]
+    assert rows[0]["luma_milli"] == 32000 and rows[2]["luma_milli"] == 120000
+
+
+def test_scene_cuts_read_y_plane_only(spark):
+    # flipping every chroma byte must not change any output row:
+    # the detector promises to touch only the Y plane
+    w, h = 4, 4
+    ysz, fsz = w * h, w * h * 3 // 2
+    header = f"YUV4MPEG2 W{w} H{h} F25:1\n".encode()
+    frames = [bytes([40 + 60 * k]) * fsz for k in range(3)]
+    mk = lambda frs: header + b"".join(b"FRAME\n" + f for f in frs)
+    mangled = [f[:ysz] + bytes(255 - b for b in f[ysz:]) for f in frames]
+    df = spark.createDataFrame(
+        [(1, "video", mk(frames)), (2, "video", mk(mangled))],
+        "doc_id long, kind string, payload binary",
+    )
+    out = mm.scene_cuts(df).collect()
+    a = sorted((r["frame_idx"], r["luma_milli"], r["delta_milli"], r["is_cut"])
+               for r in out if r["doc_id"] == 1)
+    b = sorted((r["frame_idx"], r["luma_milli"], r["delta_milli"], r["is_cut"])
+               for r in out if r["doc_id"] == 2)
+    assert a == b and len(a) == 3
