@@ -3420,6 +3420,18 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_kcenter_select(spark, sf_dir):
+    """Greedy k-center coreset selection (operators/similarity.py
+    kcenter_select): farthest-point traversal with the coverage
+    radius certificate; unrolled-CTE oracle replays the identical
+    deterministic rounds."""
+    from ci_log_processing_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    return kcenter_select(_emb(spark, sf_dir), k=6)
+
+
 def q_mm_scene_cuts(spark, sf_dir):
     """Shot-boundary detection over real Y4M payloads
     (operators/multimodal.py scene_cuts): per-frame Y-plane mean
@@ -3517,7 +3529,7 @@ _VERIFY_FIRST = (
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
-    #   cur_reliability_iso, mm_scene_cuts
+    #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3788,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_symspell_pairs": q_symspell_pairs,
             "cur_reliability_iso": q_reliability_iso,
             "mm_scene_cuts": q_mm_scene_cuts,
+            "sim_kcenter_select": q_kcenter_select,
         }
     )
 
@@ -4124,6 +4137,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_symspell_pairs": od.q_symspell_pairs(max_dist=1),
             "cur_reliability_iso": od.q_reliability_isotonic(n_bins=8),
             "mm_scene_cuts": od.q_scene_cuts(threshold_milli=4000),
+            "sim_kcenter_select": od.q_kcenter_select(k=6),
         }
     )
     return _never_verified_first(sqls)

@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "sim_kcenter_select",
+        lambda: checksum(
+            entrymod.q_kcenter_select(spark, sf_dir),
+            ["round_idx", "vec_id", "radius"],
+        ),
+    )
+    bench(
         "mm_scene_cuts",
         lambda: checksum(
             entrymod.q_mm_scene_cuts(spark, sf_dir),

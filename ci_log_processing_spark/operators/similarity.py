@@ -1373,3 +1373,60 @@ def snapshot_drift(
         ).alias("centroid_cosine"),
         F.round(F.sqrt(F.col("_d2")), 5).alias("centroid_l2"),
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985) — the diversity-maximizing data-selection pass:
+    pick the vector farthest from everything picked so far, k times.
+    The returned `radius` column is the classic 2-approximation
+    certificate: after round r, every corpus vector lies within
+    radius_r of SOME selected center, so the selection doubles as a
+    coverage audit (embedding-space "what is my sample missing").
+
+    Fully deterministic, so the DuckDB oracle replays it exactly:
+    seed = lowest id; each round scores round(sq_l2, 5) to the
+    NEAREST already-chosen center (the same rounded fold
+    _argmin_centroid uses for kmeans) and picks (d DESC, id ASC).
+    On an all-identical corpus every distance is 0 and the rule
+    degenerates to re-picking the lowest id — still deterministic,
+    still oracle-equal.
+
+    Scale shape: the selection is inherently sequential (k rounds),
+    so like kmeans_fit the chosen centers live as driver-side
+    literals — k rows collected TOTAL, one TakeOrdered(1) scan per
+    round, per-row codegen distance expressions, zero shuffles and
+    zero joins. k is the coreset size: model-sized by definition.
+
+    Output: (round_idx, vec_id, radius); radius NULL for the seed.
+    """
+    if k < 1:
+        raise ValueError(f"kcenter_select: k={k} < 1")
+    base = emb.select(id_col, vec_col)
+    seed = base.orderBy(F.col(id_col)).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_select: empty input")
+    chosen = [(0, seed[0][id_col], None)]
+    cents = [list(seed[0][vec_col])]
+    for r in range(1, k):
+        best = _argmin_centroid(F.col(vec_col), cents)
+        far = (
+            base.select(
+                F.col(id_col).alias("_id"),
+                best["d"].alias("_d"),
+                vec_col,
+            )
+            .orderBy(F.desc("_d"), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, far["_id"], float(far["_d"])))
+        cents.append(list(far[vec_col]))
+    return emb.sparkSession.createDataFrame(
+        chosen, "round_idx int, vec_id long, radius double"
+    )

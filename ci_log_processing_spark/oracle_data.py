@@ -4514,3 +4514,33 @@ SELECT doc_id, frame_idx, luma_milli, delta_milli,
        coalesce(delta_milli > {threshold_milli}, false) AS is_cut
 FROM d
 """
+
+
+def q_kcenter_select(k: int = 6) -> str:
+    """kcenter_select twin (operators/similarity.py): the SAME
+    greedy farthest-point traversal UNROLLED — seed = lowest id,
+    then k-1 rounds of "least over round-5 squared distances to the
+    chosen set, pick (d DESC, id ASC)". Each chosen center is a
+    1-row CTE the next round cross-joins."""
+    dist = (
+        "round(list_sum(list_transform(range(1, len(e.emb) + 1), "
+        "i -> (e.emb[i] - {c}.emb[i]) * (e.emb[i] - {c}.emb[i]))), 5)"
+    )
+    parts = ["""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1)"""]
+    sel = ["SELECT CAST(0 AS INT) AS round_idx, vec_id, "
+           "CAST(NULL AS DOUBLE) AS radius FROM c0"]
+    prev = ["c0"]
+    for r in range(1, k):
+        dists = ", ".join(dist.format(c=c) for c in prev)
+        least = f"least({dists})" if len(prev) > 1 else dists
+        froms = ", ".join(["e"] + [f"{c} {c}" for c in prev])
+        parts.append(f""",
+m{r} AS (SELECT e.vec_id, e.emb, {least} AS d FROM {froms}),
+p{r} AS (SELECT vec_id, emb, d FROM m{r} ORDER BY d DESC, vec_id LIMIT 1)""")
+        sel.append(
+            f"SELECT CAST({r} AS INT), vec_id, d FROM p{r}"
+        )
+        prev.append(f"p{r}")
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(sel)

@@ -541,3 +541,58 @@ def test_snapshot_drift_semantics(spark):
     assert (n_a, n_b, cos) == (1, 2, 0.0)
     # centroids (2,0) vs (0,3): L2 = sqrt(4+9)
     assert abs(l2 - 13 ** 0.5) < 1e-4
+
+
+def test_kcenter_select_greedy_reference(spark):
+    # 2-d points with an obvious farthest-point order
+    import itertools
+
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 0.0]),
+           (3, [0.0, 8.0]), (4, [9.9, 0.1]), (5, [5.0, 4.0])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>",
+    )
+    from ci_log_processing_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    got = {r["round_idx"]: r for r in kcenter_select(df, k=4).collect()}
+    # greedy reference in pure python
+    coords = dict(pts)
+    chosen = [0]
+    order = [(0, None)]
+    for _ in range(3):
+        far = max(
+            ((min(round(sum((a - b) ** 2 for a, b in
+                           zip(coords[i], coords[c])), 5)
+                  for c in chosen), -i), i)
+            for i in coords
+        )
+        d = far[0][0]
+        order.append((far[1], d))
+        chosen.append(far[1])
+    for r, (vid, rad) in enumerate(order):
+        assert got[r]["vec_id"] == vid
+        if rad is None:
+            assert got[r]["radius"] is None
+        else:
+            assert got[r]["radius"] == pytest.approx(rad)
+    # radii are non-increasing (greedy coverage certificate)
+    radii = [got[r]["radius"] for r in range(1, 4)]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_select_guards(spark):
+    from ci_log_processing_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=2)
+    one = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        kcenter_select(one, k=0)
