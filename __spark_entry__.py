@@ -3420,6 +3420,18 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_watermark(spark, sf_dir):
+    """Greenlist watermark detection (operators/textstats.py
+    watermark_scores): Kirchenbauer-style prev-token-keyed green
+    partition, sqrt-free integer z-test — the synthetic-text
+    screening pass, zero-shuffle per-row fold."""
+    from ci_log_processing_spark.operators.textstats import (
+        watermark_scores,
+    )
+
+    return watermark_scores(_docs(spark, sf_dir))
+
+
 def q_kcenter_select(spark, sf_dir):
     """Greedy k-center coreset selection (operators/similarity.py
     kcenter_select): farthest-point traversal with the coverage
@@ -3529,7 +3541,8 @@ _VERIFY_FIRST = (
     #   dedup_count_cosine, text_collocations, ret_index_incremental,
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
-    #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select
+    #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
+    #   text_watermark
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3801,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_reliability_iso": q_reliability_iso,
             "mm_scene_cuts": q_mm_scene_cuts,
             "sim_kcenter_select": q_kcenter_select,
+            "text_watermark": q_watermark,
         }
     )
 
@@ -4138,6 +4152,7 @@ def oracle_sql() -> dict[str, str]:
             "cur_reliability_iso": od.q_reliability_isotonic(n_bins=8),
             "mm_scene_cuts": od.q_scene_cuts(threshold_milli=4000),
             "sim_kcenter_select": od.q_kcenter_select(k=6),
+            "text_watermark": od.q_watermark_scores(z2_thresh=4),
         }
     )
     return _never_verified_first(sqls)

@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "text_watermark",
+        lambda: checksum(
+            entrymod.q_watermark(spark, sf_dir),
+            ["doc_id", "n_scored", "n_green", "green_milli",
+             "suspect"],
+        ),
+    )
+    bench(
         "sim_kcenter_select",
         lambda: checksum(
             entrymod.q_kcenter_select(spark, sf_dir),

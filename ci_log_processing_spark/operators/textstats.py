@@ -1634,3 +1634,91 @@ def phrase_merge(
         ).alias("text"),
         "n_phrases",
     )
+
+
+def watermark_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    z2_thresh: int = 4,
+    seed: str = "wm1",
+) -> DataFrame:
+    """Greenlist watermark detector (Kirchenbauer et al. 2023, "A
+    Watermark for Large Language Models") — the SYNTHETIC-TEXT
+    screening pass a training-data pipeline runs before mixing
+    crawled data: watermarked LLM output over-represents "green"
+    tokens, where green/red is a pseudo-random partition keyed by
+    the PREVIOUS token. The detector recomputes the partition and
+    z-tests the green fraction against the gamma = 1/2 null.
+
+    Green rule (both engines bit-for-bit): token i is scored green
+    iff h32(seed || prev_tok || \\x01 || tok) is even — the same
+    md5-prefix hash family as every sampler in curation.py. Exactly
+    n_tokens - 1 positions are scored (i >= 2); docs with < 2
+    tokens score 0 positions and are never suspect.
+
+    The z-test avoids sqrt entirely: with gamma = 1/2,
+        z = (g - n/2) / sqrt(n/4) > lambda
+      <=>  2g > n  AND  (2g - n)^2 > lambda^2 * n
+    so `suspect` is an exact int64 predicate (z2_thresh = lambda^2;
+    the default 4 flags z > 2, ~p < 0.023 one-sided). green_milli
+    (1000g div n) is exposed for threshold sweeps downstream.
+
+    Scale shape: one per-row array fold — zero shuffles, zero joins;
+    the pair hash never materializes an exploded pair table (the
+    skipgram/bigram contrast: those need corpus-wide aggregation,
+    this is a pure per-document statistic).
+    """
+    t = tokens(F.col(text_col))
+    pair_green = F.transform(
+        F.sequence(F.lit(2), F.size(t)),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed),
+                            F.element_at(t, i - 1),
+                            F.lit("\x01"),
+                            F.element_at(t, i),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        ).cast("long"),
+    )
+    n_scored = F.when(F.size(t) >= 2, F.size(t) - 1).otherwise(0).cast("long")
+    n_green = F.when(
+        F.size(t) >= 2,
+        F.aggregate(pair_green, F.lit(0).cast("long"), lambda a, v: a + v),
+    ).otherwise(0)
+    out = docs.select(
+        "doc_id",
+        n_scored.alias("n_scored"),
+        n_green.alias("n_green"),
+    )
+    return out.select(
+        "doc_id",
+        "n_scored",
+        "n_green",
+        F.when(
+            F.col("n_scored") > 0,
+            F.expr("(1000 * n_green) div n_scored"),
+        )
+        .cast("long")
+        .alias("green_milli"),
+        (
+            (F.col("n_scored") > 0)
+            & (2 * F.col("n_green") > F.col("n_scored"))
+            & (
+                (2 * F.col("n_green") - F.col("n_scored"))
+                * (2 * F.col("n_green") - F.col("n_scored"))
+                > F.lit(z2_thresh) * F.col("n_scored")
+            )
+        ).alias("suspect"),
+    )

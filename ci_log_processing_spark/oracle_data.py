@@ -4544,3 +4544,37 @@ p{r} AS (SELECT vec_id, emb, d FROM m{r} ORDER BY d DESC, vec_id LIMIT 1)""")
         )
         prev.append(f"p{r}")
     return "".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+def q_watermark_scores(z2_thresh: int = 4, seed: str = "wm1") -> str:
+    """watermark_scores twin (operators/textstats.py): the same
+    green rule — h32(seed || prev || \\x01 || tok) even — folded
+    over positions 2..n, the same sqrt-free z-test
+    (2g > n AND (2g-n)^2 > lambda^2 * n)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+           AS n_scored,
+         CASE WHEN len(toks) >= 2 THEN
+           list_sum(list_transform(range(2, len(toks) + 1),
+             i -> CASE WHEN
+               CAST(('0x' || substr(md5('{seed}' || toks[i - 1]
+                     || chr(1) || toks[i]), 1, 8)) AS BIGINT) % 2 = 0
+               THEN 1 ELSE 0 END))
+         ELSE 0 END AS n_green
+  FROM t
+)
+SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(n_green AS BIGINT) AS n_green,
+       CAST(CASE WHEN n_scored > 0
+            THEN (1000 * n_green) // n_scored END AS BIGINT)
+         AS green_milli,
+       (n_scored > 0 AND 2 * n_green > n_scored AND
+        (2 * n_green - n_scored) * (2 * n_green - n_scored)
+          > {z2_thresh} * n_scored) AS suspect
+FROM s
+"""

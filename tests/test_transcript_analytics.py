@@ -374,3 +374,49 @@ def test_preference_pairs_retry_repair(spark):
         ("Y", 0): ("search", 5, "a", "c", 5),
         ("Y", 3): ("search", 5, "b", "c", 2),
     }
+
+
+def test_watermark_detects_greenlist_text(spark):
+    """Generate text by greedily picking green-hash successors (the
+    watermark embedder's rule) -> suspect; unwatermarked word soup
+    stays below the z threshold; < 2 tokens never scored."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    vocab = [f"w{i}" for i in range(50)]
+    cur, wm = "w0", ["w0"]
+    for _ in range(60):
+        nxt = next(
+            w for w in vocab
+            if h32("wm1" + cur + "\x01" + w) % 2 == 0
+        )
+        wm.append(nxt)
+        cur = nxt
+    # deterministic unwatermarked text: LCG over the vocab
+    x, rnd = 7, []
+    for _ in range(61):
+        x = (x * 1103515245 + 12345) % 50
+        rnd.append(vocab[x])
+    rows = [
+        (1, " ".join(wm)),
+        (2, " ".join(rnd)),
+        (3, "single"),
+        (4, ""),
+    ]
+    from ci_log_processing_spark.operators.textstats import (
+        watermark_scores,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in watermark_scores(df).collect()}
+    assert got[1]["n_scored"] == 60 and got[1]["n_green"] == 60
+    assert got[1]["suspect"] is True and got[1]["green_milli"] == 1000
+    assert got[2]["suspect"] is False
+    # ~half green for unwatermarked: inside 2 sigma of n/2
+    n, g = got[2]["n_scored"], got[2]["n_green"]
+    assert (2 * g - n) ** 2 <= 4 * n
+    assert got[3]["n_scored"] == 0 and got[3]["suspect"] is False
+    # empty text splits to [''] -> 1 token -> unscored
+    assert got[4]["n_scored"] == 0 and got[4]["suspect"] is False
