@@ -3420,6 +3420,16 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_render_chat(spark, sf_dir):
+    """ChatML template rendering (operators/sft.py render_chat):
+    one conv-keyed aggregate collapsing visible turns into the
+    single training string the trainer tokenizes; in-conversation
+    order from array_sort over (turn_idx, ...) structs."""
+    from ci_log_processing_spark.operators.sft import render_chat
+
+    return render_chat(_routed(spark, sf_dir), template="chatml")
+
+
 def q_watermark(spark, sf_dir):
     """Greenlist watermark detection (operators/textstats.py
     watermark_scores): Kirchenbauer-style prev-token-keyed green
@@ -3542,7 +3552,7 @@ _VERIFY_FIRST = (
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
-    #   text_watermark
+    #   text_watermark, cur_render_chat
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3815,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_scene_cuts": q_mm_scene_cuts,
             "sim_kcenter_select": q_kcenter_select,
             "text_watermark": q_watermark,
+            "cur_render_chat": q_render_chat,
         }
     )
 
@@ -4153,6 +4164,7 @@ def oracle_sql() -> dict[str, str]:
             "mm_scene_cuts": od.q_scene_cuts(threshold_milli=4000),
             "sim_kcenter_select": od.q_kcenter_select(k=6),
             "text_watermark": od.q_watermark_scores(z2_thresh=4),
+            "cur_render_chat": oracle.q_render_chat("chatml"),
         }
     )
     return _never_verified_first(sqls)

@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "cur_render_chat",
+        lambda: checksum(
+            entrymod.q_render_chat(spark, sf_dir),
+            ["conv_id", "n_turns", "n_assistant_turns", "text"],
+        ),
+    )
+    bench(
         "text_watermark",
         lambda: checksum(
             entrymod.q_watermark(spark, sf_dir),

@@ -356,3 +356,64 @@ def chat_lint(df: DataFrame) -> DataFrame:
             & (F.col("_last.role") == "assistant")
         ).alias("lint_ok"),
     )
+
+
+def render_chat(routed: DataFrame, template: str = "chatml") -> DataFrame:
+    """Chat-template rendering — the LAST step of an SFT export:
+    collapse each conversation's visible turns into the ONE training
+    string the trainer tokenizes. Two templates:
+      * 'chatml':  <|im_start|>role\\nmessage<|im_end|> per turn,
+        turns joined by newline (the de-facto open-weights markup);
+      * 'plain':   role: message lines (the context_windows format).
+    Dropped turns (drop_queue sink) are excluded BEFORE rendering —
+    the same visibility rule every sft.py operator enforces, so a
+    rendered conversation can never leak preamble/empty rows.
+
+    Scale shape: ONE conv-keyed aggregate riding the pipeline's
+    existing conv_id partitioning; per-turn markup happens inside a
+    per-row transform AFTER collect_list, and the in-conversation
+    ordering comes from array_sort over (turn_idx, ...) structs —
+    order-independent of shuffle arrival, the repo-wide determinism
+    rule for per-group sequences. State per group is the
+    conversation itself (bounded by max turns), never corpus-sized.
+
+    Output: (conv_id, n_turns, n_assistant_turns, text).
+    """
+    templates = {
+        "chatml": lambda x: F.concat(
+            F.lit("<|im_start|>"),
+            x["role"],
+            F.lit("\n"),
+            x["message"],
+            F.lit("<|im_end|>"),
+        ),
+        "plain": lambda x: F.concat_ws(
+            ": ", x["role"], x["message"]
+        ),
+    }
+    if template not in templates:
+        raise ValueError(
+            f"render_chat: unknown template {template!r}; "
+            f"have {sorted(templates)}"
+        )
+    render = templates[template]
+    turns = routed.filter(F.col("sink") != "drop_queue").select(
+        "conv_id", "turn_idx", "role", "message"
+    )
+    agged = turns.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "message"))
+        ).alias("_t")
+    )
+    return agged.select(
+        "conv_id",
+        F.size("_t").cast("long").alias("n_turns"),
+        F.size(
+            F.filter(F.col("_t"), lambda x: x["role"] == "assistant")
+        )
+        .cast("long")
+        .alias("n_assistant_turns"),
+        F.array_join(
+            F.transform(F.col("_t"), render), "\n"
+        ).alias("text"),
+    )

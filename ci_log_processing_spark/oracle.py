@@ -1643,3 +1643,28 @@ SELECT conv_id, turn_idx,
        message AS target
 FROM w WHERE role = 'assistant'
 """
+
+
+def q_render_chat(template: str = "chatml") -> str:
+    """render_chat twin (operators/sft.py): visible turns only, one
+    string_agg ORDER BY turn_idx per conversation with the same
+    per-turn markup."""
+    if template == "chatml":
+        row = ("'<|im_start|>' || role || chr(10) || message"
+               " || '<|im_end|>'")
+    elif template == "plain":
+        row = "role || ': ' || message"
+    else:
+        raise ValueError(f"unknown template {template!r}")
+    return pipeline_cte() + f""",
+visible AS (
+  SELECT conv_id, turn_idx, role, message
+  FROM routed WHERE sink <> 'drop_queue'
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+         AS n_assistant_turns,
+       string_agg({row}, chr(10) ORDER BY turn_idx) AS text
+FROM visible GROUP BY conv_id
+"""

@@ -231,3 +231,33 @@ def test_sft_composition_gates_conversations(spark):
     ex = context_windows(kept).collect()
     assert {r.conv_id for r in ex} == {"G"}
     assert all(r.target.startswith("m") for r in ex)
+
+
+def test_render_chat_templates_and_visibility(spark):
+    from ci_log_processing_spark.operators.sft import render_chat
+
+    rows = [
+        ("c1", 1, "user", "hi", "agent_turns"),
+        ("c1", 3, "assistant", "hello", "agent_turns"),
+        ("c1", 2, "system", "boot noise", "drop_queue"),
+        ("c2", 1, "assistant", "solo", "agent_turns"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "message string, sink string"
+    )
+    got = {r["conv_id"]: r for r in render_chat(df).collect()}
+    # dropped turn excluded; order by turn_idx regardless of input order
+    assert got["c1"]["n_turns"] == 2
+    assert got["c1"]["n_assistant_turns"] == 1
+    assert got["c1"]["text"] == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>"
+    )
+    assert got["c2"]["text"] == "<|im_start|>assistant\nsolo<|im_end|>"
+    plain = {r["conv_id"]: r for r in render_chat(df, "plain").collect()}
+    assert plain["c1"]["text"] == "user: hi\nassistant: hello"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        render_chat(df, "mustache")
