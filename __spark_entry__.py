@@ -3420,6 +3420,19 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_source_keyness(spark, sf_dir):
+    """Per-source distinctive-term chi-square keyness
+    (operators/textstats.py source_keyness): the data-card "what
+    characterizes this slice" audit — one corpus aggregate, then
+    vocab-sized joins and a per-source rank window; chi2 follows
+    the BM25 pinned-double-chain + floor-to-milli rule."""
+    from ci_log_processing_spark.operators.textstats import (
+        source_keyness,
+    )
+
+    return source_keyness(_docs(spark, sf_dir), k=5)
+
+
 def q_render_chat(spark, sf_dir):
     """ChatML template rendering (operators/sft.py render_chat):
     one conv-keyed aggregate collapsing visible turns into the
@@ -3552,7 +3565,7 @@ _VERIFY_FIRST = (
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
-    #   text_watermark, cur_render_chat
+    #   text_watermark, cur_render_chat, text_source_keyness
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3826,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_kcenter_select": q_kcenter_select,
             "text_watermark": q_watermark,
             "cur_render_chat": q_render_chat,
+            "text_source_keyness": q_source_keyness,
         }
     )
 
@@ -4165,6 +4179,7 @@ def oracle_sql() -> dict[str, str]:
             "sim_kcenter_select": od.q_kcenter_select(k=6),
             "text_watermark": od.q_watermark_scores(z2_thresh=4),
             "cur_render_chat": oracle.q_render_chat("chatml"),
+            "text_source_keyness": od.q_source_keyness(k=5),
         }
     )
     return _never_verified_first(sqls)

@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "text_source_keyness",
+        lambda: checksum(
+            entrymod.q_source_keyness(spark, sf_dir),
+            ["source", "term", "n_in", "n_out", "overrep",
+             "chi2_milli", "rank"],
+        ),
+    )
+    bench(
         "cur_render_chat",
         lambda: checksum(
             entrymod.q_render_chat(spark, sf_dir),

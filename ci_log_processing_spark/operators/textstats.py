@@ -1722,3 +1722,94 @@ def watermark_scores(
             )
         ).alias("suspect"),
     )
+
+
+def source_keyness(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 5,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distinctive-term keyness per source — the data-card audit
+    "which terms characterize THIS slice vs the rest of the corpus"
+    (Dunning/Kilgarriff keyness; the per-source face of the
+    collocation lift). For each (source, term) 2x2 contingency
+    table (a = term instances in the source, b = elsewhere,
+    c = other instances in the source, d = elsewhere):
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)*(c+d)*(a+c)*(b+d))
+
+    Determinism contract: chi2 cannot stay in decimal128 at corpus
+    scale ((a*d - b*c)^2 alone can reach ~1e56), so it follows the
+    BM25 rule instead — counts are exact int64 (< 2^53, so exactly
+    double-representable), chi2 is ONE pinned-order chain of
+    correctly-rounded IEEE double ops written identically in both
+    engines, and the result is floored to integer MILLI before the
+    deterministic ranking (chi2_milli DESC, term ASC), so a last-ulp
+    divergence could only ever flip a rank across an exact tie the
+    tie-break already owns. `overrep` (a*d > b*c, exact int64 at
+    min_count'd vocab scale... evaluated in double for the same
+    pinning) distinguishes over- from under-representation, which
+    chi2 alone cannot.
+
+    Scale shape: one explode -> (source, term) partial+final count
+    aggregate (the ONLY corpus-sized work); term totals come from a
+    vocab-sized re-aggregate of THAT table, source totals and the
+    grand total from the same lineage (broadcast back); the final
+    top-k is a rank window partitioned by source over the
+    vocab x sources table. min_count prunes the Zipf tail before
+    the window.
+
+    Output: (source, term, n_in, n_out, overrep, chi2_milli, rank).
+    """
+    if k < 1:
+        raise ValueError(f"source_keyness: k={k} < 1")
+    st = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    from .dedup import _register_persist
+
+    st = _register_persist(st)
+    term_tot = st.groupBy("term").agg(F.sum("a").alias("y_w"))
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("n_s"))
+    grand = st.agg(F.sum("a").alias("N"))
+    full = (
+        st.join(term_tot, "term")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(grand))
+        .filter(F.col("a") >= min_count)
+        .select(
+            "source",
+            "term",
+            F.col("a").alias("n_in"),
+            (F.col("y_w") - F.col("a")).alias("n_out"),
+            F.expr(
+                "cast(a as double) * cast(N - n_s - (y_w - a) as double)"
+                " > cast(y_w - a as double) * cast(n_s - a as double)"
+            ).alias("overrep"),
+            F.expr(
+                "floor(((1000.0 * cast(N as double))"
+                " * (cast(a as double) * cast(N - n_s - (y_w - a) as double)"
+                "    - cast(y_w - a as double) * cast(n_s - a as double))"
+                " * (cast(a as double) * cast(N - n_s - (y_w - a) as double)"
+                "    - cast(y_w - a as double) * cast(n_s - a as double)))"
+                " / (cast(y_w as double) * cast(N - y_w as double)"
+                "    * cast(n_s as double) * cast(N - n_s as double)))"
+            )
+            .cast("long")
+            .alias("chi2_milli"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("chi2_milli"), F.asc("term")
+    )
+    return full.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -4578,3 +4578,47 @@ SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
           > {z2_thresh} * n_scored) AS suspect
 FROM s
 """
+
+
+def q_source_keyness(k: int = 5, min_count: int = 5) -> str:
+    """source_keyness twin (operators/textstats.py): the same
+    (source, term) 2x2 chi-square with the IDENTICAL pinned double
+    chain floored to milli, ranked (chi2_milli DESC, term ASC)."""
+    return f"""
+WITH e AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+st AS (
+  SELECT source, term, count(*) AS a FROM e
+  WHERE term <> '' GROUP BY 1, 2
+),
+tt AS (SELECT term, sum(a) AS y_w FROM st GROUP BY 1),
+srct AS (SELECT source, sum(a) AS n_s FROM st GROUP BY 1),
+g AS (SELECT sum(a) AS N FROM st),
+full_t AS (
+  SELECT st.source, st.term, st.a AS n_in,
+         tt.y_w - st.a AS n_out,
+         CAST(st.a AS DOUBLE) * CAST(g.N - srct.n_s - (tt.y_w - st.a) AS DOUBLE)
+           > CAST(tt.y_w - st.a AS DOUBLE) * CAST(srct.n_s - st.a AS DOUBLE)
+           AS overrep,
+         CAST(floor(((1000.0 * CAST(g.N AS DOUBLE))
+           * (CAST(st.a AS DOUBLE) * CAST(g.N - srct.n_s - (tt.y_w - st.a) AS DOUBLE)
+              - CAST(tt.y_w - st.a AS DOUBLE) * CAST(srct.n_s - st.a AS DOUBLE))
+           * (CAST(st.a AS DOUBLE) * CAST(g.N - srct.n_s - (tt.y_w - st.a) AS DOUBLE)
+              - CAST(tt.y_w - st.a AS DOUBLE) * CAST(srct.n_s - st.a AS DOUBLE)))
+           / (CAST(tt.y_w AS DOUBLE) * CAST(g.N - tt.y_w AS DOUBLE)
+              * CAST(srct.n_s AS DOUBLE) * CAST(g.N - srct.n_s AS DOUBLE)))
+           AS BIGINT) AS chi2_milli
+  FROM st JOIN tt USING (term) JOIN srct USING (source), g
+  WHERE st.a >= {min_count}
+)
+SELECT source, term, CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_out AS BIGINT) AS n_out, overrep, chi2_milli,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY chi2_milli DESC, term) AS rank
+  FROM full_t
+)
+WHERE rank <= {k}
+"""

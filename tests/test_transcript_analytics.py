@@ -420,3 +420,47 @@ def test_watermark_detects_greenlist_text(spark):
     assert got[3]["n_scored"] == 0 and got[3]["suspect"] is False
     # empty text splits to [''] -> 1 token -> unscored
     assert got[4]["n_scored"] == 0 and got[4]["suspect"] is False
+
+
+def test_source_keyness_flags_planted_term(spark):
+    """A term concentrated in one source must rank #1 there with
+    overrep=True, and chi2 must match a scipy-free python 2x2."""
+    rows = []
+    did = 0
+    for i in range(30):
+        rows.append((did, "srcA", "alpha beta gamma " + ("zebra " * 5).strip()))
+        did += 1
+    for i in range(30):
+        rows.append((did, "srcB", "alpha beta gamma delta delta"))
+        did += 1
+    from ci_log_processing_spark.operators.textstats import (
+        source_keyness,
+    )
+    from ci_log_processing_spark.operators.dedup import release_persisted
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = source_keyness(df, k=2, min_count=5).collect()
+    release_persisted()
+    bysrc = {}
+    for r in got:
+        bysrc.setdefault(r["source"], {})[r["rank"]] = r
+    assert bysrc["srcA"][1]["term"] == "zebra"
+    assert bysrc["srcA"][1]["overrep"] is True
+    assert bysrc["srcB"][1]["term"] == "delta"
+    # python reference chi2 for zebra in srcA
+    a = 150           # zebra in srcA (30 docs * 5)
+    y_w, n_s = 150, 30 * 8
+    N = 30 * 8 + 30 * 5
+    b, c = y_w - a, n_s - a
+    d = N - n_s - b
+    t = a * d - b * c
+    chi2 = (1000.0 * N) * t * t / (
+        float(y_w) * (N - y_w) * n_s * (N - n_s)
+    )
+    import math
+
+    assert bysrc["srcA"][1]["chi2_milli"] == math.floor(chi2)
+    # under-represented terms carry overrep=False ('delta' in srcA
+    # never reaches min_count there, so check srcB's view of zebra
+    # is absent — zebra has 0 instances in srcB, below min_count)
+    assert all(r["term"] != "zebra" for r in got if r["source"] == "srcB")
