@@ -670,6 +670,86 @@ def main():
                 .collect(),
                 warmup=True,
             )
+        # round-4f tier: symspell delete-neighborhood linkage
+        # (explode + hashed equi-join), watermark z-test (zero-shuffle
+        # per-row fold), chi-square keyness (one corpus agg + vocab
+        # joins + rank window), isotonic reliability (NB train + bin
+        # agg + B^3 lattice on <= 8 rows) — requested via ops_csv
+        R4F_OPS = {"symspell", "watermark", "keyness", "reliability"}
+        if only is not None and only & R4F_OPS:
+            from ci_log_processing_spark.operators import (
+                dedup as _dedup4f,
+            )
+            from ci_log_processing_spark.operators.calibrate import (
+                reliability_isotonic,
+            )
+            from ci_log_processing_spark.operators.linkage import (
+                symspell_pairs,
+            )
+            from ci_log_processing_spark.operators.textstats import (
+                nb_quality_classifier,
+                source_keyness,
+                watermark_scores,
+            )
+
+            def _sym():
+                r = (
+                    symspell_pairs(corpus, max_dist=1)
+                    .select(
+                        F.bit_xor(F.xxhash64("doc_a", "doc_b", "dist"))
+                    )
+                    .collect()
+                )
+                _dedup4f.release_persisted()
+                return r
+
+            t("symspell", _sym, warmup=True)
+            t(
+                "watermark",
+                lambda: watermark_scores(corpus)
+                .select(
+                    F.bit_xor(
+                        F.xxhash64("doc_id", "n_green", "suspect")
+                    )
+                )
+                .collect(),
+                warmup=True,
+            )
+
+            def _key():
+                r = (
+                    source_keyness(corpus, k=5)
+                    .select(
+                        F.bit_xor(
+                            F.xxhash64("source", "term", "chi2_milli")
+                        )
+                    )
+                    .collect()
+                )
+                _dedup4f.release_persisted()
+                return r
+
+            t("keyness", _key, warmup=True)
+
+            def _rel():
+                lab = corpus.withColumn(
+                    "label", (F.col("doc_id") % 7 < 3).cast("int")
+                )
+                r = (
+                    reliability_isotonic(
+                        nb_quality_classifier(lab), n_bins=8
+                    )
+                    .select(
+                        F.bit_xor(
+                            F.xxhash64("bin", "n", "pos", "iso_micro")
+                        )
+                    )
+                    .collect()
+                )
+                _dedup4f.release_persisted()
+                return r
+
+            t("reliability", _rel, warmup=True)
         # shuffle/iteration tier: materializing `pairs` IS the LSH
         # timing; components then consumes the persisted pairs so its
         # number isolates edge-symmetrization + propagation rounds
