@@ -3420,6 +3420,34 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_agg_cube(spark, sf_dir):
+    """Full CUBE over (sink, severity, hour)
+    (operators/aggregate.py cube_hourly): all 2^3 grouping sets in
+    one pass, grouping_id disambiguating subtotal NULLs — the
+    slice-any-way companion to pipe_agg_rollup."""
+    from ci_log_processing_spark.operators.aggregate import cube_hourly
+
+    return cube_hourly(_routed(spark, sf_dir))
+
+
+def q_salted_join(spark, sf_dir):
+    """Hot-key salted join (operators/skew.py salted_join): the
+    deterministic-plan skew scatter — fact salt from row-content
+    h32, dim replicated n_salts ways, join on (key, salt). The gate
+    proves row equality with the plain join (the oracle IS the
+    unsalted join); the plan difference is asserted in
+    tests/test_plan_shape.py."""
+    from ci_log_processing_spark.operators.skew import salted_join
+
+    routed = _routed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "sink"
+    )
+    dim = routed.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_conv_turns")
+    )
+    return salted_join(routed, dim, "conv_id", n_salts=8)
+
+
 def q_source_keyness(spark, sf_dir):
     """Per-source distinctive-term chi-square keyness
     (operators/textstats.py source_keyness): the data-card "what
@@ -3565,7 +3593,8 @@ _VERIFY_FIRST = (
     #   stream_index_maintenance, mm_ahash_pairs, text_phrase_merge,
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
-    #   text_watermark, cur_render_chat, text_source_keyness
+    #   text_watermark, cur_render_chat, text_source_keyness,
+    #   pipe_agg_cube, op_salted_join
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3840,6 +3869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_watermark": q_watermark,
             "cur_render_chat": q_render_chat,
             "text_source_keyness": q_source_keyness,
+            "pipe_agg_cube": q_agg_cube,
+            "op_salted_join": q_salted_join,
         }
     )
 
@@ -4180,6 +4211,8 @@ def oracle_sql() -> dict[str, str]:
             "text_watermark": od.q_watermark_scores(z2_thresh=4),
             "cur_render_chat": oracle.q_render_chat("chatml"),
             "text_source_keyness": od.q_source_keyness(k=5),
+            "pipe_agg_cube": oracle.q_agg_cube(),
+            "op_salted_join": oracle.q_salted_join(),
         }
     )
     return _never_verified_first(sqls)

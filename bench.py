@@ -685,6 +685,20 @@ def main():
         ),
     )
     bench(
+        "pipe_agg_cube",
+        lambda: checksum(
+            entrymod.q_agg_cube(spark, sf_dir),
+            ["sink", "severity", "window_start", "cnt", "grain"],
+        ),
+    )
+    bench(
+        "op_salted_join",
+        lambda: checksum(
+            entrymod.q_salted_join(spark, sf_dir),
+            ["conv_id", "turn_idx", "sink", "n_conv_turns"],
+        ),
+    )
+    bench(
         "text_source_keyness",
         lambda: checksum(
             entrymod.q_source_keyness(spark, sf_dir),

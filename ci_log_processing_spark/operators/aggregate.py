@@ -1348,3 +1348,21 @@ def volume_trend(
             " div (n_days * _sxx - _sx * _sx)"
         )).alias("slope_milli"),
     )
+
+
+def cube_hourly(df: DataFrame, ts_col: str = "filled_ts") -> DataFrame:
+    """CUBE companion to rollup_hourly: ALL 2^3 grouping-set
+    combinations of (sink, severity, hour) in one aggregate — the
+    slice-any-way dashboard cube, where ROLLUP only descends the
+    hierarchy. Same Catalyst property that makes rollup scale-safe:
+    the expansion happens BEFORE the partial aggregate, so map-side
+    combine applies at every grain and the shuffle carries
+    (distinct groups) x (grains), never rows x grains. grain =
+    grouping_id() disambiguates subtotal NULLs (bit i = column i
+    rolled up), matching DuckDB's bit order for the twin.
+    """
+    return df.cube(
+        "sink",
+        "severity",
+        F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("grain"))

@@ -87,3 +87,64 @@ def key_skew_audit(
             F.row_number().over(w).alias("rank"),
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key JOIN salting for when the dim side is too large to
+    broadcast and the fact side's key distribution is skewed: a
+    plain shuffle join sends every row of the hottest key to ONE
+    reducer; salting splits that key across `n_salts` reducers.
+
+    Mechanics (the classic replicate-and-scatter):
+      * the FACT side gets salt = pmod(xxhash64(monotonic row id),
+        n_salts)? No — row ids are nondeterministic under retries.
+        The salt must be a pure function of row CONTENT, so it is
+        pmod(h32(every fact column concatenated), n_salts): stable
+        across retries/replays, uniform enough to split a hot key;
+      * the DIM side is replicated n_salts times (explode over the
+        salt range) — dim rows are duplicated, fact rows are not,
+        so the join result is EXACTLY the unsalted join's;
+      * the join runs on (key, salt) — the hot key now hashes to
+        n_salts distinct reducers.
+
+    Cost model: n_salts x dim shuffle bytes buys fact-side
+    parallelism on the hot key — worth it iff the dim is much
+    smaller than the fact's hot-key mass (else use AQE skew-join,
+    which splits ONLY the oversized partitions at runtime; this
+    operator is the deterministic-plan alternative when AQE's
+    runtime stats are unavailable, e.g. under a fixed plan cache).
+    Only inner/left joins are salt-safe with this scatter (a right/
+    full join would multiply unmatched dim rows); guarded below.
+
+    Output: the joined frame, salt column dropped — bit-identical
+    rows to fact.join(dim, key, how), which is what the oracle gate
+    checks (the plan difference is the point, asserted in
+    tests/test_plan_shape.py).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe "
+            "(dim replication would multiply unmatched rows)"
+        )
+    if n_salts < 1:
+        raise ValueError(f"salted_join: n_salts={n_salts} < 1")
+    from .dedup import h32
+
+    fact_cols = [c for c in fact.columns]
+    salt = F.pmod(
+        h32(F.concat_ws("\x01", *[F.col(c).cast("string")
+                                  for c in fact_cols])),
+        F.lit(n_salts),
+    ).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")

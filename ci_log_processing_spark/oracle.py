@@ -1668,3 +1668,28 @@ SELECT conv_id,
        string_agg({row}, chr(10) ORDER BY turn_idx) AS text
 FROM visible GROUP BY conv_id
 """
+
+
+def q_agg_cube() -> str:
+    """cube_hourly twin — DuckDB's own GROUP BY CUBE + GROUPING_ID
+    (same bit order as the rollup twin)."""
+    h = "date_trunc('hour', filled_ts)"
+    return pipeline_cte() + (
+        f"SELECT sink, severity, {h} AS window_start, "
+        "count(*) AS cnt, "
+        f"GROUPING_ID(sink, severity, {h}) AS grain "
+        f"FROM routed GROUP BY CUBE(sink, severity, {h})"
+    )
+
+
+def q_salted_join() -> str:
+    """salted_join twin: the PLAIN unsalted join — salting must be
+    row-invisible, so the oracle is deliberately the join the
+    operator claims to equal."""
+    return pipeline_cte() + """,
+fact AS (SELECT conv_id, turn_idx, sink FROM routed),
+dim AS (SELECT conv_id, count(*)::BIGINT AS n_conv_turns
+        FROM fact GROUP BY 1)
+SELECT f.conv_id, f.turn_idx, f.sink, d.n_conv_turns
+FROM fact f JOIN dim d USING (conv_id)
+"""

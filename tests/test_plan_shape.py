@@ -561,3 +561,78 @@ def test_count_cosine_no_cartesian_tf_reused(spark, tmp_path):
     release_persisted()
     assert "CartesianProduct" not in plan, plan
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_salted_join_scatters_without_broadcast(spark, tmp_path):
+    """salted_join must (a) return exactly the unsalted join's rows,
+    (b) put the salt in the join keys, and (c) stay a shuffle join
+    when broadcast is disabled — splitting the hot key over n_salts
+    reducers is its whole reason to exist."""
+    from ci_log_processing_spark.operators.skew import salted_join
+    import pytest as _pt
+
+    p = str(tmp_path / "fact")
+    # skewed fact: one hot key with 500 rows, 20 cold keys
+    rows = [("hot", i, "s") for i in range(500)]
+    rows += [(f"k{j}", i, "s") for j in range(20) for i in range(5)]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, sink string"
+    ).write.parquet(p)
+    fact = spark.read.parquet(p)
+    dim = fact.groupBy("conv_id").count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = salted_join(fact, dim, "conv_id", n_salts=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "_salt" in plan, plan
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["count"])
+            for r in out.collect()
+        )
+        want = sorted(
+            (r["conv_id"], r["turn_idx"], r["count"])
+            for r in fact.join(dim, "conv_id").collect()
+        )
+        assert got == want
+        # the hot key's fact rows spread across >1 salt
+        n_salt_vals = (
+            salted_join(fact, dim, "conv_id", n_salts=8)
+            .filter("conv_id = 'hot'")
+            .count()
+        )
+        assert n_salt_vals == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    with _pt.raises(ValueError):
+        salted_join(fact, dim, "conv_id", how="full")
+    with _pt.raises(ValueError):
+        salted_join(fact, dim, "conv_id", n_salts=0)
+
+
+def test_cube_expands_before_partial_aggregate(spark, tmp_path):
+    """cube_hourly: the Expand node must sit BELOW the first
+    HashAggregate (map-side combine applies to every grain) and the
+    grain count is complete (2^3 grouping sets)."""
+    import datetime as dt
+
+    from ci_log_processing_spark.operators.aggregate import cube_hourly
+
+    p = str(tmp_path / "routed_cube")
+    rows = [
+        ("c1", "errors", "ERROR", dt.datetime(2024, 3, 1, 10 + (i % 3)))
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "conv_id string, sink string, severity string, "
+              "filled_ts timestamp"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = cube_hourly(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    # partial+final agg pair around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    grains = {r["grain"] for r in out.collect()}
+    assert grains == set(range(8))
