@@ -3420,6 +3420,17 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_ewma_alerts(spark, sf_dir):
+    """EWMA control chart on hourly sink volumes
+    (operators/aggregate.py ewma_alerts): geometric alpha=1/2
+    smoothing in exact int64 (2^(i-1) weights over the lag frame,
+    renormalized by 2^m - 1), doubled-baseline alert — the fourth
+    anomaly detector next to z, MAD, and CUSUM."""
+    from ci_log_processing_spark.operators.aggregate import ewma_alerts
+
+    return ewma_alerts(_routed(spark, sf_dir))
+
+
 def q_agg_cube(spark, sf_dir):
     """Full CUBE over (sink, severity, hour)
     (operators/aggregate.py cube_hourly): all 2^3 grouping sets in
@@ -3594,7 +3605,7 @@ _VERIFY_FIRST = (
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
     #   text_watermark, cur_render_chat, text_source_keyness,
-    #   pipe_agg_cube, op_salted_join
+    #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3871,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_source_keyness": q_source_keyness,
             "pipe_agg_cube": q_agg_cube,
             "op_salted_join": q_salted_join,
+            "pipe_ewma_alerts": q_ewma_alerts,
         }
     )
 
@@ -4213,6 +4225,7 @@ def oracle_sql() -> dict[str, str]:
             "text_source_keyness": od.q_source_keyness(k=5),
             "pipe_agg_cube": oracle.q_agg_cube(),
             "op_salted_join": oracle.q_salted_join(),
+            "pipe_ewma_alerts": oracle.q_ewma_alerts(window=16, slack=5),
         }
     )
     return _never_verified_first(sqls)

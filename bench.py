@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "pipe_ewma_alerts",
+        lambda: checksum(
+            entrymod.q_ewma_alerts(spark, sf_dir),
+            ["sink", "window_start", "cnt", "ewma_milli", "alert"],
+        ),
+    )
+    bench(
         "pipe_agg_cube",
         lambda: checksum(
             entrymod.q_agg_cube(spark, sf_dir),

@@ -1366,3 +1366,85 @@ def cube_hourly(df: DataFrame, ts_col: str = "filled_ts") -> DataFrame:
         "severity",
         F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
     ).agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("grain"))
+
+
+def ewma_alerts(
+    df: DataFrame,
+    group_col: str = "sink",
+    ts_col: str = "filled_ts",
+    window: int = 16,
+    slack: int = 5,
+) -> DataFrame:
+    """EWMA control chart over hourly volumes — the fourth classic
+    of the anomaly family next to the two-sigma z (error_spike), MAD
+    (error_spike_mad) and CUSUM (cusum_drift): smooth the recent
+    series with exponentially decaying weights and alert when the
+    current hour breaks away from the smoothed baseline. EWMA reacts
+    faster than MAD/z (which weight all history equally) and, unlike
+    CUSUM, needs no target mean.
+
+    Integer-exact formulation (alpha = 1/2): the truncated EWMA over
+    the last m <= `window` OBSERVED hours (row lags, not calendar
+    lags — gaps in the series are documented semantics, matching the
+    other three detectors) with weights 2^(i-1) for the i-th oldest
+    lag, renormalized over the available mass:
+
+        ewma_milli = (1000 * sum_i lag_i * 2^(i-1)) div (2^m - 1)
+
+    (geometric halving: the newest lag carries ~half the mass). The
+    alert is a pure int64 predicate — 1000*cnt > 2*ewma_milli +
+    1000*slack — i.e. the hour more than DOUBLES the smoothed
+    baseline with an absolute floor of `slack` to mute cold groups.
+    First observed hour per group has no lags: ewma NULL, no alert.
+
+    Scale shape: one partial+final count aggregate (hours x groups
+    shuffled, never rows), then one group-keyed window whose frame
+    holds <= `window` int64s — bounded state per row, the same
+    bounded-frame argument as context_windows.
+    """
+    from pyspark.sql.window import Window
+
+    if window < 1:
+        raise ValueError(f"ewma_alerts: window={window} < 1")
+    hourly = df.groupBy(
+        group_col,
+        F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("window_start")
+        .rowsBetween(-window, -1)
+    )
+    lags = F.collect_list("cnt").over(w)
+    # Horner fold over the reversed frame: acc*2 + x walked from the
+    # newest lag down gives sum_i lag_i * 2^(i-1) with the newest
+    # carrying weight 2^(m-1) — no per-element shift expression
+    weighted = F.aggregate(
+        F.reverse(lags),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    out = hourly.select(
+        group_col,
+        "window_start",
+        "cnt",
+        F.size(lags).alias("_m"),
+        weighted.alias("_ws"),
+    )
+    ewma = F.when(
+        F.col("_m") > 0,
+        F.expr("(1000 * _ws) div (shiftleft(1L, _m) - 1)"),
+    ).cast("long")
+    return out.select(
+        group_col,
+        "window_start",
+        "cnt",
+        ewma.alias("ewma_milli"),
+        (
+            (F.col("_m") > 0)
+            & (
+                1000 * F.col("cnt")
+                > 2 * ewma + F.lit(1000 * slack)
+            )
+        ).alias("alert"),
+    )

@@ -1693,3 +1693,38 @@ dim AS (SELECT conv_id, count(*)::BIGINT AS n_conv_turns
 SELECT f.conv_id, f.turn_idx, f.sink, d.n_conv_turns
 FROM fact f JOIN dim d USING (conv_id)
 """
+
+
+def q_ewma_alerts(window: int = 16, slack: int = 5) -> str:
+    """ewma_alerts twin (operators/aggregate.py): hourly counts, the
+    same <= window-lag list frame, geometric 2^(i-1) weights
+    renormalized by (2^m - 1), and the doubled-baseline-plus-slack
+    int64 alert."""
+    return pipeline_cte() + f""",
+hourly AS (
+  SELECT sink, date_trunc('hour', filled_ts) AS window_start,
+         count(*) AS cnt
+  FROM routed GROUP BY 1, 2
+),
+lagged AS (
+  SELECT sink, window_start, cnt,
+         list(cnt) OVER (PARTITION BY sink ORDER BY window_start
+           ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING) AS lags
+  FROM hourly
+),
+sm AS (
+  SELECT sink, window_start, cnt,
+         CASE WHEN len(lags) > 0 THEN
+           (1000 * list_sum(list_transform(range(1, len(lags) + 1),
+              i -> lags[i] * (1::BIGINT << (i - 1)))))
+             // ((1::BIGINT << len(lags)) - 1)
+         END AS ewma_milli
+  FROM lagged
+)
+SELECT sink, window_start, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ewma_milli AS BIGINT) AS ewma_milli,
+       coalesce(ewma_milli IS NOT NULL AND
+                1000 * cnt > 2 * ewma_milli + {1000 * slack}, false)
+         AS alert
+FROM sm
+"""

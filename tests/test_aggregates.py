@@ -487,3 +487,36 @@ def test_nb_quality_classifier_hand_computed(spark):
     assert [out[i]["predicted"] for i in range(1, 7)] == [
         1, 1, 0, 0, 1, 0,
     ]
+
+
+def test_ewma_alerts_reference_and_spike(spark):
+    """EWMA vs a pure-python truncated-geometric reference; a 10x
+    spike after a flat baseline must alert, the flat tail must not,
+    and the first hour has NULL ewma and no alert."""
+    import datetime as dt
+
+    from ci_log_processing_spark.operators.aggregate import ewma_alerts
+
+    rows = []
+    # 6 flat hours of 10 events, then a 100-event spike at hour 7
+    for h, n in enumerate([10, 10, 10, 10, 10, 10, 100]):
+        for i in range(n):
+            rows.append(("errors", dt.datetime(2024, 3, 1, h)))
+    df = spark.createDataFrame(rows, "sink string, filled_ts timestamp")
+    got = {
+        r["window_start"].hour: r
+        for r in ewma_alerts(df, window=16, slack=5).collect()
+    }
+    assert got[0]["ewma_milli"] is None and got[0]["alert"] is False
+    # python reference
+    series = [10, 10, 10, 10, 10, 10, 100]
+    for t in range(1, 7):
+        lags = series[max(0, t - 16):t]
+        m = len(lags)
+        ws = sum(x * (1 << (i)) for i, x in enumerate(lags))
+        want = (1000 * ws) // ((1 << m) - 1)
+        assert got[t]["ewma_milli"] == want
+        want_alert = 1000 * series[t] > 2 * want + 5000
+        assert got[t]["alert"] is want_alert
+    assert got[6]["alert"] is True
+    assert not any(got[t]["alert"] for t in range(6))
