@@ -3420,6 +3420,24 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     )
 
 
+def q_cluster_cards(spark, sf_dir):
+    """Duplicate-cluster audit cards (operators/dedup.py
+    cluster_cards): per multi-doc cluster — size, keeper, exact byte
+    savings of the apply step; one component-keyed aggregate over
+    the components output."""
+    from ci_log_processing_spark.operators.dedup import (
+        cluster_cards,
+        dedup_pair_edges,
+        duplicate_components,
+    )
+    from ci_log_processing_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir)
+    pairs = dedup_pair_edges(corpus, spark, threshold=0.6)
+    comp = duplicate_components(pairs, corpus.select("doc_id"))
+    return cluster_cards(comp, corpus)
+
+
 def q_ewma_alerts(spark, sf_dir):
     """EWMA control chart on hourly sink volumes
     (operators/aggregate.py ewma_alerts): geometric alpha=1/2
@@ -3605,7 +3623,8 @@ _VERIFY_FIRST = (
     #   cur_sft_examples, ret_rrf_fusion, dedup_symspell_pairs,
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
     #   text_watermark, cur_render_chat, text_source_keyness,
-    #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts
+    #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
+    #   dedup_cluster_cards
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3883,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_agg_cube": q_agg_cube,
             "op_salted_join": q_salted_join,
             "pipe_ewma_alerts": q_ewma_alerts,
+            "dedup_cluster_cards": q_cluster_cards,
         }
     )
 
@@ -4226,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
             "pipe_agg_cube": oracle.q_agg_cube(),
             "op_salted_join": oracle.q_salted_join(),
             "pipe_ewma_alerts": oracle.q_ewma_alerts(window=16, slack=5),
+            "dedup_cluster_cards": od.q_cluster_cards(threshold=0.6),
         }
     )
     return _never_verified_first(sqls)

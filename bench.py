@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "dedup_cluster_cards",
+        lambda: checksum(
+            entrymod.q_cluster_cards(spark, sf_dir),
+            ["component", "size", "keeper", "total_chars",
+             "keeper_chars", "saved_chars"],
+        ),
+    )
+    bench(
         "pipe_ewma_alerts",
         lambda: checksum(
             entrymod.q_ewma_alerts(spark, sf_dir),

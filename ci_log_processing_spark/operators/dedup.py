@@ -1889,3 +1889,56 @@ def count_cosine_pairs(
         .filter(lhs >= rhs)
         .select("doc_a", "doc_b", "dot", "norm_a2", "norm_b2")
     )
+
+
+def cluster_cards(comp: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Duplicate-cluster audit cards — the explainability report a
+    dedup decision ships with: one row per multi-document cluster
+    carrying its size, the keeper, and the exact byte savings the
+    apply step realizes (total_chars - keeper_chars). Rolling the
+    `saved_chars` column up gives the corpus-level "dedup reclaimed
+    N bytes" number data cards quote; reading individual rows
+    answers "why did doc X disappear" (its component and keeper).
+
+    Input: `comp` as produced by duplicate_components /
+    duplicate_components_star (doc_id, component, is_keeper) and the
+    corpus it was computed over. Singleton clusters are excluded —
+    a card per unique document would make the report corpus-sized
+    for no information (saved_chars would be 0 by construction).
+
+    Scale shape: one broadcast-free equi-join on doc_id (both sides
+    already keyed by it) + one component-keyed partial+final
+    aggregate; output is bounded by the number of duplicate
+    CLUSTERS, which the apply step already materializes. Nothing
+    new is corpus-sized.
+    """
+    j = comp.join(
+        corpus.select(
+            "doc_id", F.length("text").cast("long").alias("_chars")
+        ),
+        "doc_id",
+    )
+    return (
+        j.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min(
+                F.when(F.col("is_keeper"), F.col("doc_id"))
+            ).alias("keeper"),
+            F.sum("_chars").alias("total_chars"),
+            F.min(
+                F.when(F.col("is_keeper"), F.col("_chars"))
+            ).alias("keeper_chars"),
+        )
+        .filter(F.col("size") >= 2)
+        .select(
+            "component",
+            "size",
+            "keeper",
+            "total_chars",
+            "keeper_chars",
+            (F.col("total_chars") - F.col("keeper_chars")).alias(
+                "saved_chars"
+            ),
+        )
+    )

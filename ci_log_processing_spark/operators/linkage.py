@@ -34,12 +34,13 @@ Scale shape (the 100 TB audit):
   capped at `key_len`, so fan-out is <= key_len + 1 rows per doc at
   d=1 (<= ~key_len^2/2 at d=2, documented below), independent of
   document size;
-- the join key is the 64-bit md5 prefix of the variant, NOT the
+- the join key is the 64-bit xxhash64 of the variant, NOT the
   variant string — the candidate shuffle moves (hash, doc_id) pairs
   only; hash collisions merely create extra candidates that the
   exact verify discards;
-- candidate generation is a bucket equi-join on that hash — cost
-  tracks fuzzy-duplicate density, never |docs|^2; `bucket_cap`
+- candidate generation is one hash-aggregate on that hash (collect
+  per bucket, expand i < j pairs in-bucket — no self-join, no sort)
+  — cost tracks fuzzy-duplicate density, never |docs|^2; `bucket_cap`
   applies the same deterministic sub-bucket split as
   minhash_lsh_pairs / simhash_pairs for corpora where one key
   dominates (boilerplate titles), with the same documented recall
@@ -54,24 +55,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import _register_persist
-
 
 def canonical_key(text_col: Column, key_len: int = 24) -> Column:
     """Short canonical linkage key: lowercase, alnum+space only,
     single-spaced, first `key_len` chars. Pure Catalyst; the DuckDB
-    twin runs the identical regex chain (RE2-portable patterns)."""
-    t = F.lower(text_col)
+    twin runs the identical chain (RE2-portable patterns).
+
+    The raw text is cut to 4*key_len chars BEFORE the regex chain:
+    the key is a head-of-document identity (title/lead), and the
+    regex replace is the operator's entire corpus-scale cost —
+    measured 48 s of a 62 s end-to-end run at 1M x ~700-char docs
+    when it scanned full texts (BASELINE.md round-4f), i.e. O(doc)
+    per row for a key that needs O(key_len). The 4x slack absorbs
+    junk characters the canonicalization deletes; a head with > 75%
+    junk yields a shorter key (documented semantics, mirrored
+    bit-for-bit by the oracle twin and test reference)."""
+    t = F.lower(F.substring(text_col, 1, 4 * key_len))
     t = F.regexp_replace(t, "[^a-z0-9 ]", "")
     t = F.regexp_replace(t, "  +", " ")
     return F.substring(F.trim(t), 1, key_len)
 
 
-def _delete_variants(key: Column, max_dist: int) -> Column:
+def _delete_variants(key: Column, max_dist: int, key_len: int = 24) -> Column:
     """All strings reachable by deleting <= max_dist characters,
-    including the key itself — as one per-row array expression."""
-    def deletes1(s: Column) -> Column:
-        # delete position i (1-based): prefix [1, i-1] + suffix [i+1, end]
+    including the key itself — as one per-row array expression.
+
+    d=1 is UNROLLED into key_len static concat(substring, substring)
+    expressions instead of a transform() lambda: higher-order
+    functions run INTERPRETED in Spark (no codegen), and the
+    interpreted string slicing was measured at ~65% of the whole
+    operator's wall at 1M docs (45 s of 70 s at local[32]; see
+    BASELINE.md round-4f). Positions past the key's actual length
+    reproduce the key itself; array_distinct (codegen) drops them.
+    """
+    def deletes1_unrolled(s: Column) -> list[Column]:
+        return [
+            F.concat(
+                F.substring(s, 1, i - 1), F.substring(s, i + 1, key_len)
+            )
+            for i in range(1, key_len + 1)
+        ]
+
+    d1 = F.array_distinct(F.array(key, *deletes1_unrolled(key)))
+    if max_dist == 1:
+        return d1
+    # d=2: deletes of every d<=1 variant via a transform lambda —
+    # the unrolled form would need key_len^2 static exprs. Fan-out is
+    # O(key_len^2 / 2) rows per doc and the lambda is interpreted;
+    # opt in only where recall at distance 2 pays the ~12x.
+    def deletes1_lambda(s: Column) -> Column:
         return F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
             lambda i: F.concat(
@@ -80,14 +112,12 @@ def _delete_variants(key: Column, max_dist: int) -> Column:
             ),
         )
 
-    d1 = F.array_union(F.array(key), deletes1(key))
-    if max_dist == 1:
-        return d1
-    # d=2: deletes of every d<=1 variant, flattened + distinct.
-    # fan-out is O(key_len^2 / 2) rows per doc — still bounded by the
-    # key cap, but ~12x d=1; opt in where recall at distance 2 pays.
     return F.array_distinct(
-        F.flatten(F.transform(d1, lambda v: F.array_union(F.array(v), deletes1(v))))
+        F.flatten(
+            F.transform(
+                d1, lambda v: F.array_union(F.array(v), deletes1_lambda(v))
+            )
+        )
     )
 
 
@@ -125,17 +155,36 @@ def symspell_pairs(
     variants = keys.select(
         "doc_id",
         "key",
-        F.explode(_delete_variants(F.col("key"), max_dist)).alias("variant"),
+        F.explode(
+            _delete_variants(F.col("key"), max_dist, key_len)
+        ).alias("variant"),
     ).select(
         "doc_id",
         "key",
-        # 64-bit join key: the shuffle moves a long, not the string
-        F.conv(F.substring(F.md5(F.col("variant")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("vh"),
-    ).dropDuplicates(["doc_id", "vh"])
-    variants = _register_persist(variants)
-    join_keys = [F.col("a.vh") == F.col("b.vh")]
+        # 64-bit join key: the shuffle moves a long, not the string.
+        # xxhash64, NOT the repo's md5 parity hash — this hash is
+        # INTERNAL blocking only (the oracle is brute-force, so no
+        # twin ever recomputes it) and xxhash64 is native codegen,
+        # ~an order of magnitude cheaper than md5->conv here. No
+        # per-doc dedup pass is needed — _delete_variants returns a
+        # DISTINCT array, so within a doc only a hash collision
+        # could repeat a vh, and a repeated candidate is erased by
+        # the final distinct(); a dropDuplicates here would cost a
+        # full extra exchange of the variant table for nothing.
+        F.xxhash64(F.col("variant")).alias("vh"),
+    )
+    # Pair generation is a BUCKET AGGREGATE, not a self-join: one
+    # hash exchange on vh + collect_list per bucket, pairs emitted
+    # by an in-bucket (i < j) expansion. Measured 1.7x faster than
+    # the SortMergeJoin formulation at 1M docs (20 s vs 34 s at
+    # local[32], BASELINE.md round-4f): no double sort of the 25M-row
+    # variant table, and no persist (the aggregate is the single
+    # consumer). The pair-expansion transform() IS an interpreted
+    # HOF, but it runs only on buckets holding >= 2 docs — duplicate
+    # density, not corpus size. sort_array orders each bucket by
+    # doc_id, so i < j gives doc_a < doc_b; the strict filter also
+    # drops the (rare, hash-collision) self-pair.
+    group_keys = ["vh"]
     if bucket_cap is not None:
         wn = Window.partitionBy("vh")
         nsub = F.ceil(
@@ -152,18 +201,32 @@ def symspell_pairs(
                 nsub,
             ),
         )
-        join_keys.append(F.col("a.sub") == F.col("b.sub"))
-    a = variants.alias("a")
-    b = variants.alias("b")
-    cond = join_keys[0]
-    for jk in join_keys[1:]:
-        cond = cond & jk
+        group_keys.append("sub")
+    buckets = (
+        variants.groupBy(*group_keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "key"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                "y -> struct(x.doc_id AS da, y.doc_id AS db, "
+                "x.key AS ka, y.key AS kb))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, cond & (F.col("a.doc_id") < F.col("b.doc_id")))
+        pairs.filter(F.col("p.da") < F.col("p.db"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.key"), F.col("b.key")).alias("dist"),
+            F.col("p.da").alias("doc_a"),
+            F.col("p.db").alias("doc_b"),
+            F.levenshtein(F.col("p.ka"), F.col("p.kb")).alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
         .distinct()

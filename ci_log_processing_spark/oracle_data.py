@@ -4414,7 +4414,8 @@ def q_symspell_pairs(max_dist: int = 1, key_len: int = 24) -> str:
     return f"""
 WITH k AS (
   SELECT doc_id,
-         substr(trim(regexp_replace(regexp_replace(lower(text),
+         substr(trim(regexp_replace(regexp_replace(
+                lower(substr(text, 1, 4 * {key_len})),
                 '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')),
                 1, {key_len}) AS key
   FROM documents
@@ -4621,4 +4622,27 @@ FROM (
   FROM full_t
 )
 WHERE rank <= {k}
+"""
+
+
+def q_cluster_cards(threshold: float = 0.6) -> str:
+    """cluster_cards twin (operators/dedup.py): the components
+    oracle wrapped as a CTE, joined back to the corpus text lengths,
+    one GROUP BY component with the size >= 2 card filter."""
+    return f"""
+WITH comp AS ({q_dedup_components(threshold)}),
+corpus AS ({CORPUS_SQL}),
+j AS (
+  SELECT c.doc_id, c.component, c.is_keeper,
+         length(corpus.text) AS chars
+  FROM comp c JOIN corpus USING (doc_id)
+)
+SELECT component, count(*)::BIGINT AS size,
+       min(CASE WHEN is_keeper THEN doc_id END) AS keeper,
+       sum(chars)::BIGINT AS total_chars,
+       CAST(min(CASE WHEN is_keeper THEN chars END) AS BIGINT)
+         AS keeper_chars,
+       (sum(chars) - min(CASE WHEN is_keeper THEN chars END))::BIGINT
+         AS saved_chars
+FROM j GROUP BY component HAVING count(*) >= 2
 """

@@ -24,6 +24,7 @@ from __future__ import annotations
 import abc
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableSink(abc.ABC):
@@ -209,4 +210,44 @@ class BucketedTableSink(TableSink):
             .bucketBy(self.n_buckets, self.bucket_col)
             .sortBy(self.bucket_col)
             .saveAsTable(self.table)
+        )
+
+
+class JsonlShardSink(TableSink):
+    """Training-data export in the trainer interchange format: one
+    .jsonl file per shard (a JSON object per line), rows inside each
+    shard in epoch order — what every dataloader outside the Spark
+    world (torch IterableDataset, HF datasets streaming) actually
+    reads. The parquet TrainingShardSink keeps the lakehouse copy;
+    this sink is the hand-off artifact.
+
+    Mechanics: serialize each row once with to_json(struct(*)) on
+    the JVM side (never Python), prefix the shard as a hive
+    directory via partitionBy on the TEXT datasource, repartition
+    on the shard column and sortWithinPartitions(order) — the exact
+    TrainingShardSink plan, so the scale argument carries over
+    verbatim: one exchange, one task per shard, no small files, no
+    driver loop. JSON field order is the struct order (stable);
+    line order inside a shard is the epoch order.
+    """
+
+    def __init__(self, path: str, order_col: str = "global_idx"):
+        self.path = path
+        self.order_col = order_col
+
+    def ensure(self, spark: SparkSession) -> None:
+        return None  # directory sinks materialize on first write
+
+    def append(self, df: DataFrame) -> None:
+        payload = [c for c in df.columns if c != "shard"]
+        (
+            df.repartition("shard")
+            .sortWithinPartitions("shard", self.order_col)
+            .select(
+                "shard",
+                F.to_json(F.struct(*payload)).alias("value"),
+            )
+            .write.mode("append")
+            .partitionBy("shard")
+            .text(self.path)
         )

@@ -335,3 +335,29 @@ def test_minhash_estimate_vs_exact(spark):
                  docs, spark, threshold=0.25).collect()}
     assert (1, 2) in exact
     release_persisted()
+
+
+def test_cluster_cards_savings_and_singleton_filter(spark):
+    from ci_log_processing_spark.operators.dedup import cluster_cards
+
+    comp = spark.createDataFrame(
+        [
+            (1, 1, True), (2, 1, False), (3, 1, False),
+            (10, 10, True),                 # singleton -> excluded
+            (20, 20, True), (21, 20, False),
+        ],
+        "doc_id long, component long, is_keeper boolean",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbbbbbb"), (3, "cc"), (10, "solo"),
+         (20, "xxxxx"), (21, "yyy")],
+        "doc_id long, text string",
+    )
+    got = {r["component"]: r for r in cluster_cards(comp, corpus).collect()}
+    assert sorted(got) == [1, 20]
+    c1 = got[1]
+    assert c1["size"] == 3 and c1["keeper"] == 1
+    assert c1["total_chars"] == 4 + 8 + 2
+    assert c1["keeper_chars"] == 4 and c1["saved_chars"] == 10
+    c20 = got[20]
+    assert c20["size"] == 2 and c20["saved_chars"] == 3

@@ -21,7 +21,7 @@ def _brute(rows, max_dist, key_len=24):
     import re
 
     def canon(t):
-        t = re.sub("[^a-z0-9 ]", "", t.lower())
+        t = re.sub("[^a-z0-9 ]", "", t[: 4 * key_len].lower())
         t = re.sub("  +", " ", t).strip()
         return t[:key_len]
 

@@ -72,3 +72,42 @@ def test_iceberg_unavailable_raises_with_ddl(spark):
     with pytest.raises(NotImplementedError) as e:
         s.ensure(spark)
     assert "CREATE TABLE IF NOT EXISTS" in str(e.value)
+
+
+def test_jsonl_shard_sink_roundtrip_and_order(spark, tmp_path):
+    """JsonlShardSink: one text file per shard, lines in epoch
+    order, JSON round-trips through spark.read.json equal to the
+    source rows."""
+    import glob
+    import json as _json
+    import os
+
+    from ci_log_processing_spark.sinks import JsonlShardSink
+
+    rows = [
+        (i, i % 3, f"doc {i}", i * 10) for i in range(30)
+    ]  # global_idx, shard, text, meta
+    df = spark.createDataFrame(
+        rows, "global_idx long, shard int, text string, meta long"
+    )
+    out = str(tmp_path / "jsonl")
+    JsonlShardSink(out).append(df)
+    # hive layout, ONE part file per shard
+    for s in range(3):
+        files = [
+            f for f in glob.glob(os.path.join(out, f"shard={s}", "part-*"))
+            if not f.endswith(".crc")
+        ]
+        assert len(files) == 1, files
+        with open(files[0]) as fh:
+            lines = [_json.loads(ln) for ln in fh]
+        # epoch order inside the shard
+        idxs = [ln["global_idx"] for ln in lines]
+        assert idxs == sorted(idxs)
+        assert all(ln["global_idx"] % 3 == s for ln in lines)
+    back = spark.read.json(os.path.join(out, "shard=*"))
+    assert back.count() == 30
+    got = {
+        (r["global_idx"], r["text"], r["meta"]) for r in back.collect()
+    }
+    assert got == {(i, f"doc {i}", i * 10) for i in range(30)}
