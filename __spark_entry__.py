@@ -2167,6 +2167,31 @@ def q_asof_state(spark, sf_dir):
     )
 
 
+def q_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (operators/asof.py direction='forward'):
+    each turn picks up the NEXT config state flipped at-or-after its
+    ts — the same union + one keyed window plan scanned in reverse
+    time order, checked against DuckDB's native forward ASOF."""
+    from ci_log_processing_spark.operators.asof import asof_join
+    from ci_log_processing_spark.sources.derived import config_updates_sql
+
+    t = load_transcripts(spark, sf_dir)  # registers the events view
+    cfg = spark.sql(config_updates_sql("spark", "events"))
+    out = asof_join(
+        t.select("conv_id", "turn_idx", "ts"),
+        cfg.withColumnRenamed("cfg_ts", "ts"),
+        on=["conv_id"],
+        value_cols=["cfg_state"],
+        seq_col="cfg_seq",
+        direction="forward",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce("cfg_state", F.lit("")).alias("cfg_state"),
+    )
+
+
 def q_range_join_incidents(spark, sf_dir):
     """Binned range join (operators/rangejoin.py): turns x 12 h
     incident windows on the same conversation — equi-join on
@@ -3624,7 +3649,7 @@ _VERIFY_FIRST = (
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
     #   text_watermark, cur_render_chat, text_source_keyness,
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
-    #   dedup_cluster_cards
+    #   dedup_cluster_cards, op_asof_forward
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3727,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for sink in ("errors", "tool_calls", "agent_turns", "drop_queue"):
         qs[f"pipe_sink_{sink}"] = _q_sink_rows(sink)
     qs["op_asof_state"] = q_asof_state
+    qs["op_asof_forward"] = q_asof_forward
     qs["op_range_join_incidents"] = q_range_join_incidents
     qs["stream_follow_route"] = q_stream_follow
     qs["stream_hll_distinct"] = q_stream_hll
@@ -3981,6 +4007,7 @@ def oracle_sql() -> dict[str, str]:
     # streaming twins: identical semantics to the batch pipeline on
     # the same deterministic conv subsets
     sqls["op_asof_state"] = oracle.q_asof_state()
+    sqls["op_asof_forward"] = oracle.q_asof_forward()
     sqls["op_range_join_incidents"] = oracle.q_range_join_incidents()
     sqls["stream_follow_route"] = oracle.q_stream_follow()
     sqls["stream_hll_distinct"] = oracle.q_hll_distinct(include_exact=False)

@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "op_asof_forward",
+        lambda: checksum(
+            entrymod.q_asof_forward(spark, sf_dir),
+            ["conv_id", "turn_idx", "cfg_state"],
+        ),
+    )
+    bench(
         "dedup_cluster_cards",
         lambda: checksum(
             entrymod.q_cluster_cards(spark, sf_dir),

@@ -47,10 +47,13 @@ def asof_join(
     right_ts: str = "ts",
     seq_col: str | None = None,
     tolerance_sec: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows gain `value_cols` from the
-    latest right row with right_ts <= left_ts on equal `on` keys
-    (NULLs when no prior right row exists).
+    """As-of join: left rows gain `value_cols` from the closest
+    right row on equal `on` keys — backward (latest right_ts <=
+    left_ts, the default) or forward (earliest right_ts >= left_ts;
+    the "next scheduled event" / trade-vs-next-quote direction).
+    NULLs when no qualifying right row exists.
 
     seq_col: deterministic tie-breaker among right rows sharing
     (on, right_ts) — the row with the greatest seq_col wins. When
@@ -62,6 +65,10 @@ def asof_join(
     (the forward-fill skips it to the previous non-null state) — the
     config-state reading, not pandas' propagate-the-NULL reading.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction={direction!r} not backward/forward"
+        )
     if not value_cols:
         raise ValueError("asof_join: value_cols must be non-empty")
     clash = set(value_cols) & set(left.columns)
@@ -95,10 +102,21 @@ def asof_join(
     )
     merged = l_tagged.unionByName(r, allowMissingColumns=True)
 
+    # forward = the SAME running-frame plan scanned in reverse time
+    # order: the closest following right row is the last non-null in
+    # the frame. At equal ts the right row still sorts before the
+    # left (side 0 < 1: exact matches qualify in both directions),
+    # and among right rows sharing (key, ts) max seq still sorts
+    # last, so last(ignorenulls) keeps the deterministic survivor.
+    ts_order = (
+        F.col("_asof_ts").asc()
+        if direction == "backward"
+        else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(
-            F.col("_asof_ts").asc(),
+            ts_order,
             F.col("_side").asc(),
             F.col("_seq").asc_nulls_first(),
         )
@@ -121,10 +139,12 @@ def asof_join(
     if tolerance_sec is not None:
         # the ltz hop keeps the epoch cast legal under ANSI when the
         # inputs are TIMESTAMP_NTZ (no-op for ltz)
-        stale = (
+        gap = (
             F.col("_asof_ts").cast("timestamp_ltz").cast("long")
             - F.col("_matched_ts").cast("timestamp_ltz").cast("long")
-            > F.lit(tolerance_sec)
+        )
+        stale = (gap if direction == "backward" else -gap) > F.lit(
+            tolerance_sec
         )
         out = out.select(
             *[c for c in out.columns if c not in value_cols],

@@ -1728,3 +1728,24 @@ SELECT sink, window_start, CAST(cnt AS BIGINT) AS cnt,
          AS alert
 FROM sm
 """
+
+
+def q_asof_forward() -> str:
+    """Forward as-of twin — DuckDB's native ASOF with the
+    inequality flipped (t.ts <= cfg.cfg_ts picks the NEAREST
+    following cfg row); same max-seq pre-dedup of right rows
+    sharing (conv_id, ts)."""
+    from .sources.derived import config_updates_sql
+
+    return f"""
+WITH t AS ({transcripts_sql('duckdb', 'events')}),
+cfg0 AS ({config_updates_sql('duckdb', 'events')}),
+cfg AS (
+  SELECT conv_id, cfg_ts, arg_max(cfg_state, cfg_seq) AS cfg_state
+  FROM cfg0 GROUP BY conv_id, cfg_ts
+)
+SELECT t.conv_id, t.turn_idx,
+       coalesce(cfg.cfg_state, '') AS cfg_state
+FROM t ASOF LEFT JOIN cfg
+  ON t.conv_id = cfg.conv_id AND t.ts <= cfg.cfg_ts
+"""

@@ -199,3 +199,46 @@ def test_range_join_guard_fires_on_hostile_interval(spark, pts, ivals):
         range_join_binned(
             pts, wide, keys=["k"], bin_sec=60, max_bins_per_interval=100
         ).collect()
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    import datetime as dt
+
+    from ci_log_processing_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [("c", 1, T(2024, 1, 1, 10, 0)), ("c", 2, T(2024, 1, 1, 12, 0)),
+         ("c", 3, T(2024, 1, 1, 23, 0))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("c", T(2024, 1, 1, 11, 0), "a", 1),
+         ("c", T(2024, 1, 1, 12, 0), "b", 1),
+         ("c", T(2024, 1, 1, 12, 0), "b2", 2)],
+        "conv_id string, ts timestamp, state string, seq int",
+    )
+    fwd = {
+        r["turn_idx"]: r["state"]
+        for r in asof_join(
+            left, right, on=["conv_id"], value_cols=["state"],
+            seq_col="seq", direction="forward",
+        ).collect()
+    }
+    # turn 1 -> next flip at 11:00 ('a'); turn 2 -> exact match at
+    # 12:00 with max-seq winner 'b2'; turn 3 -> nothing follows
+    assert fwd == {1: "a", 2: "b2", 3: None}
+    tol = {
+        r["turn_idx"]: r["state"]
+        for r in asof_join(
+            left, right, on=["conv_id"], value_cols=["state"],
+            seq_col="seq", direction="forward", tolerance_sec=1800,
+        ).collect()
+    }
+    # 10:00 -> 11:00 is 3600 s > 1800 -> nulled; exact match stays
+    assert tol == {1: None, 2: "b2", 3: None}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        asof_join(left, right, on=["conv_id"], value_cols=["state"],
+                  direction="sideways")
