@@ -1573,6 +1573,51 @@ def q_jsonl_quarantine(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
 
 
+def q_csv_quarantine(spark, sf_dir):
+    """CSV ingest with record-level corrupt quarantine
+    (sources/jsonl.py read_documents_csv): documents serialized to
+    CSV, every 13th line's doc_id poisoned with a non-numeric token
+    (type-cast failure — CSV's corruption mode, where a truncated
+    tail would merely NULL-pad); the PERMISSIVE from_csv reader
+    must flag exactly the planted rows."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.sources.jsonl import read_documents_csv
+
+    docs = _docs(spark, sf_dir)
+    line = F.concat_ws(
+        ",", "doc_id", "text", "lang", "source", "n_chars"
+    )
+    poisoned = F.concat_ws(
+        ",",
+        F.concat(F.lit("x"), F.col("doc_id")),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    lines = docs.select(
+        F.when(F.col("doc_id") % 13 == 0, poisoned)
+        .otherwise(line)
+        .alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="gate_csv_")
+    try:
+        path = os.path.join(work, "shard")
+        lines.coalesce(2).write.text(path)
+        out = read_documents_csv(
+            spark,
+            path,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        rows = out.select("doc_id", "is_corrupt").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
+
+
 def q_full_curation(spark, sf_dir):
     """Flagship composition for the training-data tier: C4 line
     cleaning -> quality gate -> exact dedup keep-first -> next-fit
@@ -3649,7 +3694,7 @@ _VERIFY_FIRST = (
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
     #   text_watermark, cur_render_chat, text_source_keyness,
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
-    #   dedup_cluster_cards, op_asof_forward
+    #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3837,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_full_curation_v2": q_full_curation_v2,
             "cur_full_curation_v3": q_full_curation_v3,
             "src_jsonl_quarantine": q_jsonl_quarantine,
+            "src_csv_quarantine": q_csv_quarantine,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -4147,6 +4193,13 @@ def oracle_sql() -> dict[str, str]:
                 shuffle_shard=8,
             ),
             "src_jsonl_quarantine": (
+                "SELECT doc_id, FALSE AS is_corrupt FROM documents "
+                "WHERE doc_id % 13 != 0 "
+                "UNION ALL "
+                "SELECT NULL AS doc_id, TRUE AS is_corrupt FROM documents "
+                "WHERE doc_id % 13 = 0"
+            ),
+            "src_csv_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "
                 "UNION ALL "

@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "src_csv_quarantine",
+        lambda: checksum(
+            entrymod.q_csv_quarantine(spark, sf_dir),
+            ["doc_id", "is_corrupt"],
+        ),
+    )
+    bench(
         "op_asof_forward",
         lambda: checksum(
             entrymod.q_asof_forward(spark, sf_dir),

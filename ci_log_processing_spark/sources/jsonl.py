@@ -61,3 +61,48 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = df.filter(~F.col("is_corrupt")).drop("is_corrupt", "raw_line")
     bad = df.filter(F.col("is_corrupt"))
     return good, bad
+
+
+def read_documents_csv(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """CSV shard ingest with the same record-level quarantine
+    contract as read_documents_jsonl: parse each line JVM-side with
+    from_csv under PERMISSIVE + columnNameOfCorruptRecord, route
+    good rows onward with typed columns, keep the raw line for
+    quarantined ones. Reading as TEXT + from_csv (rather than the
+    CSV datasource) sidesteps the same QUERY_ONLY_CORRUPT_RECORD
+    restriction and keeps everything one zero-shuffle scan.
+
+    CSV corruption semantics differ from JSON's and are the point
+    of the separate reader: a row is quarantined when a typed field
+    fails its cast or the token count differs from the schema in
+    EITHER direction (from_csv flags short rows too — verified
+    empirically; the parsed prefix fields are still populated on
+    the quarantined row, so triage keeps them alongside raw_line).
+    A BLANK line parses to an all-NULL struct with a NULL corrupt
+    column — the phantom-row trap — so blank/whitespace lines are
+    quarantined explicitly. Callers whose text fields may contain
+    the delimiter must have written the shard with proper quoting;
+    from_csv's default quote handling round-trips it.
+    """
+    parsed = F.from_csv(
+        F.col("value"),
+        f"{schema}, {CORRUPT_COL} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
+    is_corrupt = (
+        F.col("r").isNull()
+        | F.col(f"r.{CORRUPT_COL}").isNotNull()
+        | (F.trim(F.col("value")) == "")
+    )
+    return (
+        spark.read.text(path)
+        .select(parsed.alias("r"), F.col("value"))
+        .select(
+            "r.*",
+            is_corrupt.alias("is_corrupt"),
+            F.when(is_corrupt, F.col("value")).alias("raw_line"),
+        )
+        .drop(CORRUPT_COL)
+    )

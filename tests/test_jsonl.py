@@ -36,3 +36,40 @@ def test_jsonl_quarantines_bad_records(spark, tmp_path):
     assert sorted(r["raw_line"] for r in b) == sorted(
         ['{"doc_id": 2, "text": "truncat', "not json at all", ""]
     )
+
+
+def test_csv_quarantine_semantics(spark, tmp_path):
+    """CSV corruption contract: type-cast failure and extra tokens
+    quarantine; a SHORT row NULL-pads and stays good."""
+    from ci_log_processing_spark.sources.jsonl import (
+        read_documents_csv,
+        split_quarantine,
+    )
+
+    lines = [
+        "1,hello world,en,src0,11",        # good
+        "x2,broken id,en,src0,9",          # type failure -> corrupt
+        "3,short row,en",                   # missing fields -> corrupt
+        "4,too,many,fields,5,EXTRA",        # extra token -> corrupt
+        "",                                 # blank -> corrupt
+    ]
+    p = tmp_path / "shard.csv"
+    p.write_text("\n".join(lines) + "\n")
+    out = read_documents_csv(
+        spark, str(p),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["raw_line"] or r["doc_id"]: r for r in out.collect()}
+    good, bad = split_quarantine(out)
+    assert rows[1]["is_corrupt"] is False
+    assert rows["x2,broken id,en,src0,9"]["is_corrupt"] is True
+    # short row: quarantined (CSV flags token-count mismatch both
+    # ways), parsed prefix fields still populated for triage
+    short = rows["3,short row,en"]
+    assert short["is_corrupt"] is True and short["doc_id"] == 3
+    assert short["n_chars"] is None
+    assert rows["4,too,many,fields,5,EXTRA"]["is_corrupt"] is True
+    # blank line: explicitly quarantined, never a phantom NULL row
+    assert good.count() == 1 and bad.count() == 4
+    # quarantined rows keep raw bytes; good rows don't carry them
+    assert all(r["raw_line"] is not None for r in bad.collect())
