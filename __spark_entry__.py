@@ -1573,6 +1573,32 @@ def q_jsonl_quarantine(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
 
 
+def q_eval_token_f1(spark, sf_dir):
+    """SQuAD-style token-overlap F1 at corpus scale
+    (operators/textstats.py eval_token_f1): each doc scored against
+    its source-neighbor as a synthetic (prediction, reference) pair
+    — zero-shuffle per-row multiset-intersection folds."""
+    from pyspark.sql.window import Window
+
+    from ci_log_processing_spark.operators.textstats import (
+        eval_token_f1,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("text").alias("prediction"),
+            F.lead("text").over(w).alias("reference"),
+        )
+        .filter(F.col("reference").isNotNull())
+        .drop("source")
+    )
+    return eval_token_f1(pairs)
+
+
 def q_csv_quarantine(spark, sf_dir):
     """CSV ingest with record-level corrupt quarantine
     (sources/jsonl.py read_documents_csv): documents serialized to
@@ -3694,7 +3720,8 @@ _VERIFY_FIRST = (
     #   cur_reliability_iso, mm_scene_cuts, sim_kcenter_select,
     #   text_watermark, cur_render_chat, text_source_keyness,
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
-    #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine
+    #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine,
+    #   text_eval_f1
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3883,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cur_full_curation_v3": q_full_curation_v3,
             "src_jsonl_quarantine": q_jsonl_quarantine,
             "src_csv_quarantine": q_csv_quarantine,
+            "text_eval_f1": q_eval_token_f1,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -4199,6 +4227,7 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT NULL AS doc_id, TRUE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 = 0"
             ),
+            "text_eval_f1": od.q_eval_token_f1(),
             "src_csv_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "

@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "text_eval_f1",
+        lambda: checksum(
+            entrymod.q_eval_token_f1(spark, sf_dir),
+            ["doc_id", "n_pred", "n_ref", "n_common",
+             "precision_milli", "recall_milli", "f1_milli"],
+        ),
+    )
+    bench(
         "src_csv_quarantine",
         lambda: checksum(
             entrymod.q_csv_quarantine(spark, sf_dir),

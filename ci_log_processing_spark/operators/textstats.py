@@ -1813,3 +1813,73 @@ def source_keyness(
     return full.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def eval_token_f1(
+    pairs: DataFrame,
+    pred_col: str = "prediction",
+    ref_col: str = "reference",
+) -> DataFrame:
+    """Token-overlap F1 scoring — the SQuAD-style eval metric
+    (Rajpurkar et al. 2016) run at corpus scale: a training-data
+    pipeline is also the EVAL pipeline (score a model's predictions
+    against references, or candidate answers against gold spans
+    during decontamination triage), and the scorer must be an
+    engine operator, not a driver loop.
+
+    The multiset intersection is computed per-row with zero
+    shuffles: for each DISTINCT prediction token, min(count in
+    prediction, count in reference) — an aggregate() fold over the
+    distinct-token array, counting occurrences with filter()
+    (size-of-filter is the codegen-safe multiset counter; no map
+    state needed). Exact integer output:
+
+        f1_milli = (2000 * common) div (n_pred + n_ref)
+
+    with the conventional edge: BOTH empty -> perfect 1000, one
+    empty -> 0. precision/recall milli exposed alongside.
+
+    Scale shape: pure per-row array expressions over the pair table
+    — the token arrays never explode, nothing joins, nothing
+    aggregates; the cost is O(distinct_pred_tokens x ref_len) per
+    row, the same class as the repetition/quality scanners.
+    """
+    p = F.filter(tokens(F.col(pred_col)), lambda x: x != "")
+    r = F.filter(tokens(F.col(ref_col)), lambda x: x != "")
+    common = F.aggregate(
+        F.array_distinct(p),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.least(
+            F.size(F.filter(p, lambda x: x == t)),
+            F.size(F.filter(r, lambda x: x == t)),
+        ).cast("long"),
+    )
+    np_, nr = F.size(p).cast("long"), F.size(r).cast("long")
+    out = pairs.select(
+        "*",
+        np_.alias("n_pred"),
+        nr.alias("n_ref"),
+        common.alias("n_common"),
+    )
+    both_empty = (F.col("n_pred") == 0) & (F.col("n_ref") == 0)
+    return out.select(
+        *[c for c in pairs.columns if c not in (pred_col, ref_col)],
+        "n_pred",
+        "n_ref",
+        "n_common",
+        F.when(both_empty, F.lit(1000))
+        .when(F.col("n_pred") == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * n_common) div n_pred"))
+        .cast("long")
+        .alias("precision_milli"),
+        F.when(both_empty, F.lit(1000))
+        .when(F.col("n_ref") == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * n_common) div n_ref"))
+        .cast("long")
+        .alias("recall_milli"),
+        F.when(both_empty, F.lit(1000))
+        .otherwise(F.expr("(2000 * n_common) div (n_pred + n_ref)"))
+        .cast("long")
+        .alias("f1_milli"),
+    )

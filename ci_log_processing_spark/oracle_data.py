@@ -4646,3 +4646,53 @@ SELECT component, count(*)::BIGINT AS size,
          AS saved_chars
 FROM j GROUP BY component HAVING count(*) >= 2
 """
+
+
+def q_eval_token_f1() -> str:
+    """eval_token_f1 twin (operators/textstats.py) over the same
+    derived pair table the gate builds (each doc scored against its
+    source-neighbor): the identical multiset-intersection fold —
+    per distinct prediction token, min(count in pred, count in ref)
+    — and the same milli F1/precision/recall integer division."""
+    return """
+WITH d AS (
+  SELECT doc_id, source, text,
+         lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+           AS ref_text
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, text AS prediction, ref_text AS reference
+  FROM d WHERE ref_text IS NOT NULL
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(prediction), ' '),
+                     x -> x <> '') AS p,
+         list_filter(string_split(lower(reference), ' '),
+                     x -> x <> '') AS r
+  FROM pairs
+),
+sc AS (
+  SELECT doc_id, len(p) AS n_pred, len(r) AS n_ref,
+         list_sum(list_transform(list_distinct(p),
+           t -> least(len(list_filter(p, x -> x = t)),
+                      len(list_filter(r, x -> x = t))))) AS nc
+  FROM tk
+)
+SELECT doc_id, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(coalesce(nc, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN n_pred = 0 AND n_ref = 0 THEN 1000
+                 WHEN n_pred = 0 THEN 0
+                 ELSE (1000 * coalesce(nc, 0)) // n_pred END AS BIGINT)
+         AS precision_milli,
+       CAST(CASE WHEN n_pred = 0 AND n_ref = 0 THEN 1000
+                 WHEN n_ref = 0 THEN 0
+                 ELSE (1000 * coalesce(nc, 0)) // n_ref END AS BIGINT)
+         AS recall_milli,
+       CAST(CASE WHEN n_pred = 0 AND n_ref = 0 THEN 1000
+                 ELSE (2000 * coalesce(nc, 0)) // (n_pred + n_ref)
+            END AS BIGINT) AS f1_milli
+FROM sc
+"""

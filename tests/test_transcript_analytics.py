@@ -464,3 +464,33 @@ def test_source_keyness_flags_planted_term(spark):
     # never reaches min_count there, so check srcB's view of zebra
     # is absent — zebra has 0 instances in srcB, below min_count)
     assert all(r["term"] != "zebra" for r in got if r["source"] == "srcB")
+
+
+def test_eval_token_f1_reference_cases(spark):
+    from ci_log_processing_spark.operators.textstats import (
+        eval_token_f1,
+    )
+
+    rows = [
+        (1, "the cat sat", "the cat sat"),        # perfect
+        (2, "the cat sat", "a dog ran"),          # zero overlap
+        (3, "a a b", "a b b"),                    # multiset: common=2
+        (4, "", ""),                              # both empty -> 1000
+        (5, "x", ""),                             # one empty -> 0
+        (6, "the the the", "the"),                # common=1
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prediction string, reference string"
+    )
+    got = {r["doc_id"]: r for r in eval_token_f1(df).collect()}
+    assert got[1]["f1_milli"] == 1000
+    assert got[2]["f1_milli"] == 0 and got[2]["n_common"] == 0
+    # pred counts: a=2, b=1; ref: a=1, b=2 -> common = 1 + 1 = 2
+    assert got[3]["n_common"] == 2
+    assert got[3]["f1_milli"] == (2000 * 2) // 6
+    assert got[4]["f1_milli"] == 1000 and got[4]["precision_milli"] == 1000
+    assert got[5]["f1_milli"] == 0 and got[5]["recall_milli"] == 0
+    assert got[6]["n_common"] == 1
+    assert got[6]["precision_milli"] == 333
+    assert got[6]["recall_milli"] == 1000
+    assert got[6]["f1_milli"] == 500
