@@ -1573,6 +1573,19 @@ def q_jsonl_quarantine(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
 
 
+def q_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization (operators/pii.py pseudonymize):
+    conv_id replaced by a stable salted 64-bit token — joinability
+    and group-bys survive, raw ids don't; per-row codegen, zero
+    shuffles."""
+    from ci_log_processing_spark.operators.pii import pseudonymize
+
+    routed = _routed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "sink"
+    )
+    return pseudonymize(routed, ["conv_id"])
+
+
 def q_eval_token_f1(spark, sf_dir):
     """SQuAD-style token-overlap F1 at corpus scale
     (operators/textstats.py eval_token_f1): each doc scored against
@@ -3721,7 +3734,7 @@ _VERIFY_FIRST = (
     #   text_watermark, cur_render_chat, text_source_keyness,
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
     #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine,
-    #   text_eval_f1
+    #   text_eval_f1, pipe_pseudonymize
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3911,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src_jsonl_quarantine": q_jsonl_quarantine,
             "src_csv_quarantine": q_csv_quarantine,
             "text_eval_f1": q_eval_token_f1,
+            "pipe_pseudonymize": q_pseudonymize,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -4228,6 +4242,7 @@ def oracle_sql() -> dict[str, str]:
                 "WHERE doc_id % 13 = 0"
             ),
             "text_eval_f1": od.q_eval_token_f1(),
+            "pipe_pseudonymize": oracle.q_pseudonymize(),
             "src_csv_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "

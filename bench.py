@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "pipe_pseudonymize",
+        lambda: checksum(
+            entrymod.q_pseudonymize(spark, sf_dir),
+            ["conv_id", "turn_idx", "sink"],
+        ),
+    )
+    bench(
         "text_eval_f1",
         lambda: checksum(
             entrymod.q_eval_token_f1(spark, sf_dir),

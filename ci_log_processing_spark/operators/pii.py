@@ -107,3 +107,52 @@ def pii_scrub(docs: DataFrame, text_col: str = "pii_text") -> DataFrame:
     return docs.select(
         "doc_id", *counts, total.alias("n_pii"), redacted.alias("redacted")
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str = "p1",
+    prefix: str = "p_",
+) -> DataFrame:
+    """Keyed pseudonymization of identifier columns — the privacy
+    pass between pii_scrub (free-text redaction) and k_anon_audit
+    (cohort-size verification): replace each identifier with a
+    STABLE salted token so datasets remain joinable and group-by
+    analytics keep working, while the raw identifier never leaves
+    the engine. token = prefix + first 16 hex chars of
+    md5(salt || \\x01 || value): deterministic under a fixed salt
+    (the join key survives across tables pseudonymized with the
+    same salt), rotated wholesale by rotating the salt — the
+    standard revocable-pseudonym scheme. NULL stays NULL (absence
+    is not an identifier); 64 bits of token keeps the birthday
+    bound comfortable at 10^12 distinct keys (~3e-5 collision odds
+    corpus-wide).
+
+    Per-row codegen expression per column, zero shuffles; the md5
+    is the repo's cross-engine parity hash, so the DuckDB twin
+    reproduces tokens bit-for-bit.
+    """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"pseudonymize: unknown columns {missing}")
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit("\x01"),
+                        F.col(c).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                16,
+            ),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), tok)
+        )
+    return out

@@ -1749,3 +1749,15 @@ SELECT t.conv_id, t.turn_idx,
 FROM t ASOF LEFT JOIN cfg
   ON t.conv_id = cfg.conv_id AND t.ts <= cfg.cfg_ts
 """
+
+
+def q_pseudonymize(salt: str = "p1") -> str:
+    """pseudonymize twin (operators/pii.py): the same salted md5
+    token over conv_id on the routed turns."""
+    return pipeline_cte() + f""",
+vis AS (SELECT conv_id, turn_idx, sink FROM routed)
+SELECT 'p_' || substr(md5('{salt}' || chr(1) || conv_id), 1, 16)
+         AS conv_id,
+       turn_idx, sink
+FROM vis
+"""

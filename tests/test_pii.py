@@ -45,3 +45,31 @@ def test_pii_attach_plants_fixed_width_spans(spark):
     assert out[17]["n_pii"] == 3
     # doc 19 falls in no modulus class — stays clean
     assert out[19]["n_pii"] == 0 and out[19]["redacted"] == "base text"
+
+
+def test_pseudonymize_stable_joinable_and_null_safe(spark):
+    from ci_log_processing_spark.operators.pii import pseudonymize
+
+    a = spark.createDataFrame(
+        [("u1", 1), ("u2", 2), (None, 3)], "uid string, x int"
+    )
+    b = spark.createDataFrame(
+        [("u1", "alpha"), ("u3", "beta")], "uid string, y string"
+    )
+    pa = pseudonymize(a, ["uid"])
+    pb = pseudonymize(b, ["uid"])
+    rows = {r["x"]: r["uid"] for r in pa.collect()}
+    # stable + format
+    assert rows[1].startswith("p_") and len(rows[1]) == 18
+    assert rows[1] != rows[2]
+    assert rows[3] is None
+    # joinability survives: same salt -> same token
+    j = pa.join(pb, "uid").collect()
+    assert len(j) == 1 and j[0]["y"] == "alpha"
+    # salt rotation changes every token
+    pa2 = {r["x"]: r["uid"] for r in pseudonymize(a, ["uid"], salt="p2").collect()}
+    assert pa2[1] != rows[1]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pseudonymize(a, ["nope"])
