@@ -111,3 +111,61 @@ def test_jsonl_shard_sink_roundtrip_and_order(spark, tmp_path):
         (r["global_idx"], r["text"], r["meta"]) for r in back.collect()
     }
     assert got == {(i, f"doc {i}", i * 10) for i in range(30)}
+
+
+def test_zorder_sink_prunes_both_dimensions(spark, tmp_path):
+    """ZOrderSink: per-file bounding boxes must let a y-selective
+    rectangle probe skip files that an x-sorted linear layout
+    cannot skip at all."""
+    import glob
+    import os
+
+    from ci_log_processing_spark.sinks import ZOrderSink
+    from pyspark.sql import functions as F
+
+    # 64x64 grid
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zorder")
+    ZOrderSink(zpath, "x", "y", n_files=16).append(df)
+    lpath = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.parquet(lpath)
+    )
+
+    def overlapping(path, x_lo, x_hi, y_lo, y_hi):
+        n = 0
+        files = [
+            f for f in glob.glob(os.path.join(path, "part-*"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 8
+        for f in files:
+            st = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("x"), F.max("x"), F.min("y"), F.max("y")
+                )
+                .collect()[0]
+            )
+            if not (st[1] < x_lo or st[0] > x_hi
+                    or st[3] < y_lo or st[2] > y_hi):
+                n += 1
+        return n, len(files)
+
+    # y-selective probe: all x, narrow y band
+    zn, zf = overlapping(zpath, 0, 63, 8, 11)
+    ln, lf = overlapping(lpath, 0, 63, 8, 11)
+    # linear layout (sorted by x) cannot prune on y: reads everything
+    assert ln == lf
+    # z-order skips most files
+    assert zn <= zf // 2
+    # both layouts hold the same rows
+    assert spark.read.parquet(zpath).count() == 64 * 64
+    got = {
+        (r["x"], r["y"]) for r in spark.read.parquet(zpath).collect()
+    }
+    assert got == {(i % 64, i // 64) for i in range(64 * 64)}
