@@ -606,6 +606,45 @@ def q_stream_agg_incremental(spark, sf_dir):
     )
 
 
+def q_stream_ewma(spark, sf_dir):
+    """Streaming EWMA alerting WITHOUT new streaming state
+    (streaming/agg_incremental.py + operators/aggregate.py
+    ewma_over_counts): the stream maintains mergeable hourly count
+    partials (three micro-batches, batch-scoped overwrite), and the
+    detector runs over the monoid fold on read — the composition
+    must equal the batch detector over the same rows, which is what
+    the SQL twin computes flat."""
+    import shutil
+    import tempfile
+
+    from ci_log_processing_spark.operators.aggregate import (
+        ewma_over_counts,
+    )
+    from ci_log_processing_spark.streaming.agg_incremental import (
+        run_agg_maintenance,
+    )
+
+    sub = load_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 6, 10).cast("int") % 23 == 11
+    )
+    work = tempfile.mkdtemp(prefix="gate_ewmastream_")
+    try:
+        in_dir = os.path.join(work, "in")
+        sub.repartition(3).write.parquet(in_dir)
+        rollup = run_agg_maintenance(
+            spark, in_dir, os.path.join(work, "out")
+        )
+        out = ewma_over_counts(rollup, group_col="severity")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "severity string, window_start timestamp, cnt long, "
+        "ewma_milli long, alert boolean",
+    )
+
+
 def q_stream_session_window(spark, sf_dir):
     """Watermarked streaming SESSION windows (streaming/watermark.py
     streaming_session_counts) over the conv subset user_id % 23 == 2,
@@ -3734,7 +3773,7 @@ _VERIFY_FIRST = (
     #   text_watermark, cur_render_chat, text_source_keyness,
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
     #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine,
-    #   text_eval_f1, pipe_pseudonymize
+    #   text_eval_f1, pipe_pseudonymize, stream_ewma_alerts
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3848,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["stream_dedup_exact"] = q_stream_dedup
     qs["stream_session_window"] = q_stream_session_window
     qs["stream_agg_incremental"] = q_stream_agg_incremental
+    qs["stream_ewma_alerts"] = q_stream_ewma
     qs["stream_cdc_merge"] = q_stream_cdc_merge
     qs["stream_interval_join"] = q_stream_interval_join
     qs["stream_watermark_agg"] = q_stream_watermark_agg
@@ -4102,6 +4142,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["stream_latency_hdr"] = oracle.q_hdr_latency(sub_bits=4)
     sqls["stream_session_window"] = oracle.q_stream_session_window()
     sqls["stream_agg_incremental"] = oracle.q_stream_agg_incremental()
+    sqls["stream_ewma_alerts"] = oracle.q_stream_ewma()
     sqls["stream_interval_join"] = oracle.q_stream_interval_join()
     sqls["stream_session_evictions"] = oracle.q_stream_session_evictions()
     # order-insensitive survivor set: one row per distinct text hash

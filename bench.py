@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "stream_ewma_alerts",
+        lambda: checksum(
+            entrymod.q_stream_ewma(spark, sf_dir),
+            ["severity", "window_start", "cnt", "ewma_milli",
+             "alert"],
+        ),
+    )
+    bench(
         "pipe_pseudonymize",
         lambda: checksum(
             entrymod.q_pseudonymize(spark, sf_dir),

@@ -1404,12 +1404,34 @@ def ewma_alerts(
     """
     from pyspark.sql.window import Window
 
-    if window < 1:
-        raise ValueError(f"ewma_alerts: window={window} < 1")
     hourly = df.groupBy(
         group_col,
         F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return ewma_over_counts(
+        hourly, group_col=group_col, window=window, slack=slack
+    )
+
+
+def ewma_over_counts(
+    hourly: DataFrame,
+    group_col: str = "sink",
+    window: int = 16,
+    slack: int = 5,
+) -> DataFrame:
+    """The EWMA window stage alone, over a PRECOMPUTED
+    (group, window_start, cnt) series — factored out so any counts
+    source feeds the same detector: the batch aggregate above, OR
+    the streaming incremental rollup (read_rollup's monoid fold) —
+    maintaining mergeable count partials and computing the detector
+    on read is how a stream gets EWMA alerting without any new
+    streaming state (see streaming/agg_incremental.py; the
+    stream_ewma_alerts gate proves the composition equals the batch
+    detector bit-for-bit)."""
+    from pyspark.sql.window import Window
+
+    if window < 1:
+        raise ValueError(f"ewma_alerts: window={window} < 1")
     w = (
         Window.partitionBy(group_col)
         .orderBy("window_start")

@@ -1761,3 +1761,40 @@ SELECT 'p_' || substr(md5('{salt}' || chr(1) || conv_id), 1, 16)
        turn_idx, sink
 FROM vis
 """
+
+
+def q_stream_ewma(window: int = 16, slack: int = 5) -> str:
+    """Streaming-EWMA twin: flat hourly severity counts over the
+    same conv subset, then the identical lag-list EWMA arithmetic —
+    the streaming side must land on this through partial-merge +
+    detector-on-read."""
+    return pipeline_cte() + f""",
+hourly AS (
+  SELECT severity, date_trunc('hour', ts) AS window_start,
+         count(*) AS cnt
+  FROM parsed2
+  WHERE CAST(substr(conv_id, 6) AS INT) % 23 = 11
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT severity, window_start, cnt,
+         list(cnt) OVER (PARTITION BY severity ORDER BY window_start
+           ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING) AS lags
+  FROM hourly
+),
+sm AS (
+  SELECT severity, window_start, cnt,
+         CASE WHEN len(lags) > 0 THEN
+           (1000 * list_sum(list_transform(range(1, len(lags) + 1),
+              i -> lags[i] * (1::BIGINT << (i - 1)))))
+             // ((1::BIGINT << len(lags)) - 1)
+         END AS ewma_milli
+  FROM lagged
+)
+SELECT severity, window_start, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ewma_milli AS BIGINT) AS ewma_milli,
+       coalesce(ewma_milli IS NOT NULL AND
+                1000 * cnt > 2 * ewma_milli + {1000 * slack}, false)
+         AS alert
+FROM sm
+"""
