@@ -1612,6 +1612,19 @@ def q_jsonl_quarantine(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility audit
+    (operators/tokenizer.py bpe_fertility): BPE tokens per
+    whitespace word + chars per token in exact milli — the vocab
+    acceptance metric per mixture slice; rides the existing encode
+    join, adds one group aggregate."""
+    from ci_log_processing_spark.operators.tokenizer import (
+        bpe_fertility,
+    )
+
+    return bpe_fertility(_docs(spark, sf_dir), n_merges=8)
+
+
 def q_pseudonymize(spark, sf_dir):
     """Keyed pseudonymization (operators/pii.py pseudonymize):
     conv_id replaced by a stable salted 64-bit token — joinability
@@ -3773,7 +3786,8 @@ _VERIFY_FIRST = (
     #   text_watermark, cur_render_chat, text_source_keyness,
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
     #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine,
-    #   text_eval_f1, pipe_pseudonymize, stream_ewma_alerts
+    #   text_eval_f1, pipe_pseudonymize, stream_ewma_alerts,
+    #   text_bpe_fertility
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3965,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src_csv_quarantine": q_csv_quarantine,
             "text_eval_f1": q_eval_token_f1,
             "pipe_pseudonymize": q_pseudonymize,
+            "text_bpe_fertility": q_bpe_fertility,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -4284,6 +4299,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "text_eval_f1": od.q_eval_token_f1(),
             "pipe_pseudonymize": oracle.q_pseudonymize(),
+            "text_bpe_fertility": od.q_bpe_fertility(n_merges=8),
             "src_csv_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "

@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "text_bpe_fertility",
+        lambda: checksum(
+            entrymod.q_bpe_fertility(spark, sf_dir),
+            ["source", "n_docs", "n_ws_tokens", "n_bpe_tokens",
+             "fertility_milli", "chars_per_token_milli"],
+        ),
+    )
+    bench(
         "stream_ewma_alerts",
         lambda: checksum(
             entrymod.q_stream_ewma(spark, sf_dir),

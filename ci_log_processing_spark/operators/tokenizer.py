@@ -280,3 +280,71 @@ def bpe_token_counts_arrow(
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "doc_id long, n_bpe_tokens long"
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer FERTILITY audit per corpus slice — the
+    tokenizer-engineering acceptance metric: BPE tokens per
+    whitespace word (fertility; ~1.0 = the vocab covers the slice,
+    >> 1 = the slice fragments into subwords and will eat context
+    budget) and characters per BPE token (compression). Run per
+    source/language before committing a vocab to a mixture — the
+    number that decides whether a language needs more merges or
+    more data.
+
+    Exact integers: fertility_milli = (1000 * sum_bpe) div sum_ws,
+    chars_per_token_milli = (1000 * sum_chars) div sum_bpe over the
+    group (NULL when the denominator is 0 — an empty slice).
+
+    Scale shape: rides bpe_token_counts' existing encode (explode ⋈
+    trained word table + doc-keyed sum), adds one doc-keyed
+    broadcast-sized join back to (group, ws-count, chars) and one
+    group-keyed partial+final aggregate onto |groups| rows. Nothing
+    new is corpus-sized.
+    """
+    per_doc = bpe_token_counts(docs, n_merges, text_col)
+    base = docs.select(
+        "doc_id",
+        group_col,
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda x: x != ""
+            )
+        )
+        .cast("long")
+        .alias("_n_ws"),
+        F.length(text_col).cast("long").alias("_n_chars"),
+    )
+    return (
+        base.join(per_doc, "doc_id")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_ws").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("_n_chars").alias("n_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.when(
+                F.col("n_ws_tokens") > 0,
+                F.expr("(1000 * n_bpe_tokens) div n_ws_tokens"),
+            )
+            .cast("long")
+            .alias("fertility_milli"),
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.expr("(1000 * n_chars) div n_bpe_tokens"),
+            )
+            .cast("long")
+            .alias("chars_per_token_milli"),
+        )
+    )

@@ -4696,3 +4696,36 @@ SELECT doc_id, CAST(n_pred AS BIGINT) AS n_pred,
             END AS BIGINT) AS f1_milli
 FROM sc
 """
+
+
+def q_bpe_fertility(n_merges: int = 8) -> str:
+    """bpe_fertility twin (operators/tokenizer.py): the bpe encode
+    oracle as a CTE, joined back to per-doc whitespace/char counts,
+    one GROUP BY source with the same milli integer divisions."""
+    return f"""
+WITH enc AS ({q_bpe_token_counts(n_merges)}),
+base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_ws,
+         length(text) AS n_chars
+  FROM documents
+),
+g AS (
+  SELECT b.source, count(*) AS n_docs, sum(b.n_ws) AS n_ws_tokens,
+         sum(e.n_bpe_tokens) AS n_bpe_tokens,
+         sum(b.n_chars) AS n_chars
+  FROM base b JOIN enc e USING (doc_id)
+  GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN n_ws_tokens > 0
+            THEN (1000 * n_bpe_tokens) // n_ws_tokens END AS BIGINT)
+         AS fertility_milli,
+       CAST(CASE WHEN n_bpe_tokens > 0
+            THEN (1000 * n_chars) // n_bpe_tokens END AS BIGINT)
+         AS chars_per_token_milli
+FROM g
+"""

@@ -183,3 +183,31 @@ def test_bpe_token_counts_arrow_drops_uncountable_docs(spark):
     # docs 1 and 2 have no countable word — absent, like the join
     # variant's inner join
     assert set(out) == {0}
+
+
+def test_bpe_fertility_bounds_and_identity(spark):
+    """Fertility >= 1000 milli by construction (a word is >= 1
+    token); a corpus whose words are all single learned symbols
+    after enough merges approaches 2000 (word + </w> marker)."""
+    from ci_log_processing_spark.operators.dedup import (
+        release_persisted,
+    )
+    from ci_log_processing_spark.operators.tokenizer import (
+        bpe_fertility,
+    )
+
+    rows = [(i, "ab ab ab", "s0") for i in range(4)]
+    rows += [(10 + i, "xyzq wvut", "s1") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {r["source"]: r for r in bpe_fertility(df, n_merges=8).collect()}
+    release_persisted()
+    for src, r in got.items():
+        assert r["fertility_milli"] >= 1000
+    assert got["s0"]["n_ws_tokens"] == 12   # 3 words x 4 docs
+    assert got["s1"]["n_ws_tokens"] == 8    # 2 words x 4 docs
+    # 'ab' merges fully (high freq): 'a b </w>' -> 'ab</w>' = 1
+    # symbol -> fertility 1000; rare 4-char words stay fragmented
+    assert got["s0"]["fertility_milli"] <= got["s1"]["fertility_milli"]
+    assert got["s0"]["n_docs"] == 4
