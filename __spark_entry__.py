@@ -1612,6 +1612,18 @@ def q_jsonl_quarantine(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
 
 
+def q_pack_bfd(spark, sf_dir):
+    """Best-fit-decreasing packing (operators/curation.py
+    pack_sequences_bfd): the 11/9-OPT density upgrade over next-fit,
+    checked against a recursive-CTE oracle carrying the bin-load
+    list as value state."""
+    from ci_log_processing_spark.operators.curation import (
+        pack_sequences_bfd,
+    )
+
+    return pack_sequences_bfd(_docs(spark, sf_dir), capacity=256)
+
+
 def q_bpe_fertility(spark, sf_dir):
     """Per-source tokenizer fertility audit
     (operators/tokenizer.py bpe_fertility): BPE tokens per
@@ -3787,7 +3799,7 @@ _VERIFY_FIRST = (
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
     #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine,
     #   text_eval_f1, pipe_pseudonymize, stream_ewma_alerts,
-    #   text_bpe_fertility
+    #   text_bpe_fertility, cur_pack_bfd
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3980,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_eval_f1": q_eval_token_f1,
             "pipe_pseudonymize": q_pseudonymize,
             "text_bpe_fertility": q_bpe_fertility,
+            "cur_pack_bfd": q_pack_bfd,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -4300,6 +4313,7 @@ def oracle_sql() -> dict[str, str]:
             "text_eval_f1": od.q_eval_token_f1(),
             "pipe_pseudonymize": oracle.q_pseudonymize(),
             "text_bpe_fertility": od.q_bpe_fertility(n_merges=8),
+            "cur_pack_bfd": od.q_pack_bfd(capacity=256),
             "src_csv_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "

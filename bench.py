@@ -685,6 +685,14 @@ def main():
         ),
     )
     bench(
+        "cur_pack_bfd",
+        lambda: checksum(
+            entrymod.q_pack_bfd(spark, sf_dir),
+            ["source", "doc_id", "n_tokens", "bin_idx",
+             "offset_in_bin"],
+        ),
+    )
+    bench(
         "text_bpe_fertility",
         lambda: checksum(
             entrymod.q_bpe_fertility(spark, sf_dir),

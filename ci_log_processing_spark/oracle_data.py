@@ -4729,3 +4729,63 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
          AS chars_per_token_milli
 FROM g
 """
+
+
+def q_pack_bfd(capacity: int = 256) -> str:
+    """pack_sequences_bfd twin (operators/curation.py): the BFD
+    placement replayed by a recursive CTE whose VALUE STATE is the
+    bin-load list — best bin = list_max(list_filter(bins, fits)),
+    its index via list_position (first match = lowest index, the
+    tie rule), update via an indexed list_transform. The per-group
+    sequential scan the operator runs in pandas, expressed as
+    relational recursion."""
+    return f"""
+WITH RECURSIVE sized AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+seq AS (
+  SELECT source, doc_id, nt,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY nt DESC, doc_id) AS BIGINT) AS rn
+  FROM sized
+),
+step AS (
+  SELECT source, CAST(0 AS BIGINT) AS rn,
+         CAST([] AS BIGINT[]) AS bins,
+         CAST([] AS STRUCT(d BIGINT, nt BIGINT, b BIGINT,
+                           o BIGINT)[]) AS acc
+  FROM (SELECT DISTINCT source FROM seq)
+  UNION ALL
+  SELECT st.source, st.rn + 1,
+         CASE WHEN t.bv IS NULL THEN list_append(st.bins, q.nt)
+              ELSE list_transform(st.bins,
+                     (u, i) -> CASE WHEN i = t.bi THEN u + q.nt
+                               ELSE u END) END,
+         list_append(st.acc,
+           {{'d': q.doc_id, 'nt': q.nt,
+            'b': CASE WHEN t.bv IS NULL THEN len(st.bins)
+                 ELSE t.bi - 1 END,
+            'o': CASE WHEN t.bv IS NULL THEN 0 ELSE t.bv END}})
+  FROM step st
+  JOIN seq q ON q.source = st.source AND q.rn = st.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT list_max(list_filter(st.bins,
+             u -> u + q.nt <= {capacity})) AS bv,
+           list_position(st.bins,
+             list_max(list_filter(st.bins,
+               u -> u + q.nt <= {capacity}))) AS bi
+  ) t
+),
+fin AS (
+  SELECT s.source, s.acc
+  FROM step s
+  JOIN (SELECT source, max(rn) AS n FROM seq GROUP BY 1) m
+    ON s.source = m.source AND s.rn = m.n
+),
+ex AS (SELECT source, unnest(acc) AS a FROM fin)
+SELECT source, a.d AS doc_id, a.nt AS n_tokens,
+       a.b AS bin_idx, a.o AS offset_in_bin
+FROM ex
+"""

@@ -148,3 +148,54 @@ def test_repetition_variants_bit_equal(spark):
             .reset_index(drop=True)[base.columns]
         )
         assert base.equals(alt), (fn.__name__, base, alt)
+
+
+def test_bfd_beats_next_fit_on_skewed_mix(spark):
+    """BFD must use no more bins than next-fit (and strictly fewer
+    on a planted skewed mix), match a pure-python BFD reference,
+    and never overflow capacity except for oversized singletons."""
+    from ci_log_processing_spark.operators.curation import (
+        pack_sequences,
+        pack_sequences_bfd,
+    )
+
+    cap = 100
+    # skewed mix: 60+41 can never share; BFD pairs 60s with 40s
+    sizes = [60, 41, 60, 40, 59, 39, 58, 38, 120]
+    rows = [
+        (i, " ".join(["w"] * n), "s0") for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    nf = pack_sequences(df, capacity=cap)
+    bfd = pack_sequences_bfd(df, capacity=cap)
+    nf_bins = nf.agg({"bin_idx": "max"}).collect()[0][0] + 1
+    got = {r["doc_id"]: r for r in bfd.collect()}
+    bfd_bins = max(r["bin_idx"] for r in got.values()) + 1
+    assert bfd_bins < nf_bins
+    # python BFD reference
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    bins, ref = [], {}
+    for i in order:
+        nt = sizes[i]
+        cand = [
+            (u, j) for j, u in enumerate(bins) if u + nt <= cap
+        ]
+        if cand:
+            u, j = max(cand, key=lambda t: (t[0], -t[1]))
+            ref[i] = (j, bins[j])
+            bins[j] += nt
+        else:
+            ref[i] = (len(bins), 0)
+            bins.append(nt)
+    for i, (b, o) in ref.items():
+        assert (got[i]["bin_idx"], got[i]["offset_in_bin"]) == (b, o)
+    # capacity respected for every multi-doc bin
+    loads = {}
+    for r in got.values():
+        loads[r["bin_idx"]] = loads.get(r["bin_idx"], 0) + r["n_tokens"]
+    for b, load in loads.items():
+        members = [r for r in got.values() if r["bin_idx"] == b]
+        if len(members) > 1:
+            assert load <= cap
