@@ -900,6 +900,20 @@ def main():
         "cur_column_profile",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
+    # round-4 closing batch: freeze this session's additions as
+    # their own subset so round 5 compares apples-to-apples
+    R4F_QUERIES = [
+        "dedup_symspell_pairs", "cur_reliability_iso",
+        "mm_scene_cuts", "sim_kcenter_select", "text_watermark",
+        "cur_render_chat", "text_source_keyness", "pipe_agg_cube",
+        "op_salted_join", "pipe_ewma_alerts", "dedup_cluster_cards",
+        "op_asof_forward", "src_csv_quarantine", "text_eval_f1",
+        "pipe_pseudonymize", "stream_ewma_alerts",
+        "text_bpe_fertility", "cur_pack_bfd",
+    ]
+    r4f_subtotal = round(
+        sum(timings[q] for q in R4F_QUERIES if q in timings), 3
+    )
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the
     # TAIL of stdout, so the large static extras (scaling studies)
     # print FIRST and the per-round data the judge needs — value,
@@ -934,6 +948,7 @@ def main():
         "value_round2_subset": r2_subtotal,
         "value_round3_subset": r3_subtotal,
         "value_round4_subset": r4_subtotal,
+        "value_round4f_subset": r4f_subtotal,
         "round3_suite": R3_QUERIES,
         "queries": timings,
         "value": total,
