@@ -1612,6 +1612,22 @@ def q_jsonl_quarantine(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood linkage (operators/linkage.py
+    sorted_neighborhood_pairs): rank-window candidate pairs over
+    the two-level bucket rank (no global sort), exact levenshtein
+    verify — the wide-net multi-pass companion to symspell; the
+    oracle affords the plain global row_number the operator
+    avoids."""
+    from ci_log_processing_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _docs(spark, sf_dir), window=4, max_dist=2
+    )
+
+
 def q_pack_bfd(spark, sf_dir):
     """Best-fit-decreasing packing (operators/curation.py
     pack_sequences_bfd): the 11/9-OPT density upgrade over next-fit,
@@ -3799,7 +3815,7 @@ _VERIFY_FIRST = (
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
     #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine,
     #   text_eval_f1, pipe_pseudonymize, stream_ewma_alerts,
-    #   text_bpe_fertility, cur_pack_bfd
+    #   text_bpe_fertility, cur_pack_bfd, dedup_sorted_neighborhood
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -3993,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipe_pseudonymize": q_pseudonymize,
             "text_bpe_fertility": q_bpe_fertility,
             "cur_pack_bfd": q_pack_bfd,
+            "dedup_sorted_neighborhood": q_sorted_neighborhood,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -4314,6 +4331,9 @@ def oracle_sql() -> dict[str, str]:
             "pipe_pseudonymize": oracle.q_pseudonymize(),
             "text_bpe_fertility": od.q_bpe_fertility(n_merges=8),
             "cur_pack_bfd": od.q_pack_bfd(capacity=256),
+            "dedup_sorted_neighborhood": od.q_sorted_neighborhood(
+                window=4, max_dist=2
+            ),
             "src_csv_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "

@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "dedup_sorted_neighborhood",
+        lambda: checksum(
+            entrymod.q_sorted_neighborhood(spark, sf_dir),
+            ["doc_a", "doc_b", "gap", "dist"],
+        ),
+    )
+    bench(
         "cur_pack_bfd",
         lambda: checksum(
             entrymod.q_pack_bfd(spark, sf_dir),

@@ -231,3 +231,100 @@ def symspell_pairs(
         .filter(F.col("dist") <= max_dist)
         .distinct()
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    max_dist: int = 2,
+    key_len: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+    OTHER classic record-linkage blocking, complementing
+    symspell_pairs: sort the corpus by canonical key, compare each
+    record only to its `window` successors in sort order, verify
+    with exact levenshtein. Where the delete neighborhood gives
+    TOTAL recall at distance <= d for O(key_len) index rows per doc,
+    sorted-neighborhood gives O(window) candidates per doc at ANY
+    distance cutoff — the cheap wide-net pass (typos in the first
+    characters sort far apart and are missed; that trade is the
+    method, and running both passes is the standard multi-pass SN
+    practice).
+
+    The global sort order is computed WITHOUT a global sort — the
+    two-level bucket rank of curation.shuffle_index, with the
+    bucket = the key's 2-char PREFIX (a prefix of the sort key, so
+    (bucket, key, id) order == (key, id) order): one hash exchange
+    on ~37^2 buckets + a tiny offset cumsum broadcast back. Bucket
+    skew follows key-prefix skew (a boilerplate-heavy corpus
+    concentrates); the verify stays O(window) per doc regardless.
+    Candidate pairs join on rank-block ids (block = idx div window;
+    a-side emits its own and the next block — each qualifying pair
+    matches exactly once, no distinct needed).
+
+    Output: (doc_a, doc_b, gap, dist) with doc_a < doc_b by id,
+    gap = rank distance (1..window), dist = exact levenshtein
+    <= max_dist.
+    """
+    if window < 1:
+        raise ValueError(f"sorted_neighborhood_pairs: window={window} < 1")
+    keys = docs.select(
+        "doc_id", canonical_key(F.col(text_col), key_len).alias("key")
+    )
+    keyed = keys.select(
+        "doc_id", "key", F.substring("key", 1, 2).alias("_bkt")
+    ).repartition(F.col("_bkt"))
+    w_in = Window.partitionBy("_bkt").orderBy("key", "doc_id")
+    from .dedup import _register_persist
+
+    ranked = _register_persist(
+        keyed.withColumn("_rn", F.row_number().over(w_in))
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranked.groupBy("_bkt")
+        .agg(F.max("_rn").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_bkt", "_off")
+    )
+    idx = (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "doc_id",
+            "key",
+            (F.col("_off") + F.col("_rn") - 1).alias("rnk"),
+        )
+    )
+    a = idx.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(
+            F.array(
+                F.expr(f"rnk div {window}"),
+                F.expr(f"rnk div {window} + 1"),
+            )
+        ).alias("blk"),
+    )
+    b = idx.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.expr(f"rnk div {window}").alias("blk"),
+    )
+    cand = a.join(b, "blk").filter(
+        (F.col("rnk_b") - F.col("rnk_a") >= 1)
+        & (F.col("rnk_b") - F.col("rnk_a") <= window)
+    )
+    return (
+        cand.select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            (F.col("rnk_b") - F.col("rnk_a")).cast("int").alias("gap"),
+            F.levenshtein(F.col("key_a"), F.col("key_b")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -4789,3 +4789,35 @@ SELECT source, a.d AS doc_id, a.nt AS n_tokens,
        a.b AS bin_idx, a.o AS offset_in_bin
 FROM ex
 """
+
+
+def q_sorted_neighborhood(
+    window: int = 4, max_dist: int = 2, key_len: int = 24
+) -> str:
+    """sorted_neighborhood_pairs twin (operators/linkage.py): the
+    same canonical keys, a PLAIN global row_number (the oracle can
+    afford the global sort the operator's two-level bucket rank
+    avoids — their equality is the point), rank-gap window pairs,
+    exact levenshtein cutoff."""
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(regexp_replace(
+                lower(substr(text, 1, 4 * {key_len})),
+                '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')),
+                1, {key_len}) AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, key,
+         row_number() OVER (ORDER BY key, doc_id) AS rnk
+  FROM k
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       CAST(b.rnk - a.rnk AS INT) AS gap,
+       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+FROM r a JOIN r b
+  ON b.rnk - a.rnk BETWEEN 1 AND {window}
+WHERE levenshtein(a.key, b.key) <= {max_dist}
+"""

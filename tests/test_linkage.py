@@ -125,3 +125,70 @@ def test_canonical_key_chain(spark):
     got = df.select(canonical_key(F.col("text")).alias("k")).collect()[0]["k"]
     # é is non-[a-z0-9 ] post-lower -> stripped; runs collapse; trim
     assert got == "hllo world 42"
+
+
+def test_sorted_neighborhood_matches_plain_rank_reference(spark):
+    """The two-level bucket rank must reproduce the PLAIN global
+    (key, doc_id) sort order: pairs == a python reference computing
+    rank-window pairs directly; typo pairs adjacent in sort order
+    are found, prefix-typo pairs sorting far apart are (by design)
+    missed at small windows."""
+    import re
+
+    from ci_log_processing_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma deltaz"),   # adjacent in sort order
+        (3, "zzz omega psi chi"),
+        (4, "azz omega psi chi"),         # FIRST-char typo of 3:
+                                          # sorts far from 3
+        (5, "alpha beta gamma"),
+        # spacers so 3 and 4 sit more than `window` ranks apart
+        (6, "b spacer one"), (7, "c spacer two"), (8, "d spacer"),
+        (9, "m spacer"), (10, "q spacer"),
+    ]
+    w, d = 2, 3
+    got = {
+        (r["doc_a"], r["doc_b"], r["gap"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            _docs(spark, rows), window=w, max_dist=d
+        ).collect()
+    }
+    from ci_log_processing_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    release_persisted()
+
+    def canon(t):
+        t = re.sub("[^a-z0-9 ]", "", t[:96].lower())
+        return re.sub("  +", " ", t).strip()[:24]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    order = sorted(rows, key=lambda r: (canon(r[1]), r[0]))
+    want = set()
+    for i, (da, ta) in enumerate(order):
+        for g in range(1, w + 1):
+            if i + g < len(order):
+                db, tb = order[i + g]
+                dd = lev(canon(ta), canon(tb))
+                if dd <= d:
+                    want.add((min(da, db), max(da, db), g, dd))
+    assert got == want
+    # the adjacent typo pair is present; the first-char typo is not
+    assert any(a == 1 and b == 2 for a, b, _, _ in got)
+    assert not any(a == 3 and b == 4 for a, b, _, _ in got)
