@@ -1612,6 +1612,21 @@ def q_jsonl_quarantine(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, is_corrupt boolean")
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample KS drift (operators/dq.py ks_drift) between the
+    even- and odd-doc_id slices' n_chars distributions — exact
+    integer cross-multiplied CDF max, value-histogram shape (the
+    shuffle carries distinct values, never rows)."""
+    from ci_log_processing_spark.operators.dq import ks_drift
+
+    docs = _docs(spark, sf_dir)
+    return ks_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    )
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood linkage (operators/linkage.py
     sorted_neighborhood_pairs): rank-window candidate pairs over
@@ -3815,7 +3830,8 @@ _VERIFY_FIRST = (
     #   pipe_agg_cube, op_salted_join, pipe_ewma_alerts,
     #   dedup_cluster_cards, op_asof_forward, src_csv_quarantine,
     #   text_eval_f1, pipe_pseudonymize, stream_ewma_alerts,
-    #   text_bpe_fertility, cur_pack_bfd, dedup_sorted_neighborhood
+    #   text_bpe_fertility, cur_pack_bfd, dedup_sorted_neighborhood,
+    #   cur_ks_drift
     # = 45+ never-verified, then (c) fill the remaining slots with
     # the oldest stale-r2 rows (pipe_enrich-era) for freshness.
     # Queries added later in round 4 than this comment join (b).
@@ -4010,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_bpe_fertility": q_bpe_fertility,
             "cur_pack_bfd": q_pack_bfd,
             "dedup_sorted_neighborhood": q_sorted_neighborhood,
+            "cur_ks_drift": q_ks_drift,
             "text_c4_clean": q_c4_clean,
             "text_token_counts": q_token_counts,
             "text_pii_scrub": q_pii_scrub,
@@ -4334,6 +4351,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_sorted_neighborhood": od.q_sorted_neighborhood(
                 window=4, max_dist=2
             ),
+            "cur_ks_drift": od.q_ks_drift(),
             "src_csv_quarantine": (
                 "SELECT doc_id, FALSE AS is_corrupt FROM documents "
                 "WHERE doc_id % 13 != 0 "

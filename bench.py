@@ -685,6 +685,13 @@ def main():
         ),
     )
     bench(
+        "cur_ks_drift",
+        lambda: checksum(
+            entrymod.q_ks_drift(spark, sf_dir),
+            ["n_a", "n_b", "v_at_max", "d_milli"],
+        ),
+    )
+    bench(
         "dedup_sorted_neighborhood",
         lambda: checksum(
             entrymod.q_sorted_neighborhood(spark, sf_dir),

@@ -141,3 +141,72 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         F.col("c.min_value").alias("min_value"),
         F.col("c.max_value").alias("max_value"),
     )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between two corpus
+    slices/snapshots over a DISCRETE value column (lengths, token
+    counts, latency buckets) — the distribution-shift audit
+    complementing snapshot_drift's embedding-centroid distance:
+    D = max_v |cdf_a(v) - cdf_b(v)|, the statistic behind "did this
+    ingest wave change the length mix".
+
+    Exact integer contract: with na/nb the slice sizes and
+    cum_a/cum_b the cumulative counts at each observed value,
+        D = max |cum_a * nb - cum_b * na| / (na * nb)
+    is computed as an int64 max over cross-multiplied terms and
+    floored to d_milli = (1000 * num) div (na * nb) at the END —
+    no float CDF anywhere, both engines bit-equal. The argmax value
+    (lowest on ties) is exposed for triage.
+
+    Scale shape: the value-HISTOGRAM pattern of the exact
+    percentile operators — two partial+final count aggregates whose
+    shuffled volume is DISTINCT VALUES (never rows), a full outer
+    join on value, and a cumulative window over the distinct-value
+    table. That window is single-partition by construction and
+    bounded by the value domain (the same documented-bounds
+    argument as latency percentiles: a discrete measurement column
+    has a domain-bounded histogram; for unbounded domains bucket
+    first). Output is ONE row.
+    """
+    va = a.select(F.col(value_col).cast("long").alias("v"))
+    vb = b.select(F.col(value_col).cast("long").alias("v"))
+    ha = va.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    hb = vb.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    merged = ha.join(hb, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = merged.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+        ).alias("num"),
+    )
+    best = scored.orderBy(F.desc("num"), F.asc("v")).limit(1)
+    return best.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("v").alias("v_at_max"),
+        F.expr("(1000 * num) div (na * nb)")
+        .cast("long")
+        .alias("d_milli"),
+    )

@@ -4821,3 +4821,35 @@ FROM r a JOIN r b
   ON b.rnk - a.rnk BETWEEN 1 AND {window}
 WHERE levenshtein(a.key, b.key) <= {max_dist}
 """
+
+
+def q_ks_drift() -> str:
+    """ks_drift twin (operators/dq.py) over the gate's two slices
+    (even vs odd doc_id, n_chars distribution): the same value
+    histogram, cumulative counts, cross-multiplied integer max and
+    final milli floor; argmax tie broken to the lowest value."""
+    return """
+WITH a AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 1),
+ha AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
+hb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
+m AS (
+  SELECT coalesce(ha.v, hb.v) AS v,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v
+),
+cum AS (
+  SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+         sum(cb) OVER (ORDER BY v) AS cum_b
+  FROM m
+),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+s AS (
+  SELECT v, na, nb, abs(cum_a * nb - cum_b * na) AS num
+  FROM cum, t
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(v AS BIGINT) AS v_at_max,
+       CAST((1000 * num) // (na * nb) AS BIGINT) AS d_milli
+FROM s ORDER BY num DESC, v LIMIT 1
+"""

@@ -128,3 +128,33 @@ def test_column_profile_stats(spark):
     assert out["lang"].n_distinct == 2  # nulls excluded from ndv
     assert (out["lang"].min_value, out["lang"].max_value) == ("de", "en")
     assert all(r.n_rows == 3 for r in out.values())
+
+
+def test_ks_drift_scipy_free_reference(spark):
+    """KS D vs a pure-python two-sample reference: identical
+    distributions -> 0; disjoint -> 1000; a planted shift matches
+    the exact fraction floor."""
+    from ci_log_processing_spark.operators.dq import ks_drift
+
+    mk = lambda vals: spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x long"
+    )
+    same = [1, 2, 2, 3, 5, 8]
+    r = ks_drift(mk(same), mk(same), "x").collect()[0]
+    assert r["d_milli"] == 0 and r["n_a"] == 6
+    r = ks_drift(mk([1, 2, 3]), mk([10, 11]), "x").collect()[0]
+    assert r["d_milli"] == 1000 and r["v_at_max"] == 3
+    a, b = [1, 1, 2, 3], [2, 3, 3, 4, 4]
+    r = ks_drift(mk(a), mk(b), "x").collect()[0]
+    # python reference
+    vals = sorted(set(a) | set(b))
+    best, bestv = -1, None
+    for v in vals:
+        num = abs(
+            sum(1 for x in a if x <= v) * len(b)
+            - sum(1 for x in b if x <= v) * len(a)
+        )
+        if num > best:
+            best, bestv = num, v
+    assert r["d_milli"] == (1000 * best) // (len(a) * len(b))
+    assert r["v_at_max"] == bestv
