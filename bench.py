@@ -914,8 +914,12 @@ def main():
         "cur_column_profile",
     ]
     r4_subtotal = round(sum(timings[q] for q in R4_QUERIES), 3)
-    # round-4 closing batch: freeze this session's additions as
-    # their own subset so round 5 compares apples-to-apples
+    # round-4 closing batch, FROZEN as of its land date: the subset
+    # was cut before the session's last two queries
+    # (dedup_sorted_neighborhood, cur_ks_drift) landed, so those two
+    # are deliberately NOT members — they are benched individually
+    # and join the round-5 subset instead; keep this list unchanged
+    # so round-over-round comparisons stay apples-to-apples.
     R4F_QUERIES = [
         "dedup_symspell_pairs", "cur_reliability_iso",
         "mm_scene_cuts", "sim_kcenter_select", "text_watermark",
@@ -927,6 +931,13 @@ def main():
     ]
     r4f_subtotal = round(
         sum(timings[q] for q in R4F_QUERIES if q in timings), 3
+    )
+    # round-5 subset: the two queries that landed after the R4F
+    # freeze (the gate surface itself is frozen in round 5 while the
+    # driver-verification backlog drains, so no further members).
+    R5_QUERIES = ["dedup_sorted_neighborhood", "cur_ks_drift"]
+    r5_subtotal = round(
+        sum(timings[q] for q in R5_QUERIES if q in timings), 3
     )
     # KEY ORDER MATTERS: the driver's BENCH artifact keeps only the
     # TAIL of stdout, so the large static extras (scaling studies)
@@ -963,6 +974,7 @@ def main():
         "value_round3_subset": r3_subtotal,
         "value_round4_subset": r4_subtotal,
         "value_round4f_subset": r4f_subtotal,
+        "value_round5_subset": r5_subtotal,
         "round3_suite": R3_QUERIES,
         "queries": timings,
         "value": total,

@@ -1355,6 +1355,7 @@ def decontaminate_spans(
     benchmark_snippets: list[str],
     k: int = 5,
     text_col: str = "text",
+    max_literal_keys: int = 50_000,
 ) -> DataFrame:
     """Span-level decontamination EXCISION: instead of dropping every
     document that overlaps the benchmark suite (decontaminate /
@@ -1372,12 +1373,20 @@ def decontaminate_spans(
     gaps-and-islands window dedup.duplicate_spans uses, and the
     ORIGINAL-case tokens inside merged intervals are removed.
 
-    Scale shape: the benchmark shingle-hash set is a driver-built
-    LITERAL (benchmark suites are tiny — same argument as
-    decontaminate's snippet chain; a corpus-sized test set would swap
-    in a broadcast semi-join without touching the rest of the plan),
+    Scale shape: up to max_literal_keys distinct benchmark shingle
+    hashes (default 50k — comfortably above any snippet-style suite,
+    far below plan-size trouble) the set is a driver-built LITERAL,
     so flagging is a per-row filter on the positional-shingle stream
-    — zero shuffle. The only exchanges are the doc-keyed island
+    — zero shuffle and zero extra jobs. ABOVE the threshold the
+    operator auto-routes to a broadcast LeftSemi join of the
+    positional stream against the (still benchmark-sized) key
+    DataFrame — identical membership semantics, never a driver
+    collect of the keys, still zero corpus shuffle; only a
+    genuinely corpus-sized test set (where broadcast itself stops
+    fitting) would need leakage_safe_split's shuffled semi-join.
+    The oracle twin is unaffected: it checks the same text-level
+    membership, which both physical paths implement. The only
+    exchanges either way are the doc-keyed island
     window + span aggregate over FLAGGED positions (hit-volume, not
     corpus-volume) and the doc-keyed join back; the rebuild is
     per-row codegen (covered-position array + indexed filter).
@@ -1443,24 +1452,33 @@ def decontaminate_spans(
         [(i, s) for i, s in enumerate(benchmark_snippets)],
         f"snip_id long, {text_col} string",
     )
-    test_keys = sorted(
-        r[0]
-        for r in _hashed_toks(snip_df, "snip_id")
+    keys_df = (
+        _hashed_toks(snip_df, "snip_id")
         .select(F.explode(spans).alias("h"))
         .distinct()
-        .collect()
     )
-    if not test_keys:
+    # probe with limit(max+1): if <= max rows come back that IS the
+    # full key set (one benchmark-sized job, the literal fast path);
+    # max+1 rows means the suite is too big to inline — route to the
+    # broadcast semi-join WITHOUT ever collecting the keys.
+    probe = keys_df.limit(max_literal_keys + 1).collect()
+    if not probe:
         raise ValueError(
             f"decontaminate_spans: no snippet has >= {k} tokens"
         )
 
-    hits = (
-        _hashed_toks(docs, "doc_id")
-        .select("doc_id", F.posexplode(spans).alias("pos", "h"))
-        .filter(F.col("h").isin(test_keys))
-        .select("doc_id", "pos")
+    positional = _hashed_toks(docs, "doc_id").select(
+        "doc_id", F.posexplode(spans).alias("pos", "h")
     )
+    if len(probe) <= max_literal_keys:
+        test_keys = sorted(r[0] for r in probe)
+        hits = positional.filter(F.col("h").isin(test_keys)).select(
+            "doc_id", "pos"
+        )
+    else:
+        hits = positional.join(
+            F.broadcast(keys_df), "h", "leftsemi"
+        ).select("doc_id", "pos")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

@@ -24,10 +24,11 @@ Caching note: ngram_jaccard_pairs / minhash_lsh_pairs /
 simhash_pairs / duplicate_spans persist() an intermediate so their
 verify stage reuses one corpus scan. The persisted data stays
 referenced by the returned plan; call `release_persisted()` after
-consuming the results to unpersist EXACTLY these intermediates
-(spark.catalog.clearCache() also works but nukes unrelated cached
-data — the harnesses use it because they want everything cleared
-between queries).
+consuming the results to unpersist EXACTLY these intermediates, or
+wrap composed calls in `with scoped_persists():` so the release is
+automatic and scoped to the block (spark.catalog.clearCache() also
+works but nukes unrelated cached data — the harnesses use it because
+they want everything cleared between queries).
 """
 
 from __future__ import annotations
@@ -63,6 +64,34 @@ def release_persisted() -> int:
         _PERSIST_REGISTRY.pop().unpersist()
         n += 1
     return n
+
+
+class scoped_persists:
+    """Context manager scoping the persist lifecycle for library
+    consumers composing several persisting operators (srp pairs +
+    shuffle index + bigram vocab …) in one long-lived session:
+
+        with scoped_persists():
+            pairs = minhash_lsh_pairs(docs).collect()
+            extra = simhash_pairs(docs).collect()
+        # exactly the intermediates persisted INSIDE the block are
+        # now unpersisted; nothing registered before entry (or by an
+        # enclosing scope) is touched, unlike catalog clearCache().
+
+    Re-entrant: nested scopes release only their own registrations.
+    Consume results inside the block — a plan collected after exit
+    stays CORRECT but recomputes its released intermediates. Exits
+    via exception still release (try/finally semantics)."""
+
+    def __enter__(self) -> "scoped_persists":
+        self._mark = len(_PERSIST_REGISTRY)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        scoped = _PERSIST_REGISTRY[self._mark:]
+        del _PERSIST_REGISTRY[self._mark:]
+        for df in scoped:
+            df.unpersist()
 
 
 def h32(col: Column) -> Column:

@@ -158,10 +158,18 @@ def ks_drift(
     Exact integer contract: with na/nb the slice sizes and
     cum_a/cum_b the cumulative counts at each observed value,
         D = max |cum_a * nb - cum_b * na| / (na * nb)
-    is computed as an int64 max over cross-multiplied terms and
-    floored to d_milli = (1000 * num) div (na * nb) at the END —
+    is computed as an exact integer max over cross-multiplied terms
+    and floored to d_milli = (1000 * num) div (na * nb) at the END —
     no float CDF anywhere, both engines bit-equal. The argmax value
     (lowest on ties) is exposed for triage.
+
+    Overflow headroom: the cross-products run in decimal(38,0), not
+    int64 — DuckDB's integer sum() already promotes to HUGEINT, so
+    this is what keeps the two engines bit-equal PAST the int64
+    cliff at na*nb ≈ 9.2e18/1000. The decimal bound is
+    na*nb ≤ ~1e35 (i.e. ~3e17 rows per slice) — beyond any corpus
+    this engine targets; only the final d_milli ∈ [0, 1000] is
+    narrowed back to long.
 
     Scale shape: the value-HISTOGRAM pattern of the exact
     percentile operators — two partial+final count aggregates whose
@@ -193,20 +201,25 @@ def ks_drift(
     totals = merged.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
+    dec = "decimal(38,0)"
     scored = cum.crossJoin(F.broadcast(totals)).select(
         "v",
         "na",
         "nb",
         F.abs(
-            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+            F.col("cum_a").cast(dec) * F.col("nb").cast(dec)
+            - F.col("cum_b").cast(dec) * F.col("na").cast(dec)
         ).alias("num"),
     )
     best = scored.orderBy(F.desc("num"), F.asc("v")).limit(1)
     return best.select(
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
         F.col("v").alias("v_at_max"),
-        F.expr("(1000 * num) div (na * nb)")
+        F.expr(
+            "cast(1000 as decimal(38,0)) * num"
+            " div (cast(na as decimal(38,0)) * cast(nb as decimal(38,0)))"
+        )
         .cast("long")
         .alias("d_milli"),
     )

@@ -511,6 +511,47 @@ def test_decontaminate_spans_excision(spark):
         decontaminate_spans(docs, ["short"], k=5)  # no >=5-token snippet
 
 
+def test_decontaminate_spans_big_set_routes_to_semijoin(spark):
+    """Above max_literal_keys the benchmark key set must NOT be
+    inlined as an IN-list literal (plan-size cliff for huge suites):
+    the operator auto-routes to a broadcast LeftSemi join with
+    bit-identical output. Exercise both sides of the boundary on the
+    same inputs: the snippet below yields 3 distinct k=2 shingle
+    keys, so max_literal_keys=3 stays literal and =2 trips the
+    semi-join."""
+    from ci_log_processing_spark.operators.curation import (
+        decontaminate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "keep The Quick brown Fox jumps end"),
+            (1, "totally clean document here"),
+            (2, "the quick brown fox"),
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    snips = ["the quick brown fox"]  # 3 distinct k=2 shingles
+
+    lit = decontaminate_spans(docs, snips, k=2, max_literal_keys=3)
+    big = decontaminate_spans(docs, snips, k=2, max_literal_keys=2)
+
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    # boundary (== max) keeps the zero-job literal filter …
+    assert "LeftSemi" not in lit_plan, lit_plan
+    # … one past it swaps to the broadcast semi-join and the key set
+    # never appears as an IN-list in the plan
+    assert "LeftSemi" in big_plan, big_plan
+    assert " IN (" not in big_plan, big_plan
+
+    rows_lit = sorted(map(tuple, lit.collect()), key=lambda t: t[0])
+    rows_big = sorted(map(tuple, big.collect()), key=lambda t: t[0])
+    assert rows_lit == rows_big
+    assert rows_big[0][3] == "keep jumps end"
+
+
 def test_fuzzy_decontaminate_near_dup_and_plan(spark):
     from ci_log_processing_spark.operators.curation import (
         fuzzy_decontaminate,

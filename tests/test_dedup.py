@@ -361,3 +361,41 @@ def test_cluster_cards_savings_and_singleton_filter(spark):
     assert c1["keeper_chars"] == 4 and c1["saved_chars"] == 10
     c20 = got[20]
     assert c20["size"] == 2 and c20["saved_chars"] == 3
+
+
+def test_scoped_persists_back_to_back_composition(spark, corpus):
+    """VERDICT_r4 item 8: a long-lived user session composing several
+    persisting operators must not need manual release_persisted() —
+    `with scoped_persists():` releases exactly the block's
+    registrations, and nested scopes release only their own."""
+    from ci_log_processing_spark.operators.dedup import (
+        _PERSIST_REGISTRY,
+        minhash_estimate_pairs,
+        release_persisted,
+        scoped_persists,
+        simhash_pairs,
+    )
+
+    release_persisted()  # clean slate (other tests may leave state)
+    assert len(_PERSIST_REGISTRY) == 0
+
+    with scoped_persists():
+        est = minhash_estimate_pairs(corpus, threshold=0.6).collect()
+        inside = len(_PERSIST_REGISTRY)
+        assert inside >= 1  # the operator registered its signature table
+        with scoped_persists():
+            sim = simhash_pairs(corpus).collect()
+            assert len(_PERSIST_REGISTRY) > inside
+        # inner scope released ONLY its own registrations
+        assert len(_PERSIST_REGISTRY) == inside
+        assert est and sim  # both results consumed inside the scope
+    assert len(_PERSIST_REGISTRY) == 0
+
+    # exception exit still releases (try/finally semantics)
+    try:
+        with scoped_persists():
+            simhash_pairs(corpus).count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert len(_PERSIST_REGISTRY) == 0

@@ -52,3 +52,24 @@ def test_oracle_sql_strings_are_nonempty():
     e = _entry()
     for name, sql in e.oracle_sql().items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_catalog_md_in_sync():
+    """CATALOG.md (VERDICT_r4 item 6) is generated from queries() /
+    oracle_sql() / the committed CORRECTNESS and GATE_LOCAL
+    artifacts; a stale committed copy fails here — regenerate with
+    `python tools/make_catalog.py`."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import make_catalog
+    finally:
+        sys.path.pop(0)
+    with open(os.path.join(repo, "CATALOG.md")) as f:
+        committed = f.read()
+    assert committed == make_catalog.build_catalog(), (
+        "CATALOG.md is stale — run python tools/make_catalog.py"
+    )

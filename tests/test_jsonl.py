@@ -39,8 +39,9 @@ def test_jsonl_quarantines_bad_records(spark, tmp_path):
 
 
 def test_csv_quarantine_semantics(spark, tmp_path):
-    """CSV corruption contract: type-cast failure and extra tokens
-    quarantine; a SHORT row NULL-pads and stays good."""
+    """CSV corruption contract: type-cast failure, extra tokens AND
+    short rows all quarantine (token-count mismatch flags both
+    ways); a short row keeps its parsed prefix fields for triage."""
     from ci_log_processing_spark.sources.jsonl import (
         read_documents_csv,
         split_quarantine,
