@@ -1681,10 +1681,13 @@ def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exchange except the three grouped partials, all map-side
     combinable.
 
-    Float discipline: mean_quality is round-5 of an avg over
-    round-6 per-doc scores (same absorb-the-ulp policy as
-    cosine_col); p50_tokens is an exact interpolated percentile over
-    ints (deterministic in both engines); dup_doc_frac divides two
+    Float discipline: mean_quality = round-5 of
+    sum(quality_micro)/n/1e6 — the numerator is an EXACT integer sum
+    (quality_scores' round-5 micro-unit contract), so the division
+    chain produces the bit-identical double in both engines
+    regardless of aggregation order (a float avg would be
+    order-dependent within each engine); p50_tokens is an exact
+    interpolated percentile over ints; dup_doc_frac divides two
     exact ints, round-5.
     """
     from pyspark.sql.window import Window
@@ -1698,7 +1701,12 @@ def data_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
-        F.round(F.avg("quality"), 5).alias("mean_quality"),
+        F.round(
+            F.sum("quality_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            5,
+        ).alias("mean_quality"),
     )
     dup = (
         docs.select("source", F.md5(F.col(text_col)).alias("h"))

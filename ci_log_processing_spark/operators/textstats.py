@@ -97,31 +97,56 @@ def quality_scores(
 
     score = 0.4*stopword_ratio_clipped + 0.3*len_score + 0.3*(1 -
     punct_ratio), each term in [0,1]; deterministic, no model.
+
+    EXACT-INTEGER contract (round 5): every ratio is computed in
+    integer MICRO-units by floor division over the raw counts —
+    sr_micro = (1e6*n_stop) div n_tok, pr_micro = (1e6*n_punct) div
+    n_chars, ls_micro = min((1e6*n_tok) div 64, 1e6), and
+    quality_micro = (4*min(4*sr_micro, 1e6) + 3*ls_micro +
+    3*(1e6 - pr_micro)) div 10 — then divided by 1e6 into the
+    published double columns. Dividing the SAME exact integer by 1e6
+    yields the bit-identical IEEE double in Spark and DuckDB, so no
+    cross-engine 1-ulp rounding tie exists anywhere in the chain
+    (the earlier float formula produced engine-dependent doubles
+    that flipped the 6th printed decimal on ~1-in-50k docs at
+    sf0.1). quality_micro rides along as an exact BIGINT for
+    downstream integer consumers (data_card's deterministic mean).
     """
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     # count stopword OCCURRENCES (array_intersect would dedup)
     n_stop_occ = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
-    stop_ratio = _ratio(n_stop_occ.cast("double"), n_tok)
     punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
-    punct_ratio = _ratio(punct.cast("double"), F.length(F.col(text_col)))
-    len_score = F.round(
-        F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)), 6
-    )
-    quality = F.round(
-        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
-        + F.lit(0.3) * len_score
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
-        6,
-    )
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         *keep_cols,
-        n_tok.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        len_score.alias("len_score"),
-        quality.alias("quality"),
+        n_tok.alias("_nt"),
+        n_stop_occ.cast("long").alias("_ns"),
+        punct.cast("long").alias("_np"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+    ).select(
+        "doc_id",
+        *keep_cols,
+        "_nt",
+        F.expr("(1000000 * _ns) div greatest(_nt, 1)").alias("_srm"),
+        F.expr("(1000000 * _np) div greatest(_nc, 1)").alias("_prm"),
+        F.expr("least((1000000 * CAST(_nt AS BIGINT)) div 64, 1000000)").alias(
+            "_lsm"
+        ),
+    )
+    q_micro = F.expr(
+        "(4 * least(4 * _srm, 1000000) + 3 * _lsm"
+        " + 3 * (1000000 - _prm)) div 10"
+    )
+    return staged.select(
+        "doc_id",
+        *keep_cols,
+        F.col("_nt").alias("n_tokens"),
+        (F.col("_srm") / F.lit(1000000.0)).alias("stopword_ratio"),
+        (F.col("_prm") / F.lit(1000000.0)).alias("punct_ratio"),
+        (F.col("_lsm") / F.lit(1000000.0)).alias("len_score"),
+        (q_micro / F.lit(1000000.0)).alias("quality"),
+        q_micro.cast("long").alias("quality_micro"),
     )
 
 

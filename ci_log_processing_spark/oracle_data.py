@@ -666,20 +666,13 @@ def q_dedup_keep_best(threshold: float = 0.6) -> str:
     joined to the same per-doc quality formula as q_quality (computed
     over the CORPUS, planted dups included), survivor = max quality
     with doc_id tie-break."""
-    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    sr, pr, ls = _quality_micro_frags("text", _TOKS)
     return f"""
 WITH comp AS ({q_dedup_components(threshold)}),
 corpq AS (
-  SELECT doc_id,
-    round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
-      AS quality
+  SELECT doc_id, ({_QM}) / 1000000.0 AS quality
   FROM (
-    SELECT doc_id,
-      round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
-        AS sr,
-      round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
-            greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS pr,
-      round(least(len({_TOKS}) / 64.0, 1.0), 6) AS ls
+    SELECT doc_id, {sr} AS srm, {pr} AS prm, {ls} AS lsm
     FROM ({CORPUS_SQL})
   )
 )
@@ -1108,9 +1101,7 @@ def q_full_curation(
         f"NOT contains(lower(x), '{p}')" for p in C4_BLOCKLIST
     )
     ctoks = "string_split(lower(cleaned), ' ')"
-    stop_filter = (
-        f"len(list_filter({ctoks}, x -> {_in_list('x', STOPWORDS)}))"
-    )
+    csr, cpr, cls = _quality_micro_frags("cleaned", ctoks)
     extra_ctes = ""
     pack_src = "dd"
     if model_gate:
@@ -1192,18 +1183,14 @@ c AS (
 ),
 sq AS (
   SELECT doc_id, source, cleaned,
-    round({stop_filter} / greatest(CAST(len({ctoks}) AS DOUBLE), 1.0), 6)
-      AS stopword_ratio,
-    round(len(regexp_extract_all(cleaned, '[^A-Za-z0-9\\s]')) /
-          greatest(CAST(length(cleaned) AS DOUBLE), 1.0), 6) AS punct_ratio,
-    round(least(len({ctoks}) / 64.0, 1.0), 6) AS len_score
+    {csr} AS srm,
+    {cpr} AS prm,
+    {cls} AS lsm
   FROM c
 ),
 surv AS (
   SELECT doc_id, source, cleaned FROM sq
-  WHERE round(0.4 * least(stopword_ratio * 4, 1.0)
-              + 0.3 * len_score
-              + 0.3 * (1.0 - punct_ratio), 6) >= {min_quality}
+  WHERE ({_QM}) / 1000000.0 >= {min_quality}
 ),
 dd AS (
   SELECT doc_id, source, cleaned FROM (
@@ -1254,23 +1241,43 @@ def _in_list(var: str, words: list[str]) -> str:
     return f"list_contains([{lst}], {var})"
 
 
+def _quality_micro_frags(text: str, toks: str) -> tuple[str, str, str]:
+    """The round-5 exact-integer quality fragments, mirroring
+    textstats.quality_scores: (sr_micro, pr_micro, ls_micro)
+    expressions — every ratio an integer floor division in MICRO
+    units, so quality = micro/1e6 is the bit-identical IEEE double
+    in both engines (the earlier float formula hit engine-dependent
+    1-ulp rounding ties at the 6th printed decimal at sf0.1)."""
+    stop_filter = f"len(list_filter({toks}, x -> {_in_list('x', STOPWORDS)}))"
+    sr = f"(1000000 * {stop_filter}) // greatest(len({toks}), 1)"
+    pr = (
+        f"(1000000 * len(regexp_extract_all({text}, '[^A-Za-z0-9\\s]')))"
+        f" // greatest(length({text}), 1)"
+    )
+    ls = f"least((1000000 * len({toks})) // 64, 1000000)"
+    return sr, pr, ls
+
+
+_QM = "(4 * least(4 * srm, 1000000) + 3 * lsm + 3 * (1000000 - prm)) // 10"
+
+
 def q_quality() -> str:
-    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    sr, pr, ls = _quality_micro_frags("text", _TOKS)
     return f"""
 WITH base AS (
   SELECT doc_id,
     len({_TOKS}) AS n_tokens,
-    round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
-      AS stopword_ratio,
-    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
-          greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
-    round(least(len({_TOKS}) / 64.0, 1.0), 6) AS len_score
+    {sr} AS srm,
+    {pr} AS prm,
+    {ls} AS lsm
   FROM documents
 )
-SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, len_score,
-       round(0.4 * least(stopword_ratio * 4, 1.0)
-             + 0.3 * len_score
-             + 0.3 * (1.0 - punct_ratio), 6) AS quality
+SELECT doc_id, n_tokens,
+       srm / 1000000.0 AS stopword_ratio,
+       prm / 1000000.0 AS punct_ratio,
+       lsm / 1000000.0 AS len_score,
+       ({_QM}) / 1000000.0 AS quality,
+       CAST({_QM} AS BIGINT) AS quality_micro
 FROM base
 """
 
@@ -1520,21 +1527,14 @@ WHERE {h} < ({cut})
 def q_quality_top_frac(frac_num: int, frac_den: int) -> str:
     """quality_top_fraction twin: same quality formula as q_quality,
     same integer ceil cut rank per source."""
-    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    sr, pr, ls = _quality_micro_frags("text", _TOKS)
     return f"""
 WITH base AS (
-  SELECT doc_id, source,
-    round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
-      AS sr,
-    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
-          greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS pr,
-    round(least(len({_TOKS}) / 64.0, 1.0), 6) AS ls
+  SELECT doc_id, source, {sr} AS srm, {pr} AS prm, {ls} AS lsm
   FROM documents
 ),
 q AS (
-  SELECT doc_id, source,
-    round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
-      AS quality
+  SELECT doc_id, source, ({_QM}) / 1000000.0 AS quality
   FROM base
 ),
 r AS (
@@ -1558,23 +1558,22 @@ def q_stream_ingest_curation(min_quality: float = 0.45) -> str:
     micro-batch arrival order (file-source mtime ordering is not
     guaranteed for same-millisecond files), and both copies share
     h and quality."""
-    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    sr, pr, ls = _quality_micro_frags("text", _TOKS)
+    # DISTINCT is load-bearing: the stream's content-hash dedup
+    # emits each text ONCE even when the documents table itself
+    # carries duplicate texts (first observed at sf0.1 — 8 intra-
+    # table dup texts; sf0.01 happens to have none), not just the
+    # planted +1000000 copies. quality is a function of text, so
+    # DISTINCT (h, quality) == distinct text.
     return f"""
 WITH base AS (
-  SELECT doc_id, text,
-    round({stop_filter} / greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6)
-      AS sr,
-    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
-          greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS pr,
-    round(least(len({_TOKS}) / 64.0, 1.0), 6) AS ls
+  SELECT doc_id, text, {sr} AS srm, {pr} AS prm, {ls} AS lsm
   FROM documents
 )
-SELECT md5(text) AS h,
-       round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
-         AS quality
+SELECT DISTINCT md5(text) AS h,
+       ({_QM}) / 1000000.0 AS quality
 FROM base
-WHERE round(0.4 * least(sr * 4, 1.0) + 0.3 * ls + 0.3 * (1.0 - pr), 6)
-      >= {min_quality}
+WHERE ({_QM}) / 1000000.0 >= {min_quality}
 """
 
 
@@ -2567,27 +2566,24 @@ def q_data_card() -> str:
     count, token sum, exact interpolated p50 (quantile_cont), round-5
     mean quality, exact-dup doc fraction via a (source, md5) count,
     and the modal language with (count desc, lang asc) tie-break."""
-    stop_filter = f"len(list_filter({_TOKS}, x -> {_in_list('x', STOPWORDS)}))"
+    sr, pr, ls = _quality_micro_frags("text", _TOKS)
     return f"""
 WITH perdoc AS (
   SELECT source, lang, md5(text) AS h,
     len({_TOKS}) AS n_tokens,
-    round(0.4 * least(
-            round({stop_filter} /
-                  greatest(CAST(len({_TOKS}) AS DOUBLE), 1.0), 6) * 4,
-            1.0)
-          + 0.3 * round(least(len({_TOKS}) / 64.0, 1.0), 6)
-          + 0.3 * (1.0 - round(
-              len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
-              greatest(CAST(length(text) AS DOUBLE), 1.0), 6)), 6)
-      AS quality
-  FROM documents
+    CAST({_QM} AS BIGINT) AS quality_micro
+  FROM (
+    SELECT source, lang, text,
+           {sr} AS srm, {pr} AS prm, {ls} AS lsm
+    FROM documents
+  )
 ),
 main AS (
   SELECT source, count(*) AS n_docs,
          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          quantile_cont(n_tokens, 0.5) AS p50_tokens,
-         round(avg(quality), 5) AS mean_quality
+         round(CAST(sum(quality_micro) AS DOUBLE) / count(*)
+               / 1000000.0, 5) AS mean_quality
   FROM perdoc GROUP BY 1
 ),
 grp AS (SELECT source, h, count(*) AS cnt FROM perdoc GROUP BY 1, 2),
