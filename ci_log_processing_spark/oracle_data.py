@@ -4127,15 +4127,18 @@ def q_count_cosine_pairs(
     threshold_milli: int = 800, df_cut: int = 128, ngram: int = 4
 ) -> str:
     """count_cosine_pairs twin (operators/dedup.py) over the dedup
-    corpus: md5-keyed positional n-gram counts (multiplicity kept),
-    the same df-cut candidate gate, and the same SQUARED integer
-    threshold test in HUGEINT (int128 == Spark's decimal(38,0) at
-    these magnitudes)."""
+    corpus: positional n-gram counts keyed by the 60-bit integer
+    md5 prefix (the operator's round-5 key — same value both
+    engines, h32/LSH precedent; multiplicity kept), the same df-cut
+    candidate gate, and the same SQUARED integer threshold test in
+    HUGEINT (int128 == Spark's decimal(38,0) at these
+    magnitudes)."""
     grams = (
         "CASE WHEN len({t}) >= {n} THEN "
         "list_transform(range(1, len({t}) - {nm2}), i -> "
-        "md5(array_to_string(list_slice({t}, i, i + {nm1}), ' '))) "
-        "ELSE []::VARCHAR[] END"
+        "CAST(('0x' || substr(md5(array_to_string("
+        "list_slice({t}, i, i + {nm1}), ' ')), 1, 15)) AS BIGINT)) "
+        "ELSE []::BIGINT[] END"
     ).format(t=_TOKS, n=int(ngram), nm1=int(ngram) - 1,
              nm2=int(ngram) - 2)
     t2 = int(threshold_milli) ** 2

@@ -378,3 +378,66 @@ def test_softdedup_mass_conservation(spark, texts):
             assert r.weighted_tokens_milli <= 1000 * r.n_tokens
     total_weighted = sum(r.weighted_tokens for r in out)
     assert abs(total_weighted - distinct_mass) < 1e-2
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "and", "of", "to", "is", "word", "Xy1", "a9",
+                 "..", "!?", "", "mix,ed.", "CAPS"]
+            ),
+            min_size=0,
+            max_size=90,
+        ).map(" ".join),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_quality_scores_match_python_integer_model(spark, texts):
+    """The round-5 exact-integer quality contract, pinned against an
+    independent pure-Python model: every micro-unit ratio is a floor
+    division over raw counts, and each published double is EXACTLY
+    micro/1e6 (bit-equal float compare, no tolerance) — the property
+    that makes the score engine-independent."""
+    import re as _re
+
+    from ci_log_processing_spark.operators.textstats import (
+        STOPWORDS,
+        quality_scores,
+    )
+
+    def py_model(text):
+        toks = text.lower().split(" ")
+        nt = len(toks)
+        ns = sum(1 for x in toks if x in STOPWORDS)
+        npn = len(_re.findall(r"[^A-Za-z0-9\s]", text))
+        nc = len(text)
+        srm = (1_000_000 * ns) // max(nt, 1)
+        prm = (1_000_000 * npn) // max(nc, 1)
+        lsm = min((1_000_000 * nt) // 64, 1_000_000)
+        qm = (
+            4 * min(4 * srm, 1_000_000) + 3 * lsm + 3 * (1_000_000 - prm)
+        ) // 10
+        return nt, srm, prm, lsm, qm
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        nt, srm, prm, lsm, qm = py_model(t)
+        r = got[i]
+        assert r["n_tokens"] == nt, t
+        assert r["quality_micro"] == qm, t
+        # EXACT float equality: micro/1e6 is the same IEEE double
+        # everywhere, that is the whole point
+        assert r["stopword_ratio"] == srm / 1e6, t
+        assert r["punct_ratio"] == prm / 1e6, t
+        assert r["len_score"] == lsm / 1e6, t
+        assert r["quality"] == qm / 1e6, t

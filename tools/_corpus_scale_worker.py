@@ -621,8 +621,35 @@ def main():
             )
 
             def _invidx():
+                # The synthetic 400-word vocabulary gives EVERY term
+                # df ~ n_docs — indexing it with the max_df guard
+                # disabled collects corpus-sized posting lists into
+                # single reducer rows (the exact mega-bucket the
+                # operator's docstring warns about; measured: heap
+                # OOM at local[32]/1M docs). Salt each token by a
+                # 4096-way position hash instead: ~1.6M distinct
+                # terms at df ~ 50, so the documented df band
+                # [2, 64] is exercised on BOTH edges and per-term
+                # state stays bounded — the Zipf-middle shape a real
+                # index build runs over.
+                salted = corpus.select(
+                    "doc_id",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w, i: F.concat(
+                                w,
+                                F.lit("_"),
+                                F.pmod(
+                                    F.xxhash64(F.col("doc_id"), i), 4096
+                                ),
+                            ),
+                        ),
+                        " ",
+                    ).alias("text"),
+                )
                 r = (
-                    inverted_index(corpus, min_df=2, max_df=1 << 30)
+                    inverted_index(salted, min_df=2, max_df=64)
                     .select(
                         F.bit_xor(
                             F.xxhash64("term", "df", "postings")
